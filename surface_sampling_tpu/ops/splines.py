@@ -1,0 +1,95 @@
+"""LAMMPS-style cubic spline tables evaluated as gathers + FMA on device.
+
+EAM energies in the reference come from LAMMPS ``pair_style eam``
+(tests/test_Cu.py:41, mcmc/calculators/lammpsrun.py). To reproduce those
+energies we use the same interpolation scheme LAMMPS uses (pair_eam.cpp
+``interpolate()``): a local cubic with finite-difference end slopes and a
+5-point interior derivative stencil. Coefficients are built once on the
+host (numpy); evaluation is a one-gather FMA chain, which maps onto TPU
+VPU lanes with no irregularity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def lammps_spline_coeffs(f: np.ndarray) -> np.ndarray:
+    """Build per-interval cubic coefficients the way LAMMPS pair_eam does.
+
+    Input ``f`` has n samples on a uniform grid x_j = j * delta (0-based).
+    Returns (n, 4) coefficients [c3, c2, c1, c0] for the local coordinate
+    t in [0, 1] of interval j: value = ((c3*t + c2)*t + c1)*t + c0.
+    The last row duplicates the endpoint with zero curvature (LAMMPS sets
+    the top-interval cubic/quadratic terms to 0).
+    """
+    f = np.asarray(f, dtype=np.float64)
+    n = len(f)
+    fp = np.empty(n)
+    fp[0] = f[1] - f[0]
+    fp[1] = 0.5 * (f[2] - f[0])
+    fp[n - 2] = 0.5 * (f[n - 1] - f[n - 3])
+    fp[n - 1] = f[n - 1] - f[n - 2]
+    if n > 4:
+        k = np.arange(2, n - 2)
+        fp[k] = ((f[k - 2] - f[k + 2]) + 8.0 * (f[k + 1] - f[k - 1])) / 12.0
+    coeffs = np.zeros((n, 4))
+    df = f[1:] - f[:-1]
+    coeffs[:-1, 3] = f[:-1]                                    # c0
+    coeffs[:-1, 2] = fp[:-1]                                   # c1
+    coeffs[:-1, 1] = 3.0 * df - 2.0 * fp[:-1] - fp[1:]         # c2
+    coeffs[:-1, 0] = fp[:-1] + fp[1:] - 2.0 * df               # c3
+    coeffs[-1, 3] = f[-1]
+    coeffs[-1, 2] = fp[-1]
+    return coeffs
+
+
+def _interval(x: jnp.ndarray, inv_delta, n: int):
+    p = x * inv_delta
+    idx = jnp.clip(p.astype(jnp.int32), 0, n - 2)
+    t = jnp.minimum(p - idx, 1.0)
+    return idx, t
+
+
+def spline_eval(
+    coeffs: jnp.ndarray,
+    x: jnp.ndarray,
+    inv_delta,
+    table_idx: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Evaluate a spline table at ``x`` (output has x's shape).
+
+    Args:
+        coeffs: (n, 4) single table, or (T, n, 4) stacked tables.
+        x: query points, any shape.
+        inv_delta: 1 / grid spacing.
+        table_idx: int array broadcastable to x's shape selecting the table
+            per query (required iff coeffs is stacked). The lookup flattens
+            (table, interval) into one gather — a single XLA gather op.
+    """
+    n = coeffs.shape[-2]
+    idx, t = _interval(x, inv_delta, n)
+    if coeffs.ndim == 2:
+        c = coeffs[idx]
+    else:
+        flat = coeffs.reshape(-1, 4)
+        c = flat[table_idx * n + idx]
+    return ((c[..., 0] * t + c[..., 1]) * t + c[..., 2]) * t + c[..., 3]
+
+
+def spline_eval_deriv(
+    coeffs: jnp.ndarray,
+    x: jnp.ndarray,
+    inv_delta,
+    table_idx: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Derivative of :func:`spline_eval` with respect to x."""
+    n = coeffs.shape[-2]
+    idx, t = _interval(x, inv_delta, n)
+    if coeffs.ndim == 2:
+        c = coeffs[idx]
+    else:
+        flat = coeffs.reshape(-1, 4)
+        c = flat[table_idx * n + idx]
+    return ((3.0 * c[..., 0] * t + 2.0 * c[..., 1]) * t + c[..., 2]) * inv_delta

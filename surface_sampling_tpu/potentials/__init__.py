@@ -1,0 +1,28 @@
+"""Interatomic potentials: classical (EAM/Tersoff/SW/pair) and neural (PaiNN).
+
+All potentials expose the same pure-function API (potentials/base.py) so
+the MC engine, the relaxer and the chain-parallel runners are agnostic to
+the physics backend — the TPU-native analog of the reference's ASE
+Calculator protocol (mcmc/calculators/calculators.py:34-812).
+"""
+
+from surface_sampling_tpu.potentials.base import Potential
+from surface_sampling_tpu.potentials.eam import (
+    builtin_eam,
+    load_tables_npz,
+    make_eam,
+    parse_funcfl,
+    tables_from_funcfl,
+)
+from surface_sampling_tpu.potentials.pair import make_lennard_jones, make_morse
+
+__all__ = [
+    "Potential",
+    "builtin_eam",
+    "load_tables_npz",
+    "make_eam",
+    "parse_funcfl",
+    "tables_from_funcfl",
+    "make_lennard_jones",
+    "make_morse",
+]

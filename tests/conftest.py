@@ -1,13 +1,17 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated on host-platform virtual devices, as recommended by the JAX docs.
+validated on host-platform virtual devices. The axon TPU plugin in this
+environment ignores the JAX_PLATFORMS env var, so the platform is forced
+programmatically before any test imports jax.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
