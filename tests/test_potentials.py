@@ -108,7 +108,7 @@ def test_eam_jit_and_vmap():
     """The potential must compose with jit and vmap (chain axis)."""
     pot = make_eam(builtin_eam("Cu_u3"))
     _, pos, ti, alive, shifts = _bulk_inputs("Cu", 3.615, rep=2)
-    batch_pos = jnp.stack([pos, pos + 0.01])
+    batch_pos = jnp.stack([pos, pos.at[0].add(0.3)])  # displace one atom
     e = jax.jit(jax.vmap(lambda p: pot.energy(p, ti, alive, shifts)))(batch_pos)
     assert e.shape == (2,)
     assert e[1] > e[0]  # perturbed structure has higher energy
