@@ -1,0 +1,150 @@
+"""Surface-energy models: potential energy -> acceptance energy.
+
+The reference wraps this logic in ASE Calculator subclasses
+(EnsembleNFFSurface.get_surface_energy, calculators.py:379-446;
+LAMMPSSurfCalc, calculators.py:696; NFFPourbaix, calculators.py:138-361).
+Here a surface-energy model is a pure function
+
+    surface_energy(E_pot, counts) -> scalar
+
+with ``counts`` the per-element atom counts of the realized state. The
+semigrand offset/chem-pot formula is exactly linear in the counts, so it
+compiles to one dot product.
+
+``make_state_energy_fn`` assembles the full per-move evaluation the
+criterion calls (reference call stack: criterion -> get_surface_energy ->
+relax_structure -> optimizer -> calculator; SURVEY §3.1): realize the
+trial occupancy, optionally FIRE-relax with the frozen-bulk mask, apply
+the OOB clamp, and map to the acceptance energy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.constants import HARTREE_TO_EV, Z_FROM_SYMBOL
+from surface_sampling_tpu.core.relax import ENERGY_THRESHOLD, FireConfig, fire_relax
+from surface_sampling_tpu.core.spec import SurfaceSpec
+from surface_sampling_tpu.core.state import (
+    DeviceSpec,
+    element_counts,
+    realize_alive,
+    realize_free_mask,
+    realize_positions,
+    realize_type_idx,
+)
+from surface_sampling_tpu.potentials.base import Potential
+
+
+def identity_surface_energy(e_pot, counts):
+    """Surface energy == potential energy (the reference's LAMMPSSurfCalc /
+    LAMMPSRunSurfCalc behaviour, calculators.py:696-753,755-812)."""
+    return e_pot
+
+
+def make_offset_surface_energy(
+    spec: SurfaceSpec,
+    chem_pots: dict[str, float],
+    offset_data: dict,
+    offset_units: str = "atomic",
+) -> Callable:
+    """Semigrand surface energy with bulk-reference and chemical-potential
+    offsets (Du et al. Nat Comput Sci 2023, Methods; reference
+    calculators.py:379-446).
+
+    surface_energy = E_pot - sum_e coeff_e * n_e, with
+
+        coeff_ref = s*E_bulk[ref_formula]
+                    - sum_{e != ref} (stoic_e/stoic_ref) (s*E_bulk[e] + mu_e)
+        coeff_e   = s*E_bulk[e] + mu_e          (e != ref)
+
+    where s = HARTREE_TO_EV if the offset table is in atomic units
+    (calculators.py:429-432). Linear in counts -> one dot product.
+    """
+    bulk_energies = offset_data["bulk_energies"]
+    stoics = offset_data["stoics"]
+    ref_formula = offset_data["ref_formula"]
+    ref_element = offset_data["ref_element"]
+    scale = HARTREE_TO_EV if offset_units == "atomic" else 1.0
+
+    coeff = np.zeros(len(spec.element_zs))
+    sym_of = {Z_FROM_SYMBOL[s]: s for s in list(chem_pots) + list(stoics) + [ref_element]}
+    ref_coeff = scale * bulk_energies[ref_formula]
+    for i, z in enumerate(spec.element_zs):
+        sym = sym_of.get(int(z))
+        if sym is None or sym == ref_element:
+            continue
+        mu = chem_pots.get(sym, 0.0)
+        be = scale * bulk_energies.get(sym, 0.0)
+        coeff[i] = be + mu
+        ratio = stoics.get(sym, 0.0) / stoics[ref_element]
+        ref_coeff -= ratio * (be + mu)
+    ref_slot = int(np.where(spec.element_zs == Z_FROM_SYMBOL[ref_element])[0][0])
+    coeff[ref_slot] = ref_coeff
+    coeff_j = jnp.asarray(coeff)
+
+    def surface_energy(e_pot, counts):
+        return e_pot - jnp.dot(counts, coeff_j.astype(counts.dtype))
+
+    return surface_energy
+
+
+@dataclass(frozen=True)
+class RelaxConfig:
+    """Relaxation policy inside the acceptance energy (reference:
+    calc_settings relax_atoms/relax_steps, system.py:110, dynamics.py:140)."""
+
+    steps: int = 20
+    fmax: float = 0.01
+    max_step: float = 0.2
+
+
+class StateEnergy(NamedTuple):
+    surface_energy: jnp.ndarray     # acceptance energy (OOB-clamped)
+    potential_energy: jnp.ndarray
+    positions: jnp.ndarray          # relaxed (or ideal) geometry
+    oob: jnp.ndarray                # bool
+
+
+def make_state_energy_fn(
+    d: DeviceSpec,
+    potential: Potential,
+    surface_energy_fn: Callable = identity_surface_energy,
+    relax: RelaxConfig | None = None,
+) -> Callable:
+    """Build ``fn(site_state) -> StateEnergy`` — the inner evaluation of
+    every MC step. Pure; jit/vmap/scan-safe."""
+
+    fire_cfg = None
+    if relax is not None:
+        fire_cfg = FireConfig(steps=relax.steps, fmax=relax.fmax, max_step=relax.max_step)
+
+    def state_energy(site_state) -> StateEnergy:
+        pos0 = realize_positions(d, site_state)
+        type_idx = realize_type_idx(d, site_state)
+        alive = realize_alive(d, site_state)
+        counts = element_counts(d, site_state, dtype=pos0.dtype)
+
+        def e_of(p):
+            return potential.energy(p, type_idx, alive, d.shifts)
+
+        if fire_cfg is None:
+            e_pot = e_of(pos0)
+            nan = jnp.isnan(e_pot)
+            oob = (jnp.abs(e_pot) > ENERGY_THRESHOLD) | nan
+            e_pot = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, pos0.dtype), e_pot)
+            pos = pos0
+        else:
+            free = realize_free_mask(d, site_state)
+            res = fire_relax(e_of, pos0, free, fire_cfg)
+            e_pot, pos, oob = res.energy, res.positions, res.oob
+
+        se = surface_energy_fn(e_pot, counts)
+        se = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, pos0.dtype), se)
+        return StateEnergy(surface_energy=se, potential_energy=e_pot, positions=pos, oob=oob)
+
+    return state_energy

@@ -1,0 +1,212 @@
+"""The MC engine: sweeps and runs as nested ``lax.scan``s under one jit.
+
+Reference counterpart: the Python loops of MCMC.run/sweep/step
+(mcmc/mcmc.py:268-390). One reference MC step costs (1 + relax_steps)
+serial force-field calls plus two full-structure deep copies; here a step
+is a fused XLA program and a sweep/run is a scan, so thousands of chains
+batch through ``vmap`` (see parallel/chains.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.core.energy import make_state_energy_fn
+from surface_sampling_tpu.core.events import make_canonical_step, make_semigrand_step
+from surface_sampling_tpu.core.spec import SurfaceSpec
+from surface_sampling_tpu.core.state import (
+    DeviceSpec,
+    MCState,
+    device_spec,
+    initial_state,
+    num_occupied_sites,
+)
+
+
+class SweepRecord(NamedTuple):
+    """Per-sweep observables (leading axis = sweeps), mirroring the
+    reference's results dict (mcmc.py:293-299, 384-388) minus the deep
+    copies: occupancy snapshots replace SurfaceSystem copies."""
+
+    site_state: jnp.ndarray        # (sweeps, S)
+    energy: jnp.ndarray            # (sweeps,)
+    accept_rate: jnp.ndarray       # (sweeps,)
+    n_ads: jnp.ndarray             # (sweeps,)
+    positions: jnp.ndarray         # (sweeps, N, 3) relaxed geometry snapshots
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static engine configuration (mirrors sampling_settings, SURVEY §5.6)."""
+
+    sweep_size: int = 20
+    canonical: bool = False
+    num_ads_atoms: int = 0
+    criterion: str = "metropolis"        # metropolis | testing | distance
+    filter_distance: float = 1.5
+    always_accept: bool = True           # for the testing criterion
+    require_per_atom_energies: bool = False
+    require_distance_decay: bool = False
+    record_positions: bool = True
+
+
+def make_sweep_fn(step_fn: Callable, sweep_size: int) -> Callable:
+    """One sweep = ``sweep_size`` steps at a fixed temperature (scan)."""
+
+    def sweep(state: MCState, temp):
+        def body(s, _):
+            s, info = step_fn(s, temp)
+            return s, info
+
+        state, infos = jax.lax.scan(body, state, None, length=sweep_size)
+        return state, infos
+
+    return sweep
+
+
+def make_run_fn(
+    d: DeviceSpec,
+    state_energy_fn: Callable,
+    cfg: EngineConfig,
+    potential=None,
+    distance_weight_matrix=None,
+) -> Callable:
+    """Build ``run(state, temps) -> (state, SweepRecord)``, jittable.
+
+    ``temps`` has one entry per sweep (the annealing schedule,
+    utils/sampling.py analog). vmap over a leading chain axis of ``state``
+    (and optionally of ``temps`` for per-chain schedules / tempering).
+    """
+    if cfg.canonical:
+        step_fn = make_canonical_step(
+            d,
+            state_energy_fn,
+            criterion=cfg.criterion,
+            filter_distance=cfg.filter_distance,
+            always_accept=cfg.always_accept,
+            require_per_atom_energies=cfg.require_per_atom_energies,
+            require_distance_decay=cfg.require_distance_decay,
+            potential=potential,
+            distance_weight_matrix=distance_weight_matrix,
+        )
+    else:
+        step_fn = make_semigrand_step(
+            d,
+            state_energy_fn,
+            criterion=cfg.criterion,
+            filter_distance=cfg.filter_distance,
+            always_accept=cfg.always_accept,
+        )
+    sweep_fn = make_sweep_fn(step_fn, cfg.sweep_size)
+
+    def run(state: MCState, temps):
+        def body(s, temp):
+            s, infos = sweep_fn(s, temp)
+            rec = SweepRecord(
+                site_state=s.site_state,
+                energy=s.energy,
+                accept_rate=jnp.mean(infos.accepted.astype(jnp.float32)),
+                n_ads=num_occupied_sites(s.site_state),
+                positions=s.relaxed_positions
+                if cfg.record_positions
+                else jnp.zeros((0, 3), s.relaxed_positions.dtype),
+            )
+            return s, rec
+
+        return jax.lax.scan(body, state, temps)
+
+    return run
+
+
+def prepare_canonical_fn(
+    d: DeviceSpec, state_energy_fn: Callable, num_ads_atoms: int, cfg: EngineConfig
+) -> Callable:
+    """Semigrand-adsorb until ``num_ads_atoms`` sites are occupied
+    (reference MCMC.prepare_canonical, mcmc.py:148-188): jittable
+    while_loop, vmap-safe."""
+    step_fn = make_semigrand_step(
+        d,
+        state_energy_fn,
+        criterion=cfg.criterion,
+        filter_distance=cfg.filter_distance,
+        always_accept=cfg.always_accept,
+    )
+
+    def prepare(state: MCState, temp):
+        def cond(s):
+            return num_occupied_sites(s.site_state) < num_ads_atoms
+
+        def body(s):
+            s, _ = step_fn(s, temp)
+            return s
+
+        return jax.lax.while_loop(cond, body, state)
+
+    return prepare
+
+
+def geometric_schedule(start_temp: float, total_sweeps: int, alpha: float = 0.99) -> np.ndarray:
+    """T_i = start * alpha^i — the reference's default annealing schedule
+    (utils/sampling.py:43-49)."""
+    return start_temp * alpha ** np.arange(total_sweeps, dtype=np.float64)
+
+
+@dataclass
+class MCMCRun:
+    """Convenience bundle: build everything from a spec + potential and run.
+
+    This is the single-chain entry point; multi-chain runs go through
+    parallel/chains.py which vmaps/shards the same run function.
+    """
+
+    spec: SurfaceSpec
+    potential: object
+    surface_energy_fn: Callable | None = None
+    relax: object | None = None
+    dtype: object = jnp.float32
+
+    def __post_init__(self):
+        self.d = device_spec(self.spec, dtype=self.dtype)
+        from surface_sampling_tpu.core.energy import identity_surface_energy
+
+        se_fn = self.surface_energy_fn or identity_surface_energy
+        self.state_energy_fn = make_state_energy_fn(
+            self.d, self.potential, se_fn, relax=self.relax
+        )
+
+    def init_state(self, key, site_state=None) -> MCState:
+        state = initial_state(self.d, key, site_state=site_state)
+        e = self.state_energy_fn(state.site_state)
+        return state._replace(energy=e.surface_energy, relaxed_positions=e.positions)
+
+    def run(
+        self,
+        key,
+        temps,
+        site_state=None,
+        cfg: EngineConfig = EngineConfig(),
+        distance_weight_matrix=None,
+    ):
+        state = self.init_state(key, site_state)
+        if cfg.canonical and cfg.num_ads_atoms > 0:
+            prep = jax.jit(
+                prepare_canonical_fn(self.d, self.state_energy_fn, cfg.num_ads_atoms, cfg)
+            )
+            state = prep(state, jnp.asarray(float(temps[0])))
+            e = self.state_energy_fn(state.site_state)
+            state = state._replace(energy=e.surface_energy, relaxed_positions=e.positions)
+        run_fn = jax.jit(
+            make_run_fn(
+                self.d,
+                self.state_energy_fn,
+                cfg,
+                potential=self.potential,
+                distance_weight_matrix=distance_weight_matrix,
+            )
+        )
+        return run_fn(state, jnp.asarray(temps, self.dtype))

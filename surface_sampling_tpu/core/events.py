@@ -1,0 +1,238 @@
+"""MC proposals, acceptance criteria and step functions (pure, scan-safe).
+
+Reference counterparts:
+  * ChangeProposal / SwitchProposal        mcmc/events/proposal.py:50-187
+  * Change / Exchange events + rollback    mcmc/events/event.py:71-155
+  * Metropolis/Testing/Distance criteria   mcmc/events/criterion.py:48-168
+  * complementary-site sampling with Boltzmann / distance-decay weights
+                                           mcmc/slab.py:35-232
+
+The reference's object-per-step strategy pattern becomes two step-function
+factories returning pure ``step(state, temp) -> (state, info)`` closures.
+Dynamic-support choices ("pick one of the species currently present",
+"pick a site occupied by that species") are masked Gumbel draws so every
+shape stays static. Rejection restores nothing — the accepted state is a
+``jnp.where`` select between the old and trial pytrees.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from surface_sampling_tpu.core.state import (
+    DeviceSpec,
+    MCState,
+    change_site,
+    exchange_sites,
+    num_adsorbate_atoms,
+    num_occupied_sites,
+    realize_alive,
+    realize_positions,
+    realize_type_idx,
+)
+from surface_sampling_tpu.ops.neighbors import image_distances
+
+
+class StepInfo(NamedTuple):
+    accepted: jnp.ndarray       # bool
+    energy: jnp.ndarray         # surface energy after the step
+    n_ads: jnp.ndarray          # occupied sites after the step
+    oob: jnp.ndarray            # trial relaxation went out of bounds
+
+
+# ----------------------------------------------------------------------
+# Acceptance criteria
+# ----------------------------------------------------------------------
+def metropolis_accept(key, e_old, e_new, temp):
+    """rand() < exp(-dE/T) with overflow guard (criterion.py:144-168)."""
+    de = e_new - e_old
+    logp = jnp.minimum(-de / jnp.maximum(temp, 1e-12), 0.0)
+    return jnp.log(jax.random.uniform(key, dtype=e_new.dtype) + 1e-38) < logp
+
+
+def make_distance_accept(d: DeviceSpec, filter_distance: float):
+    """Geometric filter: accept iff no two adsorbate atoms are closer than
+    ``filter_distance`` (criterion.py:74-116 + utils/misc.py:118-135).
+    Adsorbate atoms are the alive site-slot atoms (index >= P)."""
+    n_pristine = d.pristine_numbers.shape[0]
+
+    def accept(site_state):
+        pos = realize_positions(d, site_state)
+        alive = realize_alive(d, site_state)
+        ads = jnp.arange(pos.shape[0]) >= n_pristine
+        sel = alive & ads
+        r, _ = image_distances(pos, d.shifts)       # (K, N, N)
+        rmin = jnp.min(r, axis=0)                   # MIC distances
+        n = pos.shape[0]
+        pair = sel[:, None] & sel[None, :] & ~jnp.eye(n, dtype=bool)
+        dmin = jnp.min(jnp.where(pair, rmin, jnp.inf))
+        return dmin > filter_distance
+
+    return accept
+
+
+# ----------------------------------------------------------------------
+# Semigrand step (ChangeProposal + Change event + criterion)
+# ----------------------------------------------------------------------
+def make_semigrand_step(
+    d: DeviceSpec,
+    state_energy_fn: Callable,
+    criterion: str = "metropolis",
+    filter_distance: float = 1.5,
+    always_accept: bool = True,
+) -> Callable:
+    """Build ``step(state, temp, site_idx=None) -> (state, StepInfo)``.
+
+    Proposal semantics mirror ChangeProposal.get_action (proposal.py:74-107):
+    a uniform site, then a uniform new code != the current one (the current
+    adsorbate/"None" is removed from the choice list).
+    """
+    n_sites = d.site_coords.shape[0]
+    n_codes = d.n_codes
+    dist_accept = make_distance_accept(d, filter_distance) if criterion == "distance" else None
+
+    def step(state: MCState, temp, site_idx=None):
+        key, k_site, k_code, k_acc = jax.random.split(state.key, 4)
+        site = (
+            jax.random.randint(k_site, (), 0, n_sites)
+            if site_idx is None
+            else jnp.asarray(site_idx, jnp.int32)
+        )
+        cur = state.site_state[site]
+        u = jax.random.randint(k_code, (), 0, n_codes - 1)
+        end = u + (u >= cur).astype(u.dtype)   # uniform over codes != cur
+        trial_ss = change_site(state.site_state, site, end)
+
+        trial = state_energy_fn(trial_ss)
+
+        if criterion == "metropolis":
+            accept = metropolis_accept(k_acc, state.energy, trial.surface_energy, temp)
+        elif criterion == "testing":
+            accept = jnp.asarray(always_accept)
+        elif criterion == "distance":
+            accept = dist_accept(trial_ss)
+        else:
+            raise ValueError(f"unknown criterion {criterion!r}")
+
+        new_state = MCState(
+            site_state=jnp.where(accept, trial_ss, state.site_state),
+            energy=jnp.where(accept, trial.surface_energy, state.energy),
+            relaxed_positions=jnp.where(accept, trial.positions, state.relaxed_positions),
+            key=key,
+        )
+        info = StepInfo(
+            accepted=accept,
+            energy=new_state.energy,
+            n_ads=num_occupied_sites(new_state.site_state),
+            oob=trial.oob,
+        )
+        return new_state, info
+
+    return step
+
+
+# ----------------------------------------------------------------------
+# Canonical step (SwitchProposal + Exchange event + criterion)
+# ----------------------------------------------------------------------
+def make_canonical_step(
+    d: DeviceSpec,
+    state_energy_fn: Callable,
+    criterion: str = "metropolis",
+    filter_distance: float = 1.5,
+    always_accept: bool = True,
+    require_per_atom_energies: bool = False,
+    require_distance_decay: bool = False,
+    potential=None,
+    distance_weight_matrix=None,
+) -> Callable:
+    """Build the exchange step: pick two *distinct* adsorbate types present
+    on the surface (the empty type counts, slab.py:52-56), one site of each,
+    and swap them (event.py:138-155).
+
+    Optional weights mirror the reference:
+      * ``require_per_atom_energies``: site weights softmax(E_atom / T)
+        (slab.py:74-112) — needs ``potential`` for per-atom energies.
+      * ``require_distance_decay``: site2 weights multiplied by the
+        precomputed (S, S) row of ``distance_weight_matrix``
+        (slab.py:115-165, utils/misc.py:170-190).
+    """
+    n_sites = d.site_coords.shape[0]
+    n_codes = d.n_codes
+    dist_accept = make_distance_accept(d, filter_distance) if criterion == "distance" else None
+    if require_per_atom_energies and potential is None:
+        raise ValueError("require_per_atom_energies needs the potential")
+    if require_distance_decay and distance_weight_matrix is None:
+        raise ValueError("require_distance_decay needs a distance_weight_matrix")
+    dwm = (
+        jnp.asarray(distance_weight_matrix)
+        if distance_weight_matrix is not None
+        else None
+    )
+    n_pristine = d.pristine_numbers.shape[0]
+    group = d.code_offsets.shape[1]
+    slot0 = n_pristine + jnp.arange(n_sites) * group   # primary slot per site
+
+    def site_weights(state: MCState, temp):
+        """Per-site selection weight, used for occupied-site draws."""
+        if not require_per_atom_energies:
+            return jnp.ones(n_sites, state.energy.dtype)
+        pos = state.relaxed_positions
+        ti = realize_type_idx(d, state.site_state)
+        alive = realize_alive(d, state.site_state)
+        pa = potential.per_atom_energy(pos, ti, alive, d.shifts)
+        w = jax.nn.softmax(jnp.where(alive, pa / temp, -jnp.inf))
+        return w[slot0]
+
+    def step(state: MCState, temp, site_idx=None):
+        key, k_types, k_s1, k_s2, k_acc = jax.random.split(state.key, 5)
+        ss = state.site_state
+        # which codes are present (code 0 present iff any empty site)
+        onehot = jax.nn.one_hot(ss, n_codes, dtype=jnp.float32)   # (S, K+1)
+        code_count = jnp.sum(onehot, axis=0)
+        present = code_count > 0
+        valid = jnp.sum(present.astype(jnp.int32)) >= 2
+        # ordered pair of distinct present types: Gumbel top-2
+        g = jax.random.gumbel(k_types, (n_codes,))
+        masked = jnp.where(present, g, -jnp.inf)
+        _, top2 = jax.lax.top_k(masked, 2)
+        type1, type2 = top2[0], top2[1]
+
+        w_site = site_weights(state, temp)
+        occupied_w1 = jnp.where(ss == type1, jnp.where(type1 == 0, 1.0, w_site), 0.0)
+        site1 = jnp.argmax(jnp.log(occupied_w1 + 1e-38) + jax.random.gumbel(k_s1, (n_sites,)))
+        w2 = jnp.where(ss == type2, jnp.where(type2 == 0, 1.0, w_site), 0.0)
+        if require_distance_decay:
+            w2 = w2 * dwm[site1]
+        site2 = jnp.argmax(jnp.log(w2 + 1e-38) + jax.random.gumbel(k_s2, (n_sites,)))
+
+        trial_ss = exchange_sites(ss, site1, site2)
+        trial = state_energy_fn(trial_ss)
+
+        if criterion == "metropolis":
+            accept = metropolis_accept(k_acc, state.energy, trial.surface_energy, temp)
+        elif criterion == "testing":
+            accept = jnp.asarray(always_accept)
+        elif criterion == "distance":
+            accept = dist_accept(trial_ss)
+        else:
+            raise ValueError(f"unknown criterion {criterion!r}")
+        accept = accept & valid
+
+        new_state = MCState(
+            site_state=jnp.where(accept, trial_ss, ss),
+            energy=jnp.where(accept, trial.surface_energy, state.energy),
+            relaxed_positions=jnp.where(accept, trial.positions, state.relaxed_positions),
+            key=key,
+        )
+        info = StepInfo(
+            accepted=accept,
+            energy=new_state.energy,
+            n_ads=num_occupied_sites(new_state.site_state),
+            oob=trial.oob,
+        )
+        return new_state, info
+
+    return step

@@ -1,0 +1,129 @@
+"""On-device structure relaxation: masked FIRE inside the MC step.
+
+Replaces the reference's per-move ASE optimizer dispatch
+(mcmc/dynamics.py:83-170: FIRE/BFGS/LineSearch/CG with relax_steps=20,
+fmax=0.01). FIRE is the right optimizer on TPU: no line searches, no
+history matrices — a fixed-shape velocity-Verlet loop whose body is one
+fused energy+grad evaluation, runnable under ``lax.while_loop`` inside
+``scan``/``vmap``. Frozen bulk atoms (ase FixAtoms analog) and dead slots
+enter through a force mask.
+
+The out-of-bounds guard reproduces mcmc/dynamics.py:17-18,159-168: if
+|E| > 1000 eV or max|F| > 1000 eV/A after relaxation, the energy is
+clamped to +1000 eV so the Metropolis test rejects the move.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+ENERGY_THRESHOLD = 1000.0  # eV (mcmc/dynamics.py:17)
+MAX_FORCE_THRESHOLD = 1000.0  # eV/A (mcmc/dynamics.py:18)
+
+
+class FireConfig(NamedTuple):
+    """FIRE hyperparameters (ASE defaults, matching the reference's use)."""
+
+    steps: int = 20            # relax_steps default (dynamics.py:140)
+    fmax: float = 0.01         # convergence threshold (dynamics.py:141)
+    dt_start: float = 0.1
+    dt_max: float = 1.0
+    n_min: int = 5
+    f_inc: float = 1.1
+    f_dec: float = 0.5
+    alpha_start: float = 0.1
+    f_alpha: float = 0.99
+    max_step: float = 0.2      # max total displacement norm per iteration
+
+
+class RelaxResult(NamedTuple):
+    positions: jnp.ndarray
+    energy: jnp.ndarray        # post-relax potential energy (OOB-clamped)
+    max_force: jnp.ndarray
+    converged: jnp.ndarray     # bool
+    oob: jnp.ndarray           # bool — energy/force out of bounds
+    n_steps: jnp.ndarray       # iterations actually taken
+
+
+def fire_relax(
+    energy_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    positions0: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    cfg: FireConfig = FireConfig(),
+) -> RelaxResult:
+    """Relax ``positions0`` under ``energy_fn`` with FIRE.
+
+    Args:
+        energy_fn: positions -> scalar potential energy (already closed over
+            species/alive/shifts).
+        positions0: (N, 3) starting geometry.
+        free_mask: (N,) bool — True for atoms allowed to move.
+        cfg: FIRE hyperparameters.
+    """
+    dtype = positions0.dtype
+    fmask = free_mask[:, None].astype(dtype)
+    eg = jax.value_and_grad(energy_fn)
+
+    def force_of(pos):
+        e, g = eg(pos)
+        return e, -g * fmask
+
+    def fnorm_max(f):
+        return jnp.sqrt(jnp.max(jnp.sum(f * f, axis=1)))
+
+    e0, f0 = force_of(positions0)
+
+    def cond(carry):
+        i, pos, vel, dt, alpha, n_pos, e, f = carry
+        return (i < cfg.steps) & (fnorm_max(f) >= cfg.fmax)
+
+    def body(carry):
+        i, pos, vel, dt, alpha, n_pos, e, f = carry
+        vf = jnp.sum(f * vel)
+        uphill = vf <= 0.0
+        v_norm = jnp.sqrt(jnp.sum(vel * vel))
+        f_norm = jnp.sqrt(jnp.sum(f * f))
+        mixed = (1.0 - alpha) * vel + alpha * f * (v_norm / jnp.maximum(f_norm, 1e-30))
+        vel = jnp.where(uphill, jnp.zeros_like(vel), mixed)
+        grow = (~uphill) & (n_pos > cfg.n_min)
+        dt = jnp.where(grow, jnp.minimum(dt * cfg.f_inc, cfg.dt_max), dt)
+        alpha = jnp.where(grow, alpha * cfg.f_alpha, alpha)
+        dt = jnp.where(uphill, dt * cfg.f_dec, dt)
+        alpha = jnp.where(uphill, jnp.asarray(cfg.alpha_start, dtype), alpha)
+        n_pos = jnp.where(uphill, 0, n_pos + 1)
+        vel = vel + dt * f
+        dr = dt * vel
+        norm = jnp.sqrt(jnp.sum(dr * dr))
+        dr = dr * jnp.minimum(1.0, cfg.max_step / jnp.maximum(norm, 1e-30))
+        pos = pos + dr * fmask
+        e, f = force_of(pos)
+        return (i + 1, pos, vel, dt, alpha, n_pos, e, f)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        positions0,
+        jnp.zeros_like(positions0),
+        jnp.asarray(cfg.dt_start, dtype),
+        jnp.asarray(cfg.alpha_start, dtype),
+        jnp.asarray(0, jnp.int32),
+        e0,
+        f0,
+    )
+    i, pos, vel, dt, alpha, n_pos, e, f = jax.lax.while_loop(cond, body, init)
+    mf = fnorm_max(f)
+    oob = (jnp.abs(e) > ENERGY_THRESHOLD) | (mf > MAX_FORCE_THRESHOLD)
+    e_out = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, dtype), e)
+    nan_guard = jnp.isnan(e_out) | jnp.any(jnp.isnan(pos))
+    e_out = jnp.where(nan_guard, jnp.asarray(ENERGY_THRESHOLD, dtype), e_out)
+    pos = jnp.where(nan_guard, positions0, pos)
+    return RelaxResult(
+        positions=pos,
+        energy=e_out,
+        max_force=mf,
+        converged=mf < cfg.fmax,
+        oob=oob | nan_guard,
+        n_steps=i,
+    )

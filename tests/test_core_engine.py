@@ -1,0 +1,211 @@
+"""Engine tests: steps, criteria, relaxation, full runs.
+
+Mirrors the reference's fake-calculator strategy (tests/test_system.py:41,
+tests/events/test_criterion.py:14-45): fixed/fake energy functions drive
+the engine plumbing without real physics, plus a real-potential LJ run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.core import (
+    EngineConfig,
+    FireConfig,
+    MCMCRun,
+    RelaxConfig,
+    device_spec,
+    fire_relax,
+    geometric_schedule,
+    make_semigrand_step,
+    make_spec,
+    make_state_energy_fn,
+    initial_state,
+    make_canonical_step,
+)
+from surface_sampling_tpu.core.energy import StateEnergy
+from surface_sampling_tpu.core.state import num_occupied_sites, realize_positions
+from surface_sampling_tpu.potentials import make_lennard_jones
+from surface_sampling_tpu.structure import Structure
+from surface_sampling_tpu.structure.slabs import fcc100
+from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+
+def lj_system(relax=None):
+    """Small LJ(100) slab with ontop+hollow sites."""
+    slab = fcc100("Cu", size=(2, 2, 2), a=1.5 * 2**0.5, vacuum=10.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.2)["all"]
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29], cutoff=3.0)
+    pot = make_lennard_jones(epsilon=0.4, sigma=1.05, cutoff=3.0)
+    run = MCMCRun(spec, pot, relax=relax)
+    return spec, pot, run
+
+
+def fake_energy_fn(d, value):
+    """A state-energy fn returning a fixed surface energy (criterion tests)."""
+
+    def fn(site_state):
+        pos = realize_positions(d, site_state)
+        v = jnp.asarray(value, pos.dtype)
+        return StateEnergy(
+            surface_energy=v,
+            potential_energy=v,
+            positions=pos,
+            oob=jnp.asarray(False),
+        )
+
+    return fn
+
+
+def test_semigrand_step_always_changes_site_with_testing_criterion():
+    spec, pot, run = lj_system()
+    d = run.d
+    step = make_semigrand_step(d, fake_energy_fn(d, 0.0), criterion="testing")
+    state = initial_state(d, jax.random.PRNGKey(0))
+    jstep = jax.jit(lambda s: step(s, jnp.asarray(1.0)))
+    changed = 0
+    for _ in range(20):
+        new, info = jstep(state)
+        assert bool(info.accepted)
+        changed += int(np.any(np.asarray(new.site_state) != np.asarray(state.site_state)))
+        state = new
+    assert changed == 20  # end code is never the current code
+
+
+def test_metropolis_downhill_always_accepts_uphill_sometimes():
+    spec, pot, run = lj_system()
+    d = run.d
+
+    # energy decreases with every occupied site -> adsorption always accepted
+    def down_fn(site_state):
+        pos = realize_positions(d, site_state)
+        e = -num_occupied_sites(site_state).astype(pos.dtype)
+        return StateEnergy(e, e, pos, jnp.asarray(False))
+
+    step = jax.jit(lambda s: make_semigrand_step(d, down_fn)(s, jnp.asarray(0.05)))
+    state = initial_state(d, jax.random.PRNGKey(1))
+    for _ in range(200):
+        state, info = step(state)
+    # at low T most touched sites fill and stay filled (desorptions rejected)
+    assert int(num_occupied_sites(state.site_state)) >= int(0.8 * len(spec.site_coords))
+
+    # energy increases with occupancy -> at tiny T should stay near empty
+    def up_fn(site_state):
+        pos = realize_positions(d, site_state)
+        e = 10.0 * num_occupied_sites(site_state).astype(pos.dtype)
+        return StateEnergy(e, e, pos, jnp.asarray(False))
+
+    step2 = jax.jit(lambda s: make_semigrand_step(d, up_fn)(s, jnp.asarray(0.01)))
+    state2 = initial_state(d, jax.random.PRNGKey(2))
+    for _ in range(40):
+        state2, info2 = step2(state2)
+    assert int(num_occupied_sites(state2.site_state)) == 0
+
+
+def test_canonical_step_conserves_composition():
+    spec, pot, run = lj_system()
+    d = run.d
+    step = jax.jit(
+        lambda s: make_canonical_step(d, fake_energy_fn(d, 0.0), criterion="testing")(
+            s, jnp.asarray(1.0)
+        )
+    )
+    ss0 = jnp.zeros(len(spec.site_coords), jnp.int32).at[0].set(1).at[3].set(1)
+    state = initial_state(d, jax.random.PRNGKey(3), site_state=ss0)
+    for _ in range(30):
+        state, info = step(state)
+        assert int(num_occupied_sites(state.site_state)) == 2
+
+
+def test_canonical_switch_moves_adsorbates():
+    spec, pot, run = lj_system()
+    d = run.d
+    step = jax.jit(
+        lambda s: make_canonical_step(d, fake_energy_fn(d, 0.0), criterion="testing")(
+            s, jnp.asarray(1.0)
+        )
+    )
+    ss0 = jnp.zeros(len(spec.site_coords), jnp.int32).at[0].set(1)
+    state = initial_state(d, jax.random.PRNGKey(4), site_state=ss0)
+    seen = set()
+    for _ in range(25):
+        state, _ = step(state)
+        seen.add(int(np.argmax(np.asarray(state.site_state))))
+    assert len(seen) > 1  # the single adsorbate hops between sites
+
+
+def test_fire_relax_lj_dimer():
+    pot = make_lennard_jones(epsilon=1.0, sigma=1.0, cutoff=5.0)
+    shifts = jnp.zeros((1, 3))
+    pos0 = jnp.array([[0.0, 0, 0], [1.4, 0, 0]])
+    ti = jnp.zeros(2, jnp.int32)
+    alive = jnp.ones(2, bool)
+
+    def e_of(p):
+        return pot.energy(p, ti, alive, shifts)
+
+    res = fire_relax(e_of, pos0, jnp.ones(2, bool), FireConfig(steps=200, fmax=1e-3))
+    assert bool(res.converged)
+    d = float(jnp.linalg.norm(res.positions[1] - res.positions[0]))
+    assert np.isclose(d, 2 ** (1 / 6), atol=1e-2)
+    assert np.isclose(float(res.energy), -1.0, atol=1e-3)
+
+
+def test_fire_respects_frozen_mask():
+    pot = make_lennard_jones(epsilon=1.0, sigma=1.0, cutoff=5.0)
+    shifts = jnp.zeros((1, 3))
+    pos0 = jnp.array([[0.0, 0, 0], [1.4, 0, 0]])
+    free = jnp.array([False, True])
+
+    def e_of(p):
+        return pot.energy(p, jnp.zeros(2, jnp.int32), jnp.ones(2, bool), shifts)
+
+    res = fire_relax(e_of, pos0, free, FireConfig(steps=100, fmax=1e-3))
+    assert np.allclose(np.asarray(res.positions[0]), [0, 0, 0])
+
+
+def test_full_run_semigrand_lj():
+    spec, pot, run = lj_system()
+    temps = geometric_schedule(0.3, 8, alpha=0.9)
+    state, rec = run.run(jax.random.PRNGKey(0), temps, cfg=EngineConfig(sweep_size=10))
+    assert rec.energy.shape == (8,)
+    assert rec.site_state.shape == (8, len(spec.site_coords))
+    assert np.all(np.isfinite(np.asarray(rec.energy)))
+    assert np.all(np.asarray(rec.accept_rate) >= 0)
+    # LJ adsorption is energetically favorable -> should adsorb something
+    assert int(rec.n_ads[-1]) > 0
+
+
+def test_full_run_canonical_lj():
+    spec, pot, run = lj_system()
+    temps = geometric_schedule(0.3, 5, alpha=0.9)
+    cfg = EngineConfig(sweep_size=8, canonical=True, num_ads_atoms=3)
+    state, rec = run.run(jax.random.PRNGKey(0), temps, cfg=cfg)
+    assert np.all(np.asarray(rec.n_ads) == 3)
+
+
+def test_full_run_with_relaxation():
+    spec, pot, run = lj_system(relax=RelaxConfig(steps=5, fmax=0.05))
+    temps = geometric_schedule(0.3, 3, alpha=0.9)
+    state, rec = run.run(jax.random.PRNGKey(0), temps, cfg=EngineConfig(sweep_size=4))
+    assert np.all(np.isfinite(np.asarray(rec.energy)))
+    # relaxed positions were recorded and differ from ideal templates
+    assert rec.positions.shape[0] == 3
+
+
+def test_oob_clamp():
+    """A pathological potential (huge energies) must clamp to +1000 eV
+    (mcmc/dynamics.py:159-168 semantics)."""
+    spec, pot, run = lj_system()
+    d = run.d
+
+    def bad_fn(site_state):
+        pos = realize_positions(d, site_state)
+        e = jnp.asarray(5e4, pos.dtype)
+        return StateEnergy(e, e, pos, jnp.asarray(False))
+
+    se = make_state_energy_fn(d, make_lennard_jones(1e9, 3.0, 3.0))
+    out = se(jnp.ones(len(spec.site_coords), jnp.int32))
+    assert float(out.surface_energy) == 1000.0
+    assert bool(out.oob)
