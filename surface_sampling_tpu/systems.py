@@ -1,0 +1,80 @@
+"""Prebuilt example systems mirroring the reference's tutorials and tests.
+
+  * Cu(100) + EAM — the minimum end-to-end slice (reference
+    tutorials/example.ipynb, tests/test_Cu.py).
+  * Au(110) + EAM canonical — exact test geometry (tests/test_Au.py; slab
+    positions/cell recovered at full precision from the reference's
+    Au_110_2x2 fixtures and vendored as systems_data/Au_110_2x2.npz).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import NamedTuple
+
+import numpy as np
+
+from surface_sampling_tpu.core import MCMCRun, RelaxConfig, make_spec
+from surface_sampling_tpu.core.spec import SurfaceSpec
+from surface_sampling_tpu.potentials import Potential, builtin_eam, make_eam
+from surface_sampling_tpu.structure import Structure, find_adsorption_sites
+from surface_sampling_tpu.structure.slabs import fcc100
+
+_DATA = Path(__file__).parent / "systems_data"
+
+
+class ExampleSystem(NamedTuple):
+    spec: SurfaceSpec
+    potential: Potential
+    run: MCMCRun
+
+
+def cu100_eam(
+    size=(2, 2, 2),
+    a: float = 3.6147,
+    vacuum: float = 15.0,
+    planar_distance: float = 1.5,
+    relax: RelaxConfig | None = None,
+    dtype=None,
+) -> ExampleSystem:
+    """Cu(100) slab with EAM (Foiles u3) and Cu adsorption — the toy system
+    of the reference's example notebook / Cu regression test
+    (tests/test_Cu.py:28-52: a=3.6147, 2x2x2 slab, planar_distance 1.5)."""
+    import jax.numpy as jnp
+
+    slab = fcc100("Cu", size=size, a=a, vacuum=vacuum)
+    sites = find_adsorption_sites(
+        slab, planar_distance=planar_distance, near_reduce=0.01, no_obtuse_hollow=True
+    )["all"]
+    tables = builtin_eam("Cu_u3")
+    spec = make_spec(
+        slab,
+        sites,
+        ["Cu"],
+        potential_numbers=tables.numbers,
+        cutoff=tables.cutoff,
+        surface_name="Cu_100",
+    )
+    pot = make_eam(tables, dtype=dtype or jnp.float32)
+    return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
+
+
+def au110_eam(relax: RelaxConfig | None = None, dtype=None) -> ExampleSystem:
+    """Au(110) 2x2 canonical test system with the reference's exact geometry
+    (tests/test_Au.py:31-44: 16-atom slab, 8 pre-identified sites,
+    6 adsorbed Au atoms)."""
+    import jax.numpy as jnp
+
+    data = np.load(_DATA / "Au_110_2x2.npz")
+    slab = Structure(data["numbers"], data["slab_positions"], data["cell"])
+    tables = builtin_eam("Au_u3")
+    spec = make_spec(
+        slab,
+        data["ads_coords"],
+        ["Au"],
+        potential_numbers=tables.numbers,
+        cutoff=tables.cutoff,
+        surface_name="Au_110",
+    )
+    pot = make_eam(tables, dtype=dtype or jnp.float32)
+    return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
