@@ -1,0 +1,36 @@
+"""Chain, ensemble and device parallelism.
+
+The reference is strictly single-process/single-chain (SURVEY §2.3: no
+DP/TP/PP, no NCCL/MPI — one Markov chain per Python process). The honest
+parallel axes this problem admits are designed here as first-class
+citizens:
+
+  * chain parallelism    — ``vmap`` over independent Markov chains;
+  * data parallelism     — chain batches sharded over an ICI mesh with
+    ``shard_map`` (embarrassingly parallel; collectives only for metrics);
+  * parallel tempering   — per-chain temperature ladders with neighbor
+    replica exchange (a new capability the per-chain design gives for
+    free);
+  * ensemble parallelism — the NN-ensemble weight axis vmapped and
+    shardable over a second mesh axis (models/ensemble.py).
+"""
+
+from surface_sampling_tpu.parallel.chains import (
+    chain_states,
+    make_chain_run,
+    make_sharded_chain_run,
+)
+from surface_sampling_tpu.parallel.mesh import chain_mesh
+from surface_sampling_tpu.parallel.tempering import (
+    make_tempered_run,
+    temperature_ladder,
+)
+
+__all__ = [
+    "chain_states",
+    "chain_mesh",
+    "make_chain_run",
+    "make_sharded_chain_run",
+    "make_tempered_run",
+    "temperature_ladder",
+]

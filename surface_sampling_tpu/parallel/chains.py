@@ -1,0 +1,82 @@
+"""Batched independent Markov chains: vmap on one chip, shard_map on a mesh.
+
+This replaces the reference's one-chain-per-process model (SURVEY §2.3)
+with the TPU-native shape: the chain axis is just a batch dimension of the
+pure run function, so C chains cost ~one batched force-field evaluation
+per step instead of C serial processes. Sharding the chain axis over an
+ICI mesh is data parallelism with zero communication in the hot loop;
+per-sweep metrics ride a single ``all_gather`` implicit in the output
+sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from surface_sampling_tpu.core.state import DeviceSpec, MCState, initial_state
+
+
+def chain_states(
+    d: DeviceSpec,
+    key: jax.Array,
+    n_chains: int,
+    site_state=None,
+) -> MCState:
+    """Batch of fresh per-chain states (leading axis = chains)."""
+    keys = jax.random.split(key, n_chains)
+    make = partial(initial_state, d)
+    if site_state is None:
+        return jax.vmap(lambda k: make(k))(keys)
+    site_state = jnp.asarray(site_state, jnp.int32)
+    if site_state.ndim == 1:
+        site_state = jnp.broadcast_to(site_state, (n_chains,) + site_state.shape)
+    return jax.vmap(make)(keys, site_state)
+
+
+def make_chain_run(run_fn: Callable, share_temps: bool = True) -> Callable:
+    """vmap a single-chain ``run(state, temps)`` over the chain axis.
+
+    With ``share_temps`` all chains follow one annealing schedule; otherwise
+    ``temps`` carries a leading chain axis (basis for parallel tempering).
+    """
+    in_axes = (0, None) if share_temps else (0, 0)
+    return jax.jit(jax.vmap(run_fn, in_axes=in_axes))
+
+
+def make_sharded_chain_run(
+    run_fn: Callable,
+    mesh: Mesh,
+    axis: str = "chains",
+    share_temps: bool = True,
+) -> Callable:
+    """Shard the chain batch over a mesh axis with shard_map.
+
+    Each device runs its local chain block with the same compiled program;
+    there is no cross-device communication inside the MC loop (the chains
+    are independent), so scaling is linear in devices on ICI. Outputs come
+    back sharded along the chain axis.
+    """
+    vrun = jax.vmap(run_fn, in_axes=(0, None) if share_temps else (0, 0))
+    state_spec = P(axis)
+    temp_spec = P() if share_temps else P(axis)
+
+    sharded = shard_map(
+        vrun,
+        mesh=mesh,
+        in_specs=(state_spec, temp_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )  # jax.shard_map (jax>=0.8)
+    return jax.jit(sharded)
+
+
+def shard_chain_states(states: MCState, mesh: Mesh, axis: str = "chains") -> MCState:
+    """Place a chain-batched MCState with its leading axis sharded."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), states)

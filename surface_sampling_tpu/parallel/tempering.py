@@ -1,0 +1,87 @@
+"""Parallel tempering (replica exchange) over the chain batch axis.
+
+A new capability relative to the reference (which anneals one chain,
+mcmc/utils/sampling.py): run C replicas at a temperature ladder and
+exchange configurations between neighboring temperatures with the standard
+acceptance  p = min(1, exp[(beta_i - beta_j)(E_i - E_j)]).  On TPU the
+swap is a batched gather along the chain axis — under pjit/GSPMD a
+sharded chain axis turns it into the minimal ICI permute automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.core.state import MCState
+
+
+def temperature_ladder(t_min: float, t_max: float, n: int) -> np.ndarray:
+    """Geometric ladder from t_max (replica 0) down to t_min."""
+    return np.geomspace(t_max, t_min, n)
+
+
+class TemperRecord(NamedTuple):
+    energy: jnp.ndarray        # (rounds, C)
+    swap_rate: jnp.ndarray     # (rounds,)
+    site_state: jnp.ndarray    # (rounds, C, S)
+
+
+def _swap_phase(states: MCState, temps, key, parity):
+    """Attempt swaps between pairs (i, i+1) with i of given parity."""
+    C = temps.shape[0]
+    idx = jnp.arange(C)
+    is_left = (idx % 2) == parity
+    partner = jnp.where(is_left, idx + 1, idx - 1)
+    partner = jnp.clip(partner, 0, C - 1)
+    valid = partner != idx
+    valid &= jnp.where(is_left, partner < C, True)
+
+    e = states.energy
+    beta = 1.0 / jnp.maximum(temps, 1e-12)
+    delta = (beta - beta[partner]) * (e - e[partner])
+    u = jax.random.uniform(key, (C,))
+    # the decision is made once per pair by its left member and mirrored
+    left_idx = jnp.where(is_left, idx, partner)
+    accept = (jnp.log(u[left_idx] + 1e-38) < delta[left_idx]) & valid
+    take_from = jnp.where(accept, partner, idx)
+
+    swapped = MCState(
+        site_state=states.site_state[take_from],
+        energy=states.energy[take_from],
+        relaxed_positions=states.relaxed_positions[take_from],
+        key=states.key,  # keys stay with the chain slot
+    )
+    rate = jnp.sum(accept.astype(jnp.float32)) / jnp.maximum(
+        jnp.sum(valid.astype(jnp.float32)), 1.0
+    )
+    return swapped, rate
+
+
+def make_tempered_run(sweep_fn: Callable, n_rounds: int) -> Callable:
+    """Build ``run(states, temps, key) -> (states, TemperRecord)``.
+
+    ``sweep_fn(state, temp) -> (state, infos)`` is the single-chain sweep
+    (core.engine.make_sweep_fn); it is vmapped here over the replica axis.
+    One round = a sweep per replica + one alternating-parity swap phase.
+    """
+    vsweep = jax.vmap(sweep_fn, in_axes=(0, 0))
+
+    def run(states: MCState, temps, key):
+        def body(carry, r):
+            states, key = carry
+            states, _ = vsweep(states, temps)
+            key, k_swap = jax.random.split(key)
+            states, rate = _swap_phase(states, temps, k_swap, r % 2)
+            rec = TemperRecord(
+                energy=states.energy, swap_rate=rate, site_state=states.site_state
+            )
+            return (states, key), rec
+
+        (states, _), recs = jax.lax.scan(body, (states, key), jnp.arange(n_rounds))
+        return states, recs
+
+    return jax.jit(run)

@@ -1,0 +1,103 @@
+"""Chain parallelism tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.core import EngineConfig, geometric_schedule, make_run_fn, make_sweep_fn
+from surface_sampling_tpu.core.events import make_semigrand_step
+from surface_sampling_tpu.parallel import (
+    chain_mesh,
+    chain_states,
+    make_chain_run,
+    make_sharded_chain_run,
+    make_tempered_run,
+    temperature_ladder,
+)
+from surface_sampling_tpu.parallel.chains import shard_chain_states
+from surface_sampling_tpu.systems import au110_eam, cu100_eam
+
+
+def _run_pieces(cfg=None):
+    sys = cu100_eam()
+    cfg = cfg or EngineConfig(sweep_size=4, record_positions=False)
+    run_fn = make_run_fn(sys.run.d, sys.run.state_energy_fn, cfg)
+    return sys, run_fn, cfg
+
+
+def test_vmap_chains():
+    sys, run_fn, cfg = _run_pieces()
+    n_chains = 8
+    states = chain_states(sys.run.d, jax.random.PRNGKey(0), n_chains)
+    e0 = jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+    temps = jnp.asarray(geometric_schedule(1.0, 3, 0.9), jnp.float32)
+    crun = make_chain_run(run_fn)
+    out_states, recs = crun(states, temps)
+    assert recs.energy.shape == (n_chains, 3)
+    # chains decorrelate: not all final site_states identical
+    ss = np.asarray(out_states.site_state)
+    assert not np.all(ss == ss[0])
+
+
+def test_sharded_chains_on_mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    sys, run_fn, cfg = _run_pieces()
+    mesh = chain_mesh(8)
+    n_chains = 16  # 2 per device
+    states = chain_states(sys.run.d, jax.random.PRNGKey(1), n_chains)
+    e0 = jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+    states = shard_chain_states(states, mesh)
+    temps = jnp.asarray(geometric_schedule(1.0, 2, 0.9), jnp.float32)
+    srun = make_sharded_chain_run(run_fn, mesh)
+    out_states, recs = srun(states, temps)
+    assert recs.energy.shape == (n_chains, 2)
+    assert np.all(np.isfinite(np.asarray(recs.energy)))
+    # sharded and unsharded runs agree chain-by-chain (same keys)
+    crun = make_chain_run(run_fn)
+    states2 = chain_states(sys.run.d, jax.random.PRNGKey(1), n_chains)
+    states2 = states2._replace(energy=e0)
+    _, recs2 = crun(states2, temps)
+    np.testing.assert_allclose(
+        np.asarray(recs.energy), np.asarray(recs2.energy), rtol=1e-5
+    )
+
+
+def test_parallel_tempering_au():
+    sys = au110_eam()
+    d = sys.run.d
+    step = make_semigrand_step(d, sys.run.state_energy_fn)
+    sweep = make_sweep_fn(step, 4)
+    n_rep = 8
+    temps = jnp.asarray(temperature_ladder(0.05, 2.0, n_rep), jnp.float32)
+    states = chain_states(d, jax.random.PRNGKey(0), n_rep)
+    e0 = jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+    trun = make_tempered_run(sweep, n_rounds=6)
+    out, rec = trun(states, temps, jax.random.PRNGKey(7))
+    assert rec.energy.shape == (6, n_rep)
+    assert np.all(np.isfinite(np.asarray(rec.energy)))
+    assert np.all((np.asarray(rec.swap_rate) >= 0) & (np.asarray(rec.swap_rate) <= 1))
+
+
+def test_tempering_swap_preserves_multiset():
+    """A swap phase must only permute configurations between replicas."""
+    from surface_sampling_tpu.parallel.tempering import _swap_phase
+    from surface_sampling_tpu.core.state import MCState
+
+    C, S = 6, 5
+    key = jax.random.PRNGKey(3)
+    ss = jax.random.randint(key, (C, S), 0, 2)
+    e = jnp.arange(C, dtype=jnp.float32)
+    states = MCState(
+        site_state=ss,
+        energy=e,
+        relaxed_positions=jnp.zeros((C, 4, 3)),
+        key=jax.random.split(key, C),
+    )
+    temps = jnp.asarray(temperature_ladder(0.1, 1.0, C), jnp.float32)
+    out, rate = _swap_phase(states, temps, jax.random.PRNGKey(0), 0)
+    # energies after the phase are a permutation of before
+    assert sorted(np.asarray(out.energy).tolist()) == sorted(np.asarray(e).tolist())
