@@ -1,0 +1,78 @@
+"""Headline benchmark: MC energy-evaluation throughput on real hardware.
+
+Workload: the Cu(100) EAM toy system (reference tutorials/example.ipynb /
+tests/test_Cu.py — 8-atom slab, 24 virtual sites, semigrand Metropolis,
+annealed), run as a batch of vmapped chains. Each MC step costs one
+force-field (surface-energy) evaluation without relaxation, so
+steps/sec == energy evaluations/sec — the cost unit of the reference's
+hot loop (SURVEY §6: 1 MC step ~ (1 + relax_steps) evals, serial).
+
+Baseline: the reference runs ONE chain with LAMMPS EAM at ~40 MC steps/s
+on a 4-core CPU (README.md:73 "a few seconds" for 20x2 steps + setup; we
+use a measured-equivalent 40 evals/s as the denominator, documented in
+BASELINE.md — the reference publishes no number).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_EVALS_PER_SEC = 40.0
+
+
+def main() -> None:
+    from surface_sampling_tpu.core import EngineConfig, geometric_schedule, make_run_fn
+    from surface_sampling_tpu.parallel import chain_states, make_chain_run
+    from surface_sampling_tpu.systems import cu100_eam
+
+    n_chains = 1024
+    sweeps = 16
+    sweep_size = 32
+
+    sys = cu100_eam()
+    cfg = EngineConfig(sweep_size=sweep_size, record_positions=False)
+    run_fn = make_run_fn(sys.run.d, sys.run.state_energy_fn, cfg)
+    crun = make_chain_run(run_fn)
+
+    states = chain_states(sys.run.d, jax.random.PRNGKey(0), n_chains)
+    e0 = jax.jit(jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy))(
+        states.site_state
+    )
+    states = states._replace(energy=e0)
+    temps = jnp.asarray(geometric_schedule(1.0, sweeps, 0.99), jnp.float32)
+
+    # compile + warmup
+    out, recs = crun(states, temps)
+    jax.block_until_ready(recs.energy)
+
+    t0 = time.perf_counter()
+    out, recs = crun(states, temps)
+    jax.block_until_ready(recs.energy)
+    dt = time.perf_counter() - t0
+
+    total_steps = n_chains * sweeps * sweep_size
+    evals_per_sec = total_steps / dt
+
+    # sanity: the annealed ensemble must find strongly bound minima
+    best = float(np.min(np.asarray(recs.energy)))
+    assert np.isfinite(best), "benchmark run produced non-finite energies"
+
+    print(
+        json.dumps(
+            {
+                "metric": "mc_energy_evals_per_sec_cu100_eam",
+                "value": round(evals_per_sec, 1),
+                "unit": "evals/s",
+                "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
