@@ -12,8 +12,9 @@ compiles once, and exact for cutoffs larger than half the cell height
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pair_shifts(
@@ -96,6 +97,46 @@ def image_pair_mask(alive: jnp.ndarray, r: jnp.ndarray, cutoff: float) -> jnp.nd
     self_pair = jnp.zeros((k, n, n), dtype=bool).at[0].set(jnp.eye(n, dtype=bool))
     both = alive[None, :, None] & alive[None, None, :]
     return both & ~self_pair & (r < cutoff)
+
+
+def neighbor_list(
+    positions: jnp.ndarray,
+    shifts: jnp.ndarray,
+    alive: jnp.ndarray,
+    cutoff: float,
+    max_neighbors: int,
+):
+    """Padded fixed-width neighbor list built inside jit via top_k.
+
+    Needed by many-body potentials (Tersoff/SW) whose triple terms would
+    blow up as dense (K,N,K,N,N) tensors. Each atom gets its
+    ``max_neighbors`` nearest image-pairs within ``cutoff``.
+
+    Returns:
+        nbr_disp: (N, M, 3) displacement r_i - r_j(image), zero-padded.
+        nbr_r:    (N, M) distances (``cutoff`` on padding).
+        nbr_j:    (N, M) neighbor atom index (0 on padding).
+        nbr_mask: (N, M) bool validity.
+        overflow: () bool — True if any atom had more than M neighbors
+            in range (results are then truncated to the nearest M).
+    """
+    r, disp = image_distances(positions, shifts)          # (K, N, N[, 3])
+    mask = image_pair_mask(alive, r, cutoff)
+    K, N, _ = r.shape
+    # candidates per center i live along the fused (K, j) axis
+    scores = jnp.where(mask, -r, -jnp.inf)                # nearest = largest
+    flat = jnp.transpose(scores, (1, 0, 2)).reshape(N, K * N)
+    vals, idx = jax.lax.top_k(flat, max_neighbors)        # (N, M)
+    nbr_mask = jnp.isfinite(vals)
+    nbr_j = (idx % N).astype(jnp.int32)
+    nbr_k = (idx // N).astype(jnp.int32)
+    rows = jnp.arange(N)[:, None]
+    nbr_disp = disp[nbr_k, rows, nbr_j]                   # (N, M, 3)
+    nbr_disp = jnp.where(nbr_mask[..., None], nbr_disp, 0.0)
+    nbr_r = jnp.where(nbr_mask, -vals, cutoff)
+    n_in_range = jnp.sum(mask, axis=(0, 2))
+    overflow = jnp.any(n_in_range > max_neighbors)
+    return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
 
 
 # ---------------------------------------------------------------------

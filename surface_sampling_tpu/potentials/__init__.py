@@ -15,8 +15,23 @@ from surface_sampling_tpu.potentials.eam import (
     tables_from_funcfl,
 )
 from surface_sampling_tpu.potentials.pair import make_lennard_jones, make_morse
+from surface_sampling_tpu.potentials.sw import SW_SI_1985, make_sw, parse_sw, sw_tables
+from surface_sampling_tpu.potentials.tersoff import (
+    builtin_tersoff,
+    load_tersoff,
+    make_tersoff,
+    parse_tersoff,
+)
 
 __all__ = [
+    "SW_SI_1985",
+    "builtin_tersoff",
+    "load_tersoff",
+    "make_sw",
+    "make_tersoff",
+    "parse_sw",
+    "parse_tersoff",
+    "sw_tables",
     "Potential",
     "builtin_eam",
     "load_tables_npz",

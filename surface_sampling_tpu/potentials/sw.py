@@ -1,0 +1,153 @@
+"""Stillinger-Weber potential (LAMMPS pair_style sw compatible).
+
+TPU-native replacement for the reference's OpenKIM Stillinger-Weber path
+used by the Si(111) 5x5 tutorial (tutorials/Si_111_5x5/
+lammps_opt_template.txt, ``pair_style kim ThreeBodyCluster_SRS_...``).
+
+    E    = sum_{i<j} phi2(r_ij) + sum_i sum_{j<k} phi3(r_ij, r_ik, theta)
+    phi2 = A eps [B (sig/r)^p - (sig/r)^q] exp(sig / (r - a sig))
+    phi3 = lam eps [cos(theta) - cos0]^2
+           exp(gam_ij sig_ij / (r_ij - a_ij sig_ij))
+           exp(gam_ik sig_ik / (r_ik - a_ik sig_ik))
+
+Two-body params from the (i,j,j) entry, three-body from (i,j,k) — LAMMPS
+conventions. Ships the original Si parameterization (Stillinger & Weber,
+PRB 31, 5262 (1985)) and accepts parameter tables for modified variants
+(e.g. the SRS reparameterization the reference's KIM model uses).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.ops.neighbors import neighbor_list
+from surface_sampling_tpu.potentials.base import Potential
+
+_FIELDS = ("eps", "sig", "a", "lam", "gam", "cos0", "A", "B", "p", "q", "tol")
+
+# Stillinger & Weber PRB 31, 5262 (1985), table I (LAMMPS Si.sw values).
+SW_SI_1985 = {
+    "elements": ("Si",),
+    "entries": {
+        ("Si", "Si", "Si"): dict(
+            eps=2.1683, sig=2.0951, a=1.80, lam=21.0, gam=1.20,
+            cos0=-1.0 / 3.0, A=7.049556277, B=0.6022245584, p=4.0, q=0.0, tol=0.0,
+        )
+    },
+}
+
+
+@dataclass
+class SWTables:
+    elements: tuple[str, ...]
+    params: dict[str, np.ndarray]   # (T, T, T) each
+
+    @property
+    def cutoff(self) -> float:
+        return float((self.params["a"] * self.params["sig"]).max())
+
+
+def sw_tables(data: dict | None = None) -> SWTables:
+    """Build parameter tensors from an entries dict (default: SW85 Si)."""
+    data = data or SW_SI_1985
+    elements = tuple(data["elements"])
+    T = len(elements)
+    params = {f: np.zeros((T, T, T)) for f in _FIELDS}
+    for (e1, e2, e3), vals in data["entries"].items():
+        t1, t2, t3 = (elements.index(e) for e in (e1, e2, e3))
+        for f in _FIELDS:
+            params[f][t1, t2, t3] = vals[f]
+    return SWTables(elements=elements, params=params)
+
+
+def parse_sw(text: str, elements: list[str] | None = None) -> SWTables:
+    """Parse a LAMMPS .sw file (11 numbers per entry)."""
+    tokens: list[str] = []
+    for line in text.splitlines():
+        line = line.split("#")[0].strip()
+        if line:
+            tokens.extend(line.split())
+    entries = {}
+    i = 0
+    while i < len(tokens):
+        e1, e2, e3 = tokens[i : i + 3]
+        vals = [float(x) for x in tokens[i + 3 : i + 14]]
+        entries[(e1, e2, e3)] = dict(zip(_FIELDS, vals))
+        i += 14
+    elements = elements or sorted({e for k in entries for e in k})
+    return sw_tables({"elements": elements, "entries": entries})
+
+
+def load_sw(path: str | Path, elements=None) -> SWTables:
+    return parse_sw(Path(path).read_text(), elements)
+
+
+def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32) -> Potential:
+    """Build the jittable Stillinger-Weber Potential."""
+    T = len(tables.elements)
+    cutoff = tables.cutoff
+    p3 = {f: jnp.asarray(tables.params[f].reshape(-1), dtype) for f in _FIELDS}
+
+    def flat3(ti, tj, tk):
+        return (ti * T + tj) * T + tk
+
+    def _radial(r, sig, a, inside):
+        """exp(sig / (r - a sig)), 0 at/beyond the cutoff a*sig."""
+        gap = r - a * sig
+        safe = jnp.where(inside, gap, -1.0)
+        return jnp.where(inside, jnp.exp(sig / safe), 0.0)
+
+    def per_atom(positions, type_idx, alive, shifts):
+        disp, r, nbr_j, nbr_mask, _ = neighbor_list(
+            positions, shifts, alive, cutoff, max_neighbors
+        )
+        ti = type_idx[:, None]
+        tj = type_idx[nbr_j]
+        # ---- two-body (i, j, j) -------------------------------------------
+        idx2 = flat3(ti, tj, tj)
+        sig, aa = p3["sig"][idx2], p3["a"][idx2]
+        inside2 = nbr_mask & (r < aa * sig - 1e-9)
+        sr = sig / jnp.maximum(r, 1e-12)
+        phi2 = (
+            p3["A"][idx2]
+            * p3["eps"][idx2]
+            * (p3["B"][idx2] * sr ** p3["p"][idx2] - sr ** p3["q"][idx2])
+            * _radial(r, sig, aa, inside2)
+        )
+        e2 = 0.5 * jnp.sum(jnp.where(inside2, phi2, 0.0), axis=1)
+        # ---- three-body (i, j, k) -----------------------------------------
+        tk = tj[:, None, :]
+        idx3_j = flat3(ti[:, :, None], tj[:, :, None], tk)        # (N, M, M)
+        # gamma/sigma/a of the ij leg come from (i,j,k); of the ik leg too
+        sig_ij = p3["sig"][idx3_j]
+        a_ij = p3["a"][idx3_j]
+        gam_ij = p3["gam"][idx3_j]
+        r_ij = r[:, :, None]
+        r_ik = r[:, None, :]
+        inside_ij = r_ij < a_ij * sig_ij - 1e-9
+        inside_ik = r_ik < a_ij * sig_ij - 1e-9  # symmetric single-element form
+        h_ij = jnp.where(
+            inside_ij, jnp.exp(gam_ij * sig_ij / jnp.where(inside_ij, r_ij - a_ij * sig_ij, -1.0)), 0.0
+        )
+        h_ik = jnp.where(
+            inside_ik, jnp.exp(gam_ij * sig_ij / jnp.where(inside_ik, r_ik - a_ij * sig_ij, -1.0)), 0.0
+        )
+        rsafe = jnp.maximum(r, 1e-12)
+        unit = disp / rsafe[..., None]
+        cos_t = jnp.einsum("nmx,nkx->nmk", unit, unit)
+        dcos = cos_t - p3["cos0"][idx3_j]
+        phi3 = p3["lam"][idx3_j] * p3["eps"][idx3_j] * dcos * dcos * h_ij * h_ik
+        M = r.shape[1]
+        not_same = ~jnp.eye(M, dtype=bool)[None, :, :]
+        kmask = nbr_mask[:, :, None] & nbr_mask[:, None, :] & not_same
+        e3 = 0.5 * jnp.sum(jnp.where(kmask, phi3, 0.0), axis=(1, 2))
+        return jnp.where(alive, e2 + e3, 0.0)
+
+    def energy(positions, type_idx, alive, shifts):
+        return jnp.sum(per_atom(positions, type_idx, alive, shifts))
+
+    return Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="sw")

@@ -14,11 +14,20 @@ from typing import NamedTuple
 
 import numpy as np
 
+from surface_sampling_tpu.constants import Z_FROM_SYMBOL
 from surface_sampling_tpu.core import MCMCRun, RelaxConfig, make_spec
 from surface_sampling_tpu.core.spec import SurfaceSpec
-from surface_sampling_tpu.potentials import Potential, builtin_eam, make_eam
-from surface_sampling_tpu.structure import Structure, find_adsorption_sites
-from surface_sampling_tpu.structure.slabs import fcc100
+from surface_sampling_tpu.potentials import (
+    Potential,
+    builtin_eam,
+    builtin_tersoff,
+    make_eam,
+    make_sw,
+    make_tersoff,
+    sw_tables,
+)
+from surface_sampling_tpu.structure import Structure, bulk, find_adsorption_sites, surface_from_bulk
+from surface_sampling_tpu.structure.slabs import fcc100, fcc111
 
 _DATA = Path(__file__).parent / "systems_data"
 
@@ -56,6 +65,71 @@ def cu100_eam(
         surface_name="Cu_100",
     )
     pot = make_eam(tables, dtype=dtype or jnp.float32)
+    return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
+
+
+def gan0001_tersoff(
+    size=(3, 3),
+    layers: int = 4,
+    vacuum: float = 12.0,
+    planar_distance: float = 1.2,
+    surface_depth: int = 2,
+    relax: RelaxConfig | None = None,
+    max_neighbors: int = 16,
+    dtype=None,
+) -> ExampleSystem:
+    """GaN(0001) wurtzite slab with the Nord-2003 Tersoff potential —
+    the reference's GaN tutorial system (tutorials/GaN_0001.ipynb:
+    canonical Ga/N sampling with LAMMPS Tersoff, bulk atoms frozen via
+    ``setforce 0`` in lammps_opt_template.txt)."""
+    import jax.numpy as jnp
+
+    gan = bulk(["Ga", "N"], "wurtzite", a=3.19, c=5.19)
+    slab, _ = surface_from_bulk(gan, (0, 0, 1), size=size, layers=layers, vacuum=vacuum)
+    sites = find_adsorption_sites(slab, planar_distance=planar_distance)["all"]
+    tables = builtin_tersoff("GaN_nord2003")
+    spec = make_spec(
+        slab,
+        sites,
+        ["Ga", "N"],
+        potential_numbers=[Z_FROM_SYMBOL[e] for e in tables.elements],
+        cutoff=tables.cutoff,
+        surface_depth=surface_depth,
+        surface_name="GaN_0001",
+    )
+    pot = make_tersoff(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32)
+    return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
+
+
+def si111_sw(
+    size=(3, 3),
+    layers: int = 4,
+    vacuum: float = 12.0,
+    planar_distance: float = 1.2,
+    surface_depth: int = 2,
+    relax: RelaxConfig | None = None,
+    max_neighbors: int = 16,
+    dtype=None,
+) -> ExampleSystem:
+    """Si(111) slab with Stillinger-Weber — the reference's Si(111) 5x5
+    tutorial family (tutorials/Si_111_5x5, KIM SW model); ships the original
+    SW85 parameterization with custom tables accepted via potentials.sw."""
+    import jax.numpy as jnp
+
+    si = bulk("Si", "diamond", a=5.431)
+    slab, _ = surface_from_bulk(si, (1, 1, 1), size=size, layers=layers, vacuum=vacuum)
+    sites = find_adsorption_sites(slab, planar_distance=planar_distance)["all"]
+    tables = sw_tables()
+    spec = make_spec(
+        slab,
+        sites,
+        ["Si"],
+        potential_numbers=[Z_FROM_SYMBOL[e] for e in tables.elements],
+        cutoff=tables.cutoff,
+        surface_depth=surface_depth,
+        surface_name="Si_111",
+    )
+    pot = make_sw(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 

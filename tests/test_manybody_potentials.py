@@ -1,0 +1,98 @@
+"""Tersoff and Stillinger-Weber golden tests + GaN/Si system smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.core import EngineConfig, RelaxConfig, geometric_schedule
+from surface_sampling_tpu.ops.neighbors import neighbor_list, pair_shifts
+from surface_sampling_tpu.potentials import (
+    builtin_tersoff,
+    make_sw,
+    make_tersoff,
+    sw_tables,
+)
+from surface_sampling_tpu.structure import bulk
+from surface_sampling_tpu.systems import gan0001_tersoff, si111_sw
+
+
+def test_sw_si_cohesive_energy():
+    """Stillinger & Weber PRB 31, 5262 (1985): diamond Si at a=5.431 has
+    E_coh = -4.3363 eV/atom (the value the potential was fit to)."""
+    with jax.enable_x64(True):
+        t = sw_tables()
+        pot = make_sw(t, max_neighbors=20, dtype=jnp.float64)
+        st = bulk("Si", "diamond", a=5.431).repeat(2)
+        shifts = jnp.asarray(pair_shifts(st.cell, t.cutoff))
+        e = float(
+            pot.energy(
+                jnp.asarray(st.positions),
+                jnp.zeros(len(st), jnp.int32),
+                jnp.ones(len(st), bool),
+                shifts,
+            )
+        ) / len(st)
+        assert abs(e - (-4.3363)) < 1e-3
+        f = pot.forces(
+            jnp.asarray(st.positions),
+            jnp.zeros(len(st), jnp.int32),
+            jnp.ones(len(st), bool),
+            shifts,
+        )
+        assert float(jnp.abs(f).max()) < 1e-8
+
+
+def test_tersoff_gan_cohesive_energy():
+    """Nord et al. J. Phys. Condens. Matter 15, 5649 (2003): wurtzite GaN
+    cohesive energy -4.526 eV/atom near a=3.19."""
+    with jax.enable_x64(True):
+        t = builtin_tersoff("GaN_nord2003")
+        pot = make_tersoff(t, max_neighbors=20, dtype=jnp.float64)
+        gan = bulk(["Ga", "N"], "wurtzite", a=3.19, c=5.19).repeat(2)
+        ti = jnp.asarray([t.elements.index(s) for s in gan.symbols], jnp.int32)
+        shifts = jnp.asarray(pair_shifts(gan.cell, t.cutoff))
+        e = float(
+            pot.energy(jnp.asarray(gan.positions), ti, jnp.ones(len(gan), bool), shifts)
+        ) / len(gan)
+        assert abs(e - (-4.526)) < 5e-3
+
+
+def test_neighbor_list_counts_fcc():
+    """fcc with cutoff between 1st and 2nd shell -> exactly 12 neighbors."""
+    a = 3.6
+    st = bulk("Cu", "fcc", a=a).repeat(2)
+    cutoff = a * 0.85  # between a/sqrt(2)=0.707a and a
+    shifts = jnp.asarray(pair_shifts(st.cell, cutoff))
+    _, r, _, mask, overflow = neighbor_list(
+        jnp.asarray(st.positions), shifts, jnp.ones(len(st), bool), cutoff, 16
+    )
+    assert not bool(overflow)
+    assert np.all(np.asarray(mask.sum(axis=1)) == 12)
+
+
+def test_neighbor_list_overflow_flag():
+    a = 3.6
+    st = bulk("Cu", "fcc", a=a).repeat(2)
+    cutoff = a * 1.1  # 1st+2nd shells = 18 neighbors > 8
+    shifts = jnp.asarray(pair_shifts(st.cell, cutoff))
+    *_, overflow = neighbor_list(
+        jnp.asarray(st.positions), shifts, jnp.ones(len(st), bool), cutoff, 8
+    )
+    assert bool(overflow)
+
+
+def test_gan_system_canonical_smoke():
+    sys = gan0001_tersoff(size=(2, 2), layers=3)
+    temps = geometric_schedule(0.5, 3, 0.9)
+    cfg = EngineConfig(sweep_size=4, canonical=True, num_ads_atoms=4, record_positions=False)
+    state, rec = sys.run.run(jax.random.PRNGKey(0), temps, cfg=cfg)
+    assert np.all(np.asarray(rec.n_ads) == 4)
+    assert np.all(np.isfinite(np.asarray(rec.energy)))
+
+
+def test_si_system_relaxed_smoke():
+    sys = si111_sw(size=(2, 2), layers=3, relax=RelaxConfig(steps=5, fmax=0.05))
+    temps = geometric_schedule(0.5, 2, 0.9)
+    state, rec = sys.run.run(jax.random.PRNGKey(0), temps, cfg=EngineConfig(sweep_size=3))
+    assert np.all(np.isfinite(np.asarray(rec.energy)))
