@@ -1,0 +1,19 @@
+"""Neural potentials: PaiNN in JAX, ensembles, checkpoint conversion."""
+
+from surface_sampling_tpu.models.ensemble import (
+    ensemble_apply,
+    ensemble_forces_std,
+    stack_params,
+)
+from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn, painn_apply
+
+__all__ = [
+    "PaiNNConfig",
+    "ensemble_apply",
+    "ensemble_forces_std",
+    "init_painn",
+    "make_painn_potential",
+    "painn_apply",
+    "stack_params",
+]

@@ -1,0 +1,85 @@
+"""Adapter: PaiNN (single or ensemble) -> the framework Potential API.
+
+Counterpart of the reference's NeuralFF / EnsembleNFF / EnsembleNFFSurface
+ASE calculators (mcmc/calculators/calculators.py:34-489). Handles the unit
+conversion from the model's training units to eV (nff models train in
+kcal/mol; NeuralFF converts on read — calculators.py uses
+nff.utils.constants).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.constants import (
+    HARTREE_TO_EV,
+    KCAL_MOL_TO_EV,
+    SYMBOL_FROM_Z,
+)
+from surface_sampling_tpu.models.ensemble import ensemble_apply
+from surface_sampling_tpu.models.painn import PaiNNConfig, painn_apply
+from surface_sampling_tpu.potentials.base import Potential
+
+UNIT_FACTORS = {"kcal/mol": KCAL_MOL_TO_EV, "eV": 1.0, "ev": 1.0}
+
+
+def make_painn_potential(
+    params,
+    cfg: PaiNNConfig,
+    type_numbers,
+    units: str = "kcal/mol",
+    ensemble: bool = False,
+    stoidict: dict | None = None,
+) -> Potential:
+    """Wrap PaiNN as a Potential over (positions, type_idx, alive, shifts).
+
+    Args:
+        params: single param pytree, or stacked pytree when ensemble=True.
+        type_numbers: atomic number per potential type index (the spec's
+            element typing; PaiNN embeds raw atomic numbers).
+        units: training units of the checkpoint.
+        stoidict: nff composition offsets in Hartree (offset_data.json's
+            "stoidict": per-element linear coefficients + "offset" const) —
+            the reference applies these inside nff's calculate so the
+            optimizer and OOB guard see absolute energies (validated against
+            the SrTiO3 tutorial's printed -467.52 eV pristine energy).
+    """
+    factor = UNIT_FACTORS[units]
+    znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
+    if stoidict is not None:
+        per_type = np.array(
+            [stoidict.get(SYMBOL_FROM_Z[int(z)], 0.0) for z in np.asarray(type_numbers)]
+        ) * HARTREE_TO_EV
+        const_off = float(stoidict.get("offset", 0.0)) * HARTREE_TO_EV
+        per_type_j = jnp.asarray(per_type)
+    else:
+        per_type_j, const_off = None, 0.0
+
+    def comp_offset(type_idx, alive, dtype):
+        if per_type_j is None:
+            return jnp.asarray(0.0, dtype)
+        per_atom_off = per_type_j.astype(dtype)[type_idx] * alive.astype(dtype)
+        return jnp.sum(per_atom_off) + jnp.asarray(const_off, dtype)
+
+    def outputs(positions, type_idx, alive, shifts):
+        numbers = znums[type_idx] * alive.astype(jnp.int32)
+        if ensemble:
+            return ensemble_apply(params, cfg, positions, numbers, alive, shifts)
+        return painn_apply(params, cfg, positions, numbers, alive, shifts)
+
+    def energy(positions, type_idx, alive, shifts):
+        e = outputs(positions, type_idx, alive, shifts)["energy"] * factor
+        return e + comp_offset(type_idx, alive, positions.dtype)
+
+    def per_atom(positions, type_idx, alive, shifts):
+        pa = outputs(positions, type_idx, alive, shifts)["per_atom_energy"] * factor
+        if per_type_j is not None:
+            pa = pa + per_type_j.astype(pa.dtype)[type_idx] * alive.astype(pa.dtype)
+        return pa
+
+    pot = Potential(
+        energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff, name="painn"
+    )
+    pot.__dict__["outputs"] = outputs  # embeddings/std for analysis layers
+    return pot

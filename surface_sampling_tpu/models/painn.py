@@ -1,0 +1,180 @@
+"""PaiNN equivariant message-passing network in pure JAX.
+
+The reference's flagship neural force field (PaiNN via the external `nff`
+torch package: pyproject.toml:17, scripts/sample_surface.py:166-175). This
+is a from-scratch JAX implementation of the published architecture
+(Schuett, Unke & Gastegger, "Equivariant message passing for the prediction
+of tensorial properties and molecular spectra", ICML 2021), dimensioned to
+load the reference's trained checkpoints (feat 128, 20 Bessel RBFs, cosine
+envelope, 3 message/update blocks, 2-layer readout; see
+models/convert_nff.py for the weight port):
+
+  * scalar features s: (N, F); vector features v: (N, F, 3), init 0.
+  * message:  phi = Dense(silu(Dense(s_j)));  W = Dense(RBF(d)) * f_cut(d)
+              [both (E, 3F)]; split into (dv_vj, ds, dv_unit) channels:
+              ds_i   = sum_j  phi1 W1
+              dv_i   = sum_j (phi0 W0) v_j + (phi2 W2) r_hat
+  * update:   Uv, Vv (F-mixing, no bias); a = MLP([s, |Vv|]) -> 3 chunks
+              dv = a0 * Uv;  ds = a1 * <Uv, Vv> + a2
+  * readout:  per-atom MLP 128 -> 64 -> 1, sum-pooled.
+  * optional excluded-volume repulsion sum_pairs (sigma/d)^power — the nff
+    extension enabled in the reference's SrTiO3 models (excl_vol=True,
+    power=12, sigma=1.5 in the checkpoint attrs).
+
+Edges are a padded (N, M) neighbor list, so every block is a dense batched
+matmul on the MXU. Energies are in the training units (kcal/mol for the
+reference checkpoints); unit conversion happens in the calculator adapter
+(models/nn_calculator.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.ops.neighbors import neighbor_list
+
+
+@dataclass(frozen=True)
+class PaiNNConfig:
+    feat_dim: int = 128
+    n_rbf: int = 20
+    cutoff: float = 5.0
+    n_layers: int = 3
+    max_z: int = 100
+    excl_vol: bool = False
+    power: float = 12.0
+    sigma: float = 1.5
+    readout_hidden: int = 64
+    max_neighbors: int = 48
+
+
+# ----------------------------------------------------------------------
+# Parameter init (for training / tests; converted checkpoints override)
+# ----------------------------------------------------------------------
+def _dense_init(key, n_in, n_out, bias=True):
+    k1, _ = jax.random.split(key)
+    scale = 1.0 / np.sqrt(n_in)
+    p = {"w": jax.random.uniform(k1, (n_in, n_out), minval=-scale, maxval=scale)}
+    if bias:
+        p["b"] = jnp.zeros(n_out)
+    return p
+
+
+def init_painn(key, cfg: PaiNNConfig):
+    F = cfg.feat_dim
+    keys = jax.random.split(key, 4 + 6 * cfg.n_layers)
+    params = {"atom_embed": jax.random.normal(keys[0], (cfg.max_z, F)) * 0.1}
+    params["message"] = []
+    params["update"] = []
+    ki = 1
+    for _ in range(cfg.n_layers):
+        params["message"].append(
+            {
+                "inv_dense0": _dense_init(keys[ki], F, F),
+                "inv_dense1": _dense_init(keys[ki + 1], F, 3 * F),
+                "dist_embed": _dense_init(keys[ki + 2], cfg.n_rbf, 3 * F),
+            }
+        )
+        params["update"].append(
+            {
+                "u_mat": _dense_init(keys[ki + 3], F, F, bias=False),
+                "v_mat": _dense_init(keys[ki + 4], F, F, bias=False),
+                "s_dense0": _dense_init(keys[ki + 5], 2 * F, F),
+                "s_dense1": _dense_init(jax.random.fold_in(keys[ki + 5], 1), F, 3 * F),
+            }
+        )
+        ki += 6
+    params["readout"] = {
+        "dense0": _dense_init(keys[ki], F, cfg.readout_hidden),
+        "dense1": _dense_init(keys[ki + 1], cfg.readout_hidden, 1),
+    }
+    return params
+
+
+def _dense(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _rbf(d, n_rbf, cutoff):
+    """Bessel/sinc radial basis: sin(n pi d / rc) / d (DimeNet/PaiNN)."""
+    n = jnp.arange(1, n_rbf + 1, dtype=d.dtype)
+    dsafe = jnp.maximum(d, 1e-8)[..., None]
+    return jnp.sin(n * jnp.pi * dsafe / cutoff) / dsafe
+
+
+def _cosine_envelope(d, cutoff):
+    return jnp.where(d < cutoff, 0.5 * (jnp.cos(jnp.pi * d / cutoff) + 1.0), 0.0)
+
+
+def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts):
+    """Run the trunk; returns per-atom scalar features s (N, F) and the
+    edge data used (for diagnostics)."""
+    F = cfg.feat_dim
+    N = positions.shape[0]
+    disp, d, nbr_j, nbr_mask, _ = neighbor_list(
+        positions, shifts, alive, cfg.cutoff, cfg.max_neighbors
+    )
+    fmask = nbr_mask.astype(positions.dtype)[..., None]          # (N, M, 1)
+    dsafe = jnp.maximum(d, 1e-8)
+    unit = disp / dsafe[..., None]                               # (N, M, 3)
+
+    s = params["atom_embed"][jnp.clip(numbers, 0, cfg.max_z - 1)]  # (N, F)
+    s = jnp.where(alive[:, None], s, 0.0)
+    v = jnp.zeros((N, F, 3), positions.dtype)
+
+    rbf = _rbf(d, cfg.n_rbf, cfg.cutoff)                         # (N, M, R)
+    env = _cosine_envelope(d, cfg.cutoff)[..., None]             # (N, M, 1)
+
+    for mp, up in zip(params["message"], params["update"]):
+        # ---- message block ------------------------------------------------
+        phi = _dense(mp["inv_dense1"], jax.nn.silu(_dense(mp["inv_dense0"], s)))  # (N, 3F)
+        w = _dense(mp["dist_embed"], rbf) * env                  # (N, M, 3F)
+        inv = phi[nbr_j] * w * fmask                             # (N, M, 3F)
+        c_vv, c_s, c_unit = jnp.split(inv, 3, axis=-1)           # (N, M, F) each
+        ds = jnp.sum(c_s, axis=1)                                # (N, F)
+        v_j = v[nbr_j]                                           # (N, M, F, 3)
+        dv = jnp.sum(
+            c_vv[..., None] * v_j + c_unit[..., None] * unit[:, :, None, :], axis=1
+        )                                                        # (N, F, 3)
+        s = s + ds
+        v = v + dv
+        # ---- update block ---------------------------------------------
+        uv = jnp.einsum("nfx,fg->ngx", v, up["u_mat"]["w"])      # (N, F, 3)
+        vv = jnp.einsum("nfx,fg->ngx", v, up["v_mat"]["w"])
+        vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=-1) + 1e-16)    # (N, F)
+        stack = jnp.concatenate([s, vv_norm], axis=-1)           # (N, 2F)
+        a = _dense(up["s_dense1"], jax.nn.silu(_dense(up["s_dense0"], stack)))
+        a_vv, a_sv, a_ss = jnp.split(a, 3, axis=-1)
+        inner = jnp.sum(uv * vv, axis=-1)                        # (N, F)
+        s = s + a_sv * inner + a_ss
+        v = v + a_vv[..., None] * uv
+        s = jnp.where(alive[:, None], s, 0.0)
+        v = jnp.where(alive[:, None, None], v, 0.0)
+
+    return s, (d, nbr_mask)
+
+
+def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts):
+    """Full forward: returns dict with per-atom energies (training units),
+    total energy, and per-atom embeddings (final scalar features)."""
+    s, (d, nbr_mask) = painn_features(params, cfg, positions, numbers, alive, shifts)
+    h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
+    e_atom = _dense(params["readout"]["dense1"], h)[..., 0]      # (N,)
+    e_atom = jnp.where(alive, e_atom, 0.0)
+    if cfg.excl_vol:
+        # nff extension: pairwise (sigma/d)^power over directed pairs
+        r_pow = (cfg.sigma / jnp.maximum(d, 1e-3)) ** cfg.power
+        e_excl = jnp.sum(jnp.where(nbr_mask, r_pow, 0.0), axis=1)
+        e_atom = e_atom + e_excl
+    return {
+        "per_atom_energy": e_atom,
+        "energy": jnp.sum(e_atom),
+        "embedding": s,
+    }

@@ -123,6 +123,7 @@ def neighbor_list(
     r, disp = image_distances(positions, shifts)          # (K, N, N[, 3])
     mask = image_pair_mask(alive, r, cutoff)
     K, N, _ = r.shape
+    max_neighbors = min(max_neighbors, K * N)             # static clamp
     # candidates per center i live along the fused (K, j) axis
     scores = jnp.where(mask, -r, -jnp.inf)                # nearest = largest
     flat = jnp.transpose(scores, (1, 0, 2)).reshape(N, K * N)

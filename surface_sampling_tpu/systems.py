@@ -133,6 +133,70 @@ def si111_sw(
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 
+def srtio3_001_painn(
+    planar_distance: float = 1.5,
+    surface_depth: int = 1,
+    relax: RelaxConfig | None = None,
+    chem_pots: dict | None = None,
+    adsorbates: tuple[str, ...] = ("Sr", "Ti", "O"),
+    n_models: int = 3,
+    dtype=None,
+) -> ExampleSystem:
+    """SrTiO3(001) 2x2 slab with the reference's trained PaiNN ensemble —
+    the flagship NN system (tutorials/SrTiO3_001.ipynb,
+    scripts/configs/sample_config_painn.json: chem_pots Sr=-2 Ti=0 O=0,
+    3-model ensemble, offset surface energy in atomic units).
+
+    Slab geometry and model weights are converted from the reference's
+    fixtures (systems_data/SrTiO3_001_2x2.npz, models/data/srtio3_painn_*).
+    """
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core import make_offset_surface_energy
+    from surface_sampling_tpu.models.convert_nff import load_params_npz
+    from surface_sampling_tpu.models.ensemble import stack_params
+    from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+
+    data = np.load(_DATA / "SrTiO3_001_2x2.npz")
+    slab = Structure(data["numbers"], data["positions"], data["cell"])
+    sites = find_adsorption_sites(
+        slab, planar_distance=planar_distance, near_reduce=0.01, no_obtuse_hollow=True
+    )["all"]
+    offset_data = _json.loads((_DATA / "srtio3_offset_data.json").read_text())
+    chem_pots = chem_pots or {"Sr": -2.0, "Ti": 0.0, "O": 0.0}
+
+    model_dir = Path(__file__).parent / "models" / "data"
+    plist, cfg = [], None
+    for i in range(1, n_models + 1):
+        p, cfg = load_params_npz(model_dir / f"srtio3_painn_{i:02d}.npz")
+        plist.append(p)
+    params = stack_params(plist) if n_models > 1 else plist[0]
+
+    type_numbers = [Z_FROM_SYMBOL[s] for s in ("Sr", "Ti", "O")]
+    spec = make_spec(
+        slab,
+        sites,
+        list(adsorbates),
+        potential_numbers=type_numbers,
+        cutoff=cfg.cutoff,
+        surface_depth=surface_depth,
+        surface_name="SrTiO3_001",
+    )
+    pot = make_painn_potential(
+        params,
+        cfg,
+        type_numbers,
+        units="kcal/mol",
+        ensemble=n_models > 1,
+        stoidict=offset_data["stoidict"],
+    )
+    se_fn = make_offset_surface_energy(spec, chem_pots, offset_data, offset_units="atomic")
+    run = MCMCRun(spec, pot, surface_energy_fn=se_fn, relax=relax, dtype=dtype or jnp.float32)
+    return ExampleSystem(spec, pot, run)
+
+
 def au110_eam(relax: RelaxConfig | None = None, dtype=None) -> ExampleSystem:
     """Au(110) 2x2 canonical test system with the reference's exact geometry
     (tests/test_Au.py:31-44: 16-atom slab, 8 pre-identified sites,
