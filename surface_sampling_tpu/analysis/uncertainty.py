@@ -1,0 +1,202 @@
+"""Uncertainty quantification for active-learning structure selection.
+
+Re-design of mcmc/uncertainty/uncertainty.py (532 LoC, torch) without
+torch: ensemble-variance and GMM-NLL uncertainties with conformal-
+prediction calibration. Scoring paths are JAX (device-friendly, batched);
+GMM fitting uses sklearn on the host (one-time, small), with the scoring
+parameters (cholesky precisions) exported to device arrays — the same
+split the reference makes between sklearn fit and torch log-prob
+(uncertainty.py:295, 344-400).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+ORDERS = (
+    "atomic",
+    "system_sum",
+    "system_mean",
+    "system_max",
+    "system_min",
+    "system_mean_squared",
+    "system_root_mean_squared",
+)
+
+
+def reduce_order(values: np.ndarray | jnp.ndarray, order: str, axis=-1):
+    """Per-system reduction of per-atom values (uncertainty.py orders)."""
+    if order == "atomic":
+        return values
+    if order == "system_sum":
+        return values.sum(axis)
+    if order == "system_mean":
+        return values.mean(axis)
+    if order == "system_max":
+        return values.max(axis)
+    if order == "system_min":
+        return values.min(axis)
+    if order == "system_mean_squared":
+        return (values**2).mean(axis)
+    if order == "system_root_mean_squared":
+        return np.sqrt((values**2).mean(axis)) if isinstance(values, np.ndarray) else jnp.sqrt(
+            (values**2).mean(axis)
+        )
+    raise ValueError(f"unknown order {order!r}")
+
+
+@dataclass
+class ConformalPrediction:
+    """Quantile calibration of a heuristic uncertainty (amptorch scheme,
+    uncertainty.py:113-141): qhat = Q_{ceil((n+1)(1-a))/n}(|res|/unc)."""
+
+    alpha: float = 0.05
+    qhat: float | None = None
+
+    def fit(self, residuals: np.ndarray, heuristic_uncertainty: np.ndarray) -> None:
+        scores = np.abs(np.asarray(residuals) / np.asarray(heuristic_uncertainty))
+        n = len(scores)
+        q = min(np.ceil((n + 1) * (1 - self.alpha)) / n, 1.0)
+        self.qhat = float(np.quantile(scores, q, method="linear"))
+
+    def predict(self, heuristic_uncertainty):
+        if self.qhat is None:
+            raise RuntimeError("ConformalPrediction not fitted")
+        return heuristic_uncertainty * self.qhat, self.qhat
+
+
+@dataclass
+class Uncertainty:
+    """Base: order reduction + optional min-uncertainty shift + CP scaling."""
+
+    order: str = "atomic"
+    calibrate: bool = False
+    cp_alpha: float = 0.05
+    min_uncertainty: float | None = None
+    cp: ConformalPrediction = field(default=None)
+
+    def __post_init__(self):
+        assert self.order in ORDERS, f"{self.order} not implemented"
+        if self.calibrate and self.cp is None:
+            self.cp = ConformalPrediction(alpha=self.cp_alpha)
+
+    def scale_to_min_uncertainty(self, u):
+        if self.min_uncertainty is not None:
+            shift = (
+                self.min_uncertainty**2
+                if self.order == "system_mean_squared"
+                else self.min_uncertainty
+            )
+            u = u - shift
+        return u
+
+    def fit_conformal_prediction(self, residuals, heuristic_uncertainty) -> None:
+        self.cp.fit(residuals, heuristic_uncertainty)
+
+    def calibrate_uncertainty(self, u):
+        out, _ = self.cp.predict(u)
+        return out
+
+    def finalize(self, u):
+        u = self.scale_to_min_uncertainty(u)
+        if self.calibrate and self.cp is not None and self.cp.qhat is not None:
+            u = self.calibrate_uncertainty(u)
+        return u
+
+    def __call__(self, *a, **kw):
+        return self.get_uncertainty(*a, **kw)
+
+    # persistence (uncertainty.py:90-110)
+    def save(self, path) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path) -> "Uncertainty":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+@dataclass
+class EnsembleUncertainty(Uncertainty):
+    """Std/variance across NN-ensemble members (uncertainty.py:144-235).
+
+    quantity: 'energy' (std of member energies) or 'forces' (per-atom norm
+    of member force std, reduced by ``order``).
+    """
+
+    quantity: str = "forces"
+
+    def get_uncertainty(self, member_energy=None, forces_std=None):
+        if self.quantity == "energy":
+            u = jnp.std(member_energy)
+        else:
+            u = jnp.linalg.norm(forces_std, axis=-1)   # (N,)
+            u = reduce_order(u, self.order)
+        return self.finalize(u)
+
+
+@dataclass
+class GMMUncertainty(Uncertainty):
+    """Negative log-likelihood under a GMM fit on training embeddings
+    (uncertainty.py:238-456 + the vendored gmm.py). Fit on host (sklearn);
+    score on device from exported (means, cholesky precisions, weights)."""
+
+    n_components: int = 8
+    covariance_type: str = "full"
+    gmm_params: dict | None = None
+
+    def fit_gmm(self, train_embeddings: np.ndarray, random_state: int = 0) -> None:
+        from sklearn.mixture import GaussianMixture
+
+        gm = GaussianMixture(
+            n_components=self.n_components,
+            covariance_type=self.covariance_type,
+            random_state=random_state,
+        ).fit(np.asarray(train_embeddings))
+        self.gmm_params = {
+            "means": gm.means_,
+            "precisions_cholesky": gm.precisions_cholesky_,
+            "weights": gm.weights_,
+        }
+
+    def log_prob(self, x):
+        """Batched GMM log-likelihood in JAX (device-side scoring)."""
+        p = self.gmm_params
+        mu = jnp.asarray(p["means"])                     # (C, D)
+        prec_chol = jnp.asarray(p["precisions_cholesky"])  # (C, D, D)
+        w = jnp.asarray(p["weights"])                    # (C,)
+        x = jnp.atleast_2d(jnp.asarray(x))               # (B, D)
+        d = x.shape[-1]
+        # y = (x - mu) @ prec_chol  per component
+        y = jnp.einsum("bd,cde->bce", x, prec_chol) - jnp.einsum(
+            "cd,cde->ce", mu, prec_chol
+        )[None]
+        maha = jnp.sum(y * y, axis=-1)                   # (B, C)
+        logdet = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(prec_chol, axis1=-2, axis2=-1))), axis=-1
+        )                                                # (C,)
+        logp = -0.5 * (d * jnp.log(2 * jnp.pi) + maha) + logdet[None]
+        from jax.scipy.special import logsumexp
+
+        return logsumexp(logp + jnp.log(w)[None], axis=-1)  # (B,)
+
+    def get_uncertainty(self, embeddings):
+        """embeddings: (N_atoms, D) per-atom (or (B, D) per-structure)."""
+        if self.gmm_params is None:
+            raise RuntimeError("GMMUncertainty: call fit_gmm first")
+        nll = -self.log_prob(embeddings)
+        u = reduce_order(nll, self.order) if self.order != "atomic" else nll
+        return self.finalize(u)
+
+
+UNC_DICT = {"ensemble": EnsembleUncertainty, "gmm": GMMUncertainty}
+
+
+def get_unc_class(name: str, **kwargs) -> Uncertainty:
+    """Factory mirroring uncertainty.py:458-532."""
+    return UNC_DICT[name](**kwargs)
