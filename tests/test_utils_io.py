@@ -1,0 +1,106 @@
+"""Tests for utils (logging/folders/schedules/plots) and checkpointing."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.io import load_checkpoint, save_checkpoint
+from surface_sampling_tpu.utils import (
+    SilenceLogger,
+    create_anneal_schedule,
+    setup_folders,
+    setup_logger,
+)
+from surface_sampling_tpu.utils.sampling import per_chain_schedules
+
+
+def test_setup_logger_and_silence(tmp_path, capsys):
+    log = setup_logger("t1", tmp_path / "mc.log")
+    log.info("hello")
+    assert "hello" in (tmp_path / "mc.log").read_text()
+    with SilenceLogger():
+        log.info("muted")
+    assert "muted" not in (tmp_path / "mc.log").read_text()
+
+
+def test_setup_folders(tmp_path):
+    p = setup_folders("CuTest", canonical=True, total_sweeps=5, base_dir=tmp_path)
+    assert p.exists()
+    assert p.name.endswith("_canonical")
+    assert "sweeps_5" in p.name
+    p2 = setup_folders("CuTest", base_dir=tmp_path)
+    assert p2.name.endswith("_semigrand")
+
+
+def test_anneal_schedule_geometric(tmp_path):
+    t = create_anneal_schedule(1.0, 10, alpha=0.9, save_folder=tmp_path)
+    assert len(t) == 10
+    assert np.allclose(t, 0.9 ** np.arange(10))
+    assert (tmp_path / "anneal_schedule.csv").exists()
+
+
+def test_anneal_schedule_multiple():
+    t = create_anneal_schedule(0.2, 600, multiple_anneal=True)
+    assert len(t) == 600
+    assert t.min() >= 0.079
+    assert t.max() <= 0.2 + 1e-9
+
+
+def test_per_chain_schedules():
+    m = per_chain_schedules(4, 6, 1.0, 0.9, stagger=0.5)
+    assert m.shape == (4, 6)
+    assert m[3, 0] > m[0, 0]
+
+
+def test_checkpoint_roundtrip_exact_resume(tmp_path):
+    """Resuming from a checkpoint must continue the exact PRNG stream."""
+    from surface_sampling_tpu.core import EngineConfig, make_run_fn
+    from surface_sampling_tpu.systems import cu100_eam
+
+    sys = cu100_eam()
+    cfg = EngineConfig(sweep_size=3, record_positions=False)
+    run_fn = jax.jit(make_run_fn(sys.run.d, sys.run.state_energy_fn, cfg))
+    temps = jnp.asarray([1.0, 0.8, 0.6, 0.5], jnp.float32)
+
+    state0 = sys.run.init_state(jax.random.PRNGKey(0))
+    # run 2 sweeps, checkpoint, run 2 more
+    s_mid, _ = run_fn(state0, temps[:2])
+    save_checkpoint(tmp_path / "ck.npz", s_mid, 2, np.asarray(temps))
+    s_loaded, sweep_idx, temps_back, _ = load_checkpoint(tmp_path / "ck.npz")
+    assert sweep_idx == 2
+    s_direct, rec_direct = run_fn(s_mid, temps[2:])
+    s_resumed, rec_resumed = run_fn(s_loaded, jnp.asarray(temps_back[2:], jnp.float32))
+    np.testing.assert_array_equal(
+        np.asarray(s_direct.site_state), np.asarray(s_resumed.site_state)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_direct.energy), np.asarray(rec_resumed.energy), rtol=1e-6
+    )
+
+
+def test_plots_render(tmp_path):
+    from surface_sampling_tpu.utils.plot import (
+        plot_anneal_schedule,
+        plot_atom_type_histograms,
+        plot_clustering_results,
+        plot_decay_curve,
+        plot_distance_weight_matrix,
+        plot_energy_analysis,
+        plot_specific_weights,
+        plot_summary_stats,
+    )
+
+    e = np.random.rand(10)
+    plot_summary_stats(e, e, (e * 5).astype(int), 10, save_folder=tmp_path)
+    plot_energy_analysis(e, e, save_folder=tmp_path)
+    plot_anneal_schedule(e, save_folder=tmp_path)
+    plot_atom_type_histograms({"O": np.random.randint(0, 4, 20)}, save_folder=tmp_path)
+    plot_clustering_results(np.random.rand(20, 2), 3, np.random.randint(1, 4, 20),
+                            save_folder=tmp_path)
+    plot_distance_weight_matrix(np.random.rand(5, 5), save_folder=tmp_path)
+    plot_decay_curve(np.random.rand(10), np.random.rand(10), save_folder=tmp_path)
+    plot_specific_weights(np.random.rand(6, 3), np.random.rand(6), 2, save_folder=tmp_path)
+    assert (tmp_path / "summary_stats.png").exists()
+    assert (tmp_path / "clustering_results.png").exists()
