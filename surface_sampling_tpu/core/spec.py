@@ -210,3 +210,44 @@ def make_spec(
         shifts=shifts,
         surface_name=surface_name or slab.formula,
     )
+
+
+def make_spec_sampling_surface_atoms(
+    slab: Structure,
+    surface_atom_mask: np.ndarray,
+    adsorbates: list[str],
+    potential_numbers,
+    cutoff: float,
+    extra_site_coords: np.ndarray | None = None,
+    **kwargs,
+):
+    """Treat existing surface atoms as exchangeable adsorbates.
+
+    The reference's Pourbaix driver prefills ``occ`` with the slab indices
+    of surface atoms so the MC can desorb/replace real surface atoms
+    (scripts/sample_pourbaix_surface.py:214-238). Here the masked atoms are
+    removed from the pristine slab and their positions become pre-occupied
+    virtual sites (plus any extra empty sites above the surface).
+
+    Returns (spec, initial_site_state).
+    """
+    surface_atom_mask = np.asarray(surface_atom_mask, dtype=bool)
+    kept = slab.select(~surface_atom_mask)
+    movers = slab.select(surface_atom_mask)
+    sites = movers.positions
+    if extra_site_coords is not None and len(extra_site_coords):
+        sites = np.concatenate([sites, np.asarray(extra_site_coords).reshape(-1, 3)])
+
+    ads_names = list(dict.fromkeys(adsorbates))  # keep order, dedup
+    from surface_sampling_tpu.constants import SYMBOL_FROM_Z
+
+    for sym in (SYMBOL_FROM_Z[int(z)] for z in movers.numbers):
+        if sym not in ads_names:
+            ads_names.append(sym)
+    spec = make_spec(kept, sites, ads_names, potential_numbers, cutoff, **kwargs)
+
+    code_of = {v.name: c for c, v in enumerate(spec.vocab, start=1)}
+    site_state0 = np.zeros(len(sites), dtype=np.int32)
+    for i, z in enumerate(movers.numbers):
+        site_state0[i] = code_of[SYMBOL_FROM_Z[int(z)]]
+    return spec, site_state0
