@@ -1,0 +1,305 @@
+"""Shared CLI runtime: settings, system assembly, the batched run driver.
+
+The config schema mirrors the reference's three-section JSON
+(system_settings / sampling_settings / calc_settings;
+scripts/sample_surface.py:101-151, scripts/configs/*.json) with one
+addition: ``sampling_settings.n_chains`` batches independent chains on
+the device.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from surface_sampling_tpu.cli.default_settings import DEFAULT_SAMPLING_SETTINGS
+from surface_sampling_tpu.constants import Z_FROM_SYMBOL
+from surface_sampling_tpu.core import (
+    EngineConfig,
+    MCMCRun,
+    RelaxConfig,
+    make_offset_surface_energy,
+    make_spec,
+)
+from surface_sampling_tpu.structure import Structure, find_adsorption_sites
+from surface_sampling_tpu.utils import create_anneal_schedule, setup_folders, setup_logger
+from surface_sampling_tpu.utils.misc import load_structures_any
+
+
+def load_settings(path: str | Path) -> dict:
+    settings = json.loads(Path(path).read_text())
+    merged_sampling = {**DEFAULT_SAMPLING_SETTINGS, **settings.get("sampling_settings", {})}
+    settings["sampling_settings"] = merged_sampling
+    settings.setdefault("system_settings", {})
+    settings.setdefault("calc_settings", {})
+    return settings
+
+
+def load_slab(path: str | Path) -> Structure:
+    sts = load_structures_any(path)
+    if len(sts) != 1:
+        raise ValueError(f"expected exactly one structure in {path}, got {len(sts)}")
+    return sts[0]
+
+
+def build_potential(calc_settings: dict, system_settings: dict):
+    """Construct a Potential + its type->Z table from calc_settings.
+
+    calc_name: eam | lj | morse | tersoff | sw | nff (PaiNN npz params).
+    """
+    name = calc_settings.get("calc_name", "eam").lower()
+    if name == "eam":
+        from surface_sampling_tpu.potentials import load_tables_npz, make_eam
+        from surface_sampling_tpu.potentials.eam import parse_funcfl, tables_from_funcfl
+
+        files = calc_settings.get("files") or [calc_settings["potential_file"]]
+        if str(files[0]).endswith(".npz"):
+            tables = load_tables_npz(files[0])
+        else:
+            tables = tables_from_funcfl([parse_funcfl(f) for f in files])
+        return make_eam(tables), tables.numbers, tables.cutoff
+    if name == "tersoff":
+        from surface_sampling_tpu.potentials import make_tersoff
+        from surface_sampling_tpu.potentials.tersoff import load_tersoff, load_tersoff_npz
+
+        f = calc_settings["potential_file"]
+        tables = load_tersoff_npz(f) if str(f).endswith(".npz") else load_tersoff(f)
+        numbers = [Z_FROM_SYMBOL[e] for e in tables.elements]
+        return make_tersoff(tables), numbers, tables.cutoff
+    if name == "sw":
+        from surface_sampling_tpu.potentials import make_sw, sw_tables
+        from surface_sampling_tpu.potentials.sw import load_sw
+
+        f = calc_settings.get("potential_file")
+        tables = load_sw(f) if f else sw_tables()
+        numbers = [Z_FROM_SYMBOL[e] for e in tables.elements]
+        return make_sw(tables), numbers, tables.cutoff
+    if name in ("nff", "painn"):
+        from surface_sampling_tpu.models.convert_nff import load_params_npz
+        from surface_sampling_tpu.models.ensemble import stack_params
+        from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+
+        model_paths = calc_settings["model_paths"]
+        plist, cfg = [], None
+        for p in model_paths:
+            params, cfg = load_params_npz(p)
+            plist.append(params)
+        params = stack_params(plist) if len(plist) > 1 else plist[0]
+        elements = calc_settings["elements"]
+        numbers = [Z_FROM_SYMBOL[e] for e in elements]
+        offset_data = calc_settings.get("offset_data") or {}
+        if isinstance(offset_data, str):
+            offset_data = json.loads(Path(offset_data).read_text())
+            calc_settings["offset_data"] = offset_data
+        pot = make_painn_potential(
+            params,
+            cfg,
+            numbers,
+            units=calc_settings.get("model_units", "kcal/mol"),
+            ensemble=len(plist) > 1,
+            stoidict=offset_data.get("stoidict"),
+        )
+        return pot, numbers, cfg.cutoff
+    if name == "lj":
+        from surface_sampling_tpu.potentials import make_lennard_jones
+
+        p = calc_settings
+        return (
+            make_lennard_jones(p.get("epsilon", 1.0), p.get("sigma", 1.0), p.get("cutoff", 5.0)),
+            [0],
+            p.get("cutoff", 5.0),
+        )
+    raise ValueError(f"unknown calc_name {name!r}")
+
+
+@dataclass
+class AssembledSystem:
+    spec: object
+    potential: object
+    run: MCMCRun
+    settings: dict
+
+
+def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> AssembledSystem:
+    sys_s = settings["system_settings"]
+    calc_s = settings["calc_settings"]
+    potential, numbers, pot_cutoff = build_potential(calc_s, sys_s)
+
+    ads_coords = sys_s.get("ads_coords")
+    if ads_coords is None:
+        ads_coords = find_adsorption_sites(
+            slab,
+            planar_distance=sys_s.get("planar_distance", 2.0),
+            near_reduce=sys_s.get("near_reduce", 0.01),
+            no_obtuse_hollow=sys_s.get("no_obtuse_hollow", True),
+        )[sys_s.get("ads_site_type", "all")]
+    ads_coords = np.asarray(ads_coords)
+
+    adsorbates = settings["sampling_settings"].get("adsorbates") or list(
+        calc_s.get("chem_pots", {}).keys()
+    )
+    spec = make_spec(
+        slab,
+        ads_coords,
+        adsorbates,
+        potential_numbers=numbers,
+        cutoff=sys_s.get("cutoff", pot_cutoff),
+        surface_depth=sys_s.get("surface_depth"),
+        surface_name=sys_s.get("surface_name"),
+        extra_elements=list(calc_s.get("chem_pots", {}).keys()) or None,
+    )
+
+    if surface_energy_fn is None and calc_s.get("offset", False):
+        surface_energy_fn = make_offset_surface_energy(
+            spec,
+            calc_s.get("chem_pots", {}),
+            calc_s["offset_data"],
+            offset_units=calc_s.get("offset_units", "atomic"),
+        )
+
+    relax = None
+    if calc_s.get("relax_atoms", False):
+        relax = RelaxConfig(
+            steps=calc_s.get("relax_steps", 20), fmax=calc_s.get("fmax", 0.01)
+        )
+    run = MCMCRun(spec, potential, surface_energy_fn=surface_energy_fn, relax=relax)
+    return AssembledSystem(spec, potential, run, settings)
+
+
+def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
+                 site_state0=None) -> dict:
+    """Execute the batched MCMC run + write the reference's artifacts:
+    stats.csv, summary plot, per-chain best structures (CIF), checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core import make_run_fn, prepare_canonical_fn
+    from surface_sampling_tpu.core.state import realize_numbers
+    from surface_sampling_tpu.io import save_checkpoint
+    from surface_sampling_tpu.parallel import chain_states, make_chain_run
+    from surface_sampling_tpu.structure.io import write_cif
+    from surface_sampling_tpu.utils.plot import plot_summary_stats
+
+    samp = asys.settings["sampling_settings"]
+    logger = setup_logger("sst", run_folder / "mc.log")
+    n_chains = int(samp.get("n_chains", 1))
+    sweeps = int(samp["total_sweeps"])
+
+    anneal = samp.get("anneal_schedule")
+    if anneal is not None:
+        temps = np.asarray(anneal, dtype=np.float64)
+    elif samp.get("perform_annealing", True):
+        temps = create_anneal_schedule(
+            start_temp=samp["start_temp"],
+            total_sweeps=sweeps,
+            alpha=samp.get("alpha", 0.99),
+            multiple_anneal=samp.get("multiple_anneal", False),
+            save_folder=run_folder,
+        )
+    else:
+        temps = np.repeat(samp["start_temp"], sweeps)
+
+    cfg = EngineConfig(
+        sweep_size=int(samp["sweep_size"]),
+        canonical=bool(samp.get("canonical", False)),
+        num_ads_atoms=int(samp.get("num_ads_atoms", 0)),
+        criterion="testing" if samp.get("testing") else (
+            "distance" if samp.get("filter_distance", 0) > 0 else "metropolis"
+        ),
+        filter_distance=float(samp.get("filter_distance", 0) or 1.5),
+        record_positions=bool(samp.get("record_positions", True)),
+    )
+    d = asys.run.d
+    se_fn = asys.run.state_energy_fn
+
+    states = chain_states(d, jax.random.PRNGKey(seed), n_chains, site_state=site_state0)
+    e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
+    states = states._replace(energy=e0)
+    if cfg.canonical and cfg.num_ads_atoms > 0:
+        prep = jax.jit(jax.vmap(
+            prepare_canonical_fn(d, se_fn, cfg.num_ads_atoms, cfg), in_axes=(0, None)
+        ))
+        states = prep(states, jnp.asarray(float(temps[0])))
+        e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
+        states = states._replace(energy=e0)
+
+    run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential)
+    crun = make_chain_run(run_fn)
+    logger.info(
+        "Running %d chains x %d sweeps x %d steps on %s",
+        n_chains, sweeps, cfg.sweep_size, jax.devices()[0].platform,
+    )
+    out_states, recs = crun(states, jnp.asarray(temps, jnp.float32))
+    jax.block_until_ready(recs.energy)
+
+    energy = np.asarray(recs.energy)              # (chains, sweeps)
+    accept = np.asarray(recs.accept_rate)
+    n_ads = np.asarray(recs.n_ads)
+
+    # stats.csv: per-sweep aggregates (reference stats.csv analog)
+    lines = ["sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean"]
+    for i in range(sweeps):
+        lines.append(
+            f"{i+1},{temps[i]:.6f},{energy[:, i].mean():.6f},{energy[:, i].min():.6f},"
+            f"{accept[:, i].mean():.4f},{n_ads[:, i].mean():.3f}"
+        )
+    (run_folder / "stats.csv").write_text("\n".join(lines) + "\n")
+
+    plot_summary_stats(
+        energy.mean(axis=0), accept.mean(axis=0), n_ads.mean(axis=0), sweeps,
+        save_folder=run_folder,
+    )
+
+    # best structure over all chains/sweeps
+    flat = energy.reshape(-1)
+    best = int(np.argmin(flat))
+    bc, bs = divmod(best, sweeps)
+    ss_best = np.asarray(recs.site_state)[bc, bs]
+    numbers = np.asarray(realize_numbers(d, jnp.asarray(ss_best)))
+    if cfg.record_positions:
+        pos = np.asarray(recs.positions)[bc, bs]
+    else:
+        from surface_sampling_tpu.core.state import realize_positions
+
+        pos = np.asarray(realize_positions(d, jnp.asarray(ss_best)))
+    keep = numbers > 0
+    best_st = Structure(numbers[keep], pos[keep], asys.spec.cell)
+    write_cif(run_folder / f"best_energy_{flat[best]:.3f}.cif", best_st)
+
+    save_checkpoint(run_folder / "checkpoint.npz", out_states, sweeps, temps)
+    np.savez_compressed(
+        run_folder / "history.npz",
+        site_state=np.asarray(recs.site_state),
+        energy=energy,
+        accept_rate=accept,
+        n_ads=n_ads,
+        temps=temps,
+    )
+    logger.info("Best surface energy %.4f eV (chain %d sweep %d)", flat[best], bc, bs + 1)
+    return {
+        "energy_hist": energy,
+        "frac_accept_hist": accept,
+        "adsorption_count_hist": n_ads,
+        "best_energy": float(flat[best]),
+        "run_folder": run_folder,
+    }
+
+
+def make_run_folder(settings: dict, surface_name: str, base_dir=None) -> Path:
+    samp = settings["sampling_settings"]
+    explicit = samp.get("run_folder")
+    if explicit:
+        p = Path(explicit)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+    return setup_folders(
+        surface_name,
+        canonical=samp.get("canonical", False),
+        total_sweeps=samp["total_sweeps"],
+        start_temp=samp["start_temp"],
+        alpha=samp.get("alpha", 1.0),
+        base_dir=base_dir,
+    )

@@ -156,11 +156,19 @@ def write_poscar(path: str | Path, st: Structure) -> None:
 
 def save_structures_npz(path: str | Path, structures: list[Structure], energies=None) -> None:
     """Bundle a trajectory of same-shape structures into one npz file."""
+    if structures:
+        numbers = np.stack([s.numbers for s in structures])
+        positions = np.stack([s.positions for s in structures])
+        cells = np.stack([s.cell for s in structures])
+    else:
+        numbers = np.zeros((0, 0), np.int32)
+        positions = np.zeros((0, 0, 3))
+        cells = np.zeros((0, 3, 3))
     np.savez_compressed(
         path,
-        numbers=np.stack([s.numbers for s in structures]),
-        positions=np.stack([s.positions for s in structures]),
-        cells=np.stack([s.cell for s in structures]),
+        numbers=numbers,
+        positions=positions,
+        cells=cells,
         energies=np.array(energies if energies is not None else []),
     )
 

@@ -1,0 +1,150 @@
+"""End-to-end CLI tests (tiny workloads, CPU)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.potentials.eam import builtin_eam, save_tables_npz
+from surface_sampling_tpu.structure.io import load_structures_npz, write_cif
+from surface_sampling_tpu.structure.slabs import fcc100
+
+
+@pytest.fixture()
+def cu_setup(tmp_path):
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=15.0)
+    slab_path = tmp_path / "slab.cif"
+    write_cif(slab_path, slab)
+    eam_path = tmp_path / "Cu_u3.eam.npz"
+    save_tables_npz(eam_path, builtin_eam("Cu_u3"))
+    settings = {
+        "system_settings": {
+            "surface_name": "Cu_100_test",
+            "planar_distance": 1.5,
+            "near_reduce": 0.01,
+        },
+        "sampling_settings": {
+            "total_sweeps": 3,
+            "sweep_size": 2,
+            "start_temp": 1.0,
+            "alpha": 0.99,
+            "adsorbates": ["Cu"],
+            "n_chains": 2,
+            "run_folder": str(tmp_path / "run"),
+        },
+        "calc_settings": {"calc_name": "eam", "potential_file": str(eam_path)},
+    }
+    settings_path = tmp_path / "settings.json"
+    settings_path.write_text(json.dumps(settings))
+    return tmp_path, slab_path, settings_path
+
+
+def test_sample_surface_cli(cu_setup, capsys):
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(settings_path), "--slab", str(slab_path)])
+    run = tmp_path / "run"
+    assert (run / "stats.csv").exists()
+    assert (run / "summary_stats.png").exists()
+    assert (run / "checkpoint.npz").exists()
+    assert (run / "history.npz").exists()
+    assert list(run.glob("best_energy_*.cif"))
+    out = capsys.readouterr().out
+    assert "Best surface energy" in out
+
+
+def test_cut_surfaces_cli(tmp_path):
+    from surface_sampling_tpu.cli.cut_surfaces import main
+    from surface_sampling_tpu.structure import bulk
+
+    bulk_path = tmp_path / "bulk.cif"
+    write_cif(bulk_path, bulk("Cu", "fcc", 3.6147))
+    main(["--bulk", str(bulk_path), "--miller", "1", "0", "0",
+          "--size", "2", "2", "--layers", "2", "--out", str(tmp_path / "slabs")])
+    assert list((tmp_path / "slabs").glob("*.cif"))
+
+
+def test_perturb_and_filter_cli(tmp_path):
+    from surface_sampling_tpu.cli.filter_stoichiometries import main as filter_main
+    from surface_sampling_tpu.cli.perturb_structures import main as perturb_main
+    from surface_sampling_tpu.structure import bulk
+
+    p = tmp_path / "bulk.cif"
+    write_cif(p, bulk("Cu", "fcc", 3.6147))
+    perturb_main(["--structures", str(p), "--amplitude", "0.05",
+                  "--n-perturb", "3", "--out", str(tmp_path / "pert")])
+    sts, _ = load_structures_npz(tmp_path / "pert" / "perturbed.npz")
+    assert len(sts) == 3
+
+    filter_main(["--structures", str(tmp_path / "pert" / "perturbed.npz"),
+                 "--ranges", json.dumps({"Cu": [4, 4]}),
+                 "--out", str(tmp_path / "filtered.npz")])
+    kept, _ = load_structures_npz(tmp_path / "filtered.npz")
+    assert len(kept) == 3
+    filter_main(["--structures", str(tmp_path / "pert" / "perturbed.npz"),
+                 "--ranges", json.dumps({"Cu": [0, 1]}),
+                 "--out", str(tmp_path / "filtered2.npz")])
+    kept2, _ = load_structures_npz(tmp_path / "filtered2.npz")
+    assert len(kept2) == 0
+
+
+def test_pourbaix_cli(tmp_path):
+    """Pourbaix sampling over a toy Sr-Ir-O slab with an LJ backbone."""
+    from surface_sampling_tpu.cli.sample_pourbaix_surface import main
+    from surface_sampling_tpu.structure import Structure
+
+    slab = Structure.from_symbols(
+        ["Ir", "Ir", "Sr", "O"],
+        [[0, 0, 5], [2, 0, 5], [0, 2, 5], [2, 2, 6.5]],
+        np.diag([4.0, 4.0, 20.0]),
+    )
+    slab_path = tmp_path / "slab.cif"
+    write_cif(slab_path, slab)
+    settings = {
+        "system_settings": {"surface_name": "SrIrO_test", "planar_distance": 1.5,
+                            "cutoff": 4.0},
+        "sampling_settings": {
+            "total_sweeps": 2, "sweep_size": 2, "start_temp": 1.0,
+            "perform_annealing": False, "adsorbates": ["O", "H", "HO"],
+            "n_chains": 1, "run_folder": str(tmp_path / "run"),
+        },
+        "calc_settings": {
+            "calc_name": "lj", "epsilon": 0.3, "sigma": 1.8, "cutoff": 4.0,
+            "phase_diagram": "tests/data/pourbaix/pd_dict.json",
+            "pourbaix_diagram": "tests/data/pourbaix/pbx_dict.json",
+            "phi": 0.5, "pH": 7.0,
+            "elements": ["Sr", "Ir", "O"],
+            "adsorbate_corrections": {"OH": 0.23},
+        },
+    }
+    settings_path = tmp_path / "settings.json"
+    settings_path.write_text(json.dumps(settings))
+    main(["--settings", str(settings_path), "--slab", str(slab_path)])
+    run = tmp_path / "run"
+    assert (run / "pourbaix_atoms.json").exists()
+    assert (run / "stats.csv").exists()
+
+
+def test_formation_entries_cli(tmp_path):
+    from surface_sampling_tpu.cli.create_surface_formation_entries import main
+    from surface_sampling_tpu.structure import Structure
+
+    st = Structure.from_symbols(
+        ["Ir", "O", "H"], [[0, 0, 0], [0, 0, 2], [0, 0, 3]], np.eye(3) * 10
+    )
+    p = tmp_path / "s.cif"
+    write_cif(p, st)
+    settings = {"calc_settings": {"calc_name": "lj", "epsilon": 0.1, "sigma": 1.5,
+                                  "cutoff": 4.0}}
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps(settings))
+    out = tmp_path / "entries.json"
+    main(["--structures", str(p), "--settings", str(sp),
+          "--phase-diagram", "tests/data/pourbaix/pd_dict.json",
+          "--oh-correction", "--out", str(out)])
+    entries = json.loads(out.read_text())
+    assert len(entries) == 1
+    assert entries[0]["composition"] == {"Ir": 1, "O": 1, "H": 1}
+    assert np.isfinite(entries[0]["formation_energy"])
