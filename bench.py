@@ -12,6 +12,9 @@ on a 4-core CPU (README.md:73 "a few seconds" for 20x2 steps + setup; we
 use a measured-equivalent 40 evals/s as the denominator, documented in
 BASELINE.md — the reference publishes no number).
 
+The fast path uses the static candidate-pair table + piecewise-polynomial
+EAM (gather-free; table deviation ~1e-6 eV, see tests/test_fast_eam.py).
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -30,11 +33,11 @@ def main() -> None:
     from surface_sampling_tpu.parallel import chain_states, make_chain_run
     from surface_sampling_tpu.systems import cu100_eam
 
-    n_chains = 1024
-    sweeps = 16
+    n_chains = 16384
+    sweeps = 8
     sweep_size = 32
 
-    sys = cu100_eam()
+    sys = cu100_eam(fast=True)
     cfg = EngineConfig(sweep_size=sweep_size, record_positions=False)
     run_fn = make_run_fn(sys.run.d, sys.run.state_energy_fn, cfg)
     crun = make_chain_run(run_fn)

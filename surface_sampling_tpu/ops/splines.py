@@ -52,6 +52,26 @@ def _interval(x: jnp.ndarray, inv_delta, n: int):
     return idx, t
 
 
+def _gather_coeffs(coeffs: jnp.ndarray, idx: jnp.ndarray, table_idx, n: int):
+    """Gather the 4 cubic coefficients as 4 independent scalar gathers.
+
+    TPU note: gathering rows of a (..., 4) table materializes buffers whose
+    last dimension is padded from 4 to the 128-lane tile — a 32x HBM blowup
+    that OOMs large chain batches. Four flat scalar gathers lay out densely.
+    """
+    if coeffs.ndim == 2:
+        flat_idx = idx
+        tabs = coeffs
+    else:
+        flat_idx = table_idx * n + idx
+        tabs = coeffs.reshape(-1, 4)
+    c3 = tabs[:, 0][flat_idx]
+    c2 = tabs[:, 1][flat_idx]
+    c1 = tabs[:, 2][flat_idx]
+    c0 = tabs[:, 3][flat_idx]
+    return c3, c2, c1, c0
+
+
 def spline_eval(
     coeffs: jnp.ndarray,
     x: jnp.ndarray,
@@ -66,16 +86,12 @@ def spline_eval(
         inv_delta: 1 / grid spacing.
         table_idx: int array broadcastable to x's shape selecting the table
             per query (required iff coeffs is stacked). The lookup flattens
-            (table, interval) into one gather — a single XLA gather op.
+            (table, interval) into one gather index.
     """
     n = coeffs.shape[-2]
     idx, t = _interval(x, inv_delta, n)
-    if coeffs.ndim == 2:
-        c = coeffs[idx]
-    else:
-        flat = coeffs.reshape(-1, 4)
-        c = flat[table_idx * n + idx]
-    return ((c[..., 0] * t + c[..., 1]) * t + c[..., 2]) * t + c[..., 3]
+    c3, c2, c1, c0 = _gather_coeffs(coeffs, idx, table_idx, n)
+    return ((c3 * t + c2) * t + c1) * t + c0
 
 
 def spline_eval_deriv(
@@ -87,9 +103,5 @@ def spline_eval_deriv(
     """Derivative of :func:`spline_eval` with respect to x."""
     n = coeffs.shape[-2]
     idx, t = _interval(x, inv_delta, n)
-    if coeffs.ndim == 2:
-        c = coeffs[idx]
-    else:
-        flat = coeffs.reshape(-1, 4)
-        c = flat[table_idx * n + idx]
-    return ((3.0 * c[..., 0] * t + 2.0 * c[..., 1]) * t + c[..., 2]) * inv_delta
+    c3, c2, c1, _ = _gather_coeffs(coeffs, idx, table_idx, n)
+    return ((3.0 * c3 * t + 2.0 * c2) * t + c1) * inv_delta

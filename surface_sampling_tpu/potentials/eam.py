@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -187,5 +188,169 @@ def make_eam(tables: EAMTables, dtype=jnp.float32) -> Potential:
 
     def energy(positions, type_idx, alive, shifts):
         return jnp.sum(per_atom(positions, type_idx, alive, shifts))
+
+    return Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="eam")
+
+
+# ----------------------------------------------------------------------
+# Fast path: static candidate pairs + gather-free polynomial tables
+# ----------------------------------------------------------------------
+def _fit_piecewise_poly(xs: np.ndarray, ys: np.ndarray, n_seg: int, degree: int):
+    """Least-squares piecewise polynomial on uniform segments of [0, xmax].
+
+    Returns (n_seg, degree+1) coefficients in the local coordinate
+    t in [0, 1), highest power first (Horner order).
+    """
+    xmax = xs[-1]
+    seg_w = xmax / n_seg
+    coeffs = np.zeros((n_seg, degree + 1))
+    for s in range(n_seg):
+        lo, hi = s * seg_w, (s + 1) * seg_w
+        m = (xs >= lo) & (xs <= hi)
+        t = (xs[m] - lo) / seg_w
+        # Vandermonde in Horner order
+        V = np.vander(t, degree + 1)
+        coeffs[s] = np.linalg.lstsq(V, ys[m], rcond=None)[0]
+    return coeffs
+
+
+def _poly_eval(tables: jnp.ndarray, table_idx, x, inv_xmax, n_seg: int):
+    """Branchless piecewise-poly evaluation: a one-hot (values, T*S) matmul
+    selects segment coefficients — MXU work instead of HBM gathers.
+
+    tables: (T, S, D+1); table_idx broadcastable to x (or None when T == 1).
+    """
+    T, S, D1 = tables.shape
+    p = jnp.clip(x * inv_xmax * S, 0.0, S - 1e-6)
+    seg = p.astype(jnp.int32)
+    t = p - seg
+    flat = tables.reshape(T * S, D1)
+    if T == 1:
+        sel = seg
+    else:
+        sel = table_idx * S + seg
+    onehot = jax.nn.one_hot(sel, T * S, dtype=x.dtype)
+    c = onehot @ flat                      # (..., D+1)
+    acc = c[..., 0]
+    for k in range(1, D1):
+        acc = acc * t + c[..., k]
+    return acc
+
+
+def make_eam_static(
+    tables: EAMTables,
+    nbr_table,
+    mode: str = "poly",
+    n_seg: int = 32,
+    degree: int = 6,
+    dtype=jnp.float32,
+    relax_slack_check: bool = False,
+) -> Potential:
+    """EAM over a static candidate-pair table (core/static_neighbors.py).
+
+    mode="poly" replaces the LAMMPS spline gathers with piecewise
+    polynomials fitted to the exact splines (default 32 segments x degree 6:
+    max abs deviation ~1e-6 eV over the table range — verified in tests);
+    evaluation is pure FMA + one small one-hot matmul, no HBM gathers.
+    mode="spline" keeps exact LAMMPS interpolation on the reduced pairs.
+    """
+    T = len(tables.numbers)
+    cutoff = float(tables.cutoff)
+    slot_j = jnp.asarray(nbr_table.slot_j)
+    shift = jnp.asarray(nbr_table.shift, dtype)
+    valid = jnp.asarray(nbr_table.valid)
+
+    if mode == "spline":
+        frho_c = jnp.asarray(
+            np.stack([lammps_spline_coeffs(tables.frho[t]) for t in range(T)]), dtype
+        )
+        rhor_c = jnp.asarray(
+            np.stack([lammps_spline_coeffs(tables.rhor[t]) for t in range(T)]), dtype
+        )
+        z2r_c = jnp.asarray(
+            np.stack(
+                [lammps_spline_coeffs(tables.z2r[i, j]) for i in range(T) for j in range(T)]
+            ),
+            dtype,
+        )
+        inv_dr = 1.0 / tables.dr
+        inv_drho = 1.0 / tables.drho
+
+        def eval_rhor(r, tj):
+            return spline_eval(rhor_c, r, inv_dr, table_idx=tj)
+
+        def eval_z2r(r, pair_t):
+            return spline_eval(z2r_c, r, inv_dr, table_idx=pair_t)
+
+        def eval_frho(rho, ti):
+            return spline_eval(frho_c, rho, inv_drho, table_idx=ti)
+
+    else:
+        # fit piecewise polys to dense samples of the exact splines
+        r_grid = np.linspace(0.0, tables.nr * tables.dr, 16 * tables.nr)
+        rho_grid = np.linspace(0.0, tables.nrho * tables.drho, 16 * tables.nrho)
+
+        def dense_of(table_1d, delta, xs):
+            c = lammps_spline_coeffs(table_1d)
+            p = xs / delta
+            idx = np.clip(p.astype(int), 0, len(table_1d) - 2)
+            t = np.minimum(p - idx, 1.0)
+            cc = c[idx]
+            return ((cc[:, 0] * t + cc[:, 1]) * t + cc[:, 2]) * t + cc[:, 3]
+
+        rhor_p = jnp.asarray(
+            np.stack(
+                [_fit_piecewise_poly(r_grid, dense_of(tables.rhor[t], tables.dr, r_grid),
+                                     n_seg, degree) for t in range(T)]
+            ),
+            dtype,
+        )
+        z2r_p = jnp.asarray(
+            np.stack(
+                [
+                    _fit_piecewise_poly(
+                        r_grid, dense_of(tables.z2r[i, j], tables.dr, r_grid), n_seg, degree
+                    )
+                    for i in range(T)
+                    for j in range(T)
+                ]
+            ),
+            dtype,
+        )
+        inv_rmax = 1.0 / float(r_grid[-1])
+
+        def eval_rhor(r, tj):
+            return _poly_eval(rhor_p, tj, r, inv_rmax, n_seg)
+
+        def eval_z2r(r, pair_t):
+            return _poly_eval(z2r_p, pair_t, r, inv_rmax, n_seg)
+
+        # F(rho) keeps the exact spline: the raw table has fine-scale
+        # structure polynomials cannot follow, and it is a per-ATOM lookup
+        # (N gathers per eval, ~M x fewer than the pair tables) — cheap.
+        frho_c = jnp.asarray(
+            np.stack([lammps_spline_coeffs(tables.frho[t]) for t in range(T)]), dtype
+        )
+        inv_drho = 1.0 / tables.drho
+
+        def eval_frho(rho, ti):
+            return spline_eval(frho_c, rho, inv_drho, table_idx=ti)
+
+    def per_atom(positions, type_idx, alive, shifts_unused):
+        pj = positions[slot_j]                              # (N, M, 3)
+        disp = positions[:, None, :] - (pj + shift)
+        r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
+        tj = type_idx[slot_j]
+        mask = valid & alive[:, None] & alive[slot_j] & (r < cutoff)
+        fmask = mask.astype(r.dtype)
+        rsafe = jnp.where(mask, r, cutoff)
+        rho_i = jnp.sum(eval_rhor(rsafe, tj) * fmask, axis=1)
+        F_i = jnp.where(alive, eval_frho(rho_i, type_idx), 0.0)
+        pair_t = type_idx[:, None] * T + tj
+        phi = eval_z2r(rsafe, pair_t) / rsafe * fmask
+        return F_i + 0.5 * jnp.sum(phi, axis=1)
+
+    def energy(positions, type_idx, alive, shifts_unused=None):
+        return jnp.sum(per_atom(positions, type_idx, alive, shifts_unused))
 
     return Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="eam")

@@ -44,11 +44,15 @@ def cu100_eam(
     vacuum: float = 15.0,
     planar_distance: float = 1.5,
     relax: RelaxConfig | None = None,
+    fast: bool = False,
     dtype=None,
 ) -> ExampleSystem:
     """Cu(100) slab with EAM (Foiles u3) and Cu adsorption — the toy system
     of the reference's example notebook / Cu regression test
-    (tests/test_Cu.py:28-52: a=3.6147, 2x2x2 slab, planar_distance 1.5)."""
+    (tests/test_Cu.py:28-52: a=3.6147, 2x2x2 slab, planar_distance 1.5).
+
+    fast=True switches to the static-candidate-pair + piecewise-polynomial
+    EAM path (gather-free; ~1e-6 eV table deviation)."""
     import jax.numpy as jnp
 
     slab = fcc100("Cu", size=size, a=a, vacuum=vacuum)
@@ -64,7 +68,15 @@ def cu100_eam(
         cutoff=tables.cutoff,
         surface_name="Cu_100",
     )
-    pot = make_eam(tables, dtype=dtype or jnp.float32)
+    if fast:
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+        from surface_sampling_tpu.potentials.eam import make_eam_static
+
+        slack = 0.6 if relax is not None else 0.05
+        nbr = build_static_neighbor_table(spec, tables.cutoff, relax_slack=slack)
+        pot = make_eam_static(tables, nbr, mode="poly", dtype=dtype or jnp.float32)
+    else:
+        pot = make_eam(tables, dtype=dtype or jnp.float32)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 
