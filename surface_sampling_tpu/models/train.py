@@ -1,0 +1,161 @@
+"""PaiNN training / fine-tuning on energy+force data.
+
+The reference fine-tunes NN potentials externally (CHGNet via
+mcmc/uncertainty/json_dataset.py; PaiNN ensembles come pre-trained from
+nff). Here training is first-class: a jitted optax loop over padded
+batches, with the ensemble axis trained in parallel under the same vmap
+used for inference (models/ensemble.py) — E independently-initialized
+members cost one batched update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn, painn_apply
+
+
+class PaddedBatch(NamedTuple):
+    """Fixed-shape training batch (B structures padded to N_max atoms);
+    a NamedTuple so it is a pytree and flows through jit."""
+
+    positions: np.ndarray    # (B, N, 3)
+    numbers: np.ndarray      # (B, N) 0 = padding
+    shifts: np.ndarray       # (B, K, 3) periodic image shifts (zero-padded)
+    energy: np.ndarray       # (B,) eV (or training units)
+    forces: np.ndarray       # (B, N, 3)
+
+
+def pad_structures(structures, energies, forces, cutoff: float, n_max=None, k_max=None):
+    """Pad a list of Structures (+labels) into one PaddedBatch."""
+    from surface_sampling_tpu.ops.neighbors import pair_shifts_for
+
+    n_max = n_max or max(len(s) for s in structures)
+    all_shifts = [
+        pair_shifts_for(s.cell, s.scaled_positions, cutoff) for s in structures
+    ]
+    k_max = k_max or max(len(sh) for sh in all_shifts)
+    B = len(structures)
+    positions = np.zeros((B, n_max, 3))
+    numbers = np.zeros((B, n_max), dtype=np.int32)
+    shifts = np.full((B, k_max, 3), 1e6)  # park unused shift slots far away
+    forces_arr = np.zeros((B, n_max, 3))
+    for b, (s, sh, f) in enumerate(zip(structures, all_shifts, forces)):
+        n = len(s)
+        positions[b, :n] = s.positions
+        numbers[b, :n] = s.numbers
+        shifts[b, : len(sh)] = sh
+        forces_arr[b, :n] = f
+    return PaddedBatch(positions, numbers, shifts,
+                       np.asarray(energies, dtype=np.float64), forces_arr)
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    energy_weight: float = 0.05
+    force_weight: float = 0.95
+    epochs: int = 100
+    grad_clip: float = 10.0
+
+
+def make_loss_fn(cfg: PaiNNConfig, tcfg: TrainConfig):
+    def single_loss(params, positions, numbers, shifts, e_ref, f_ref):
+        alive = numbers > 0
+
+        def e_of(pos):
+            return painn_apply(params, cfg, pos, numbers, alive, shifts)["energy"]
+
+        e, g = jax.value_and_grad(e_of)(positions)
+        f = -g
+        n = jnp.maximum(jnp.sum(alive), 1)
+        e_loss = ((e - e_ref) / n) ** 2
+        f_mask = alive[:, None]
+        f_loss = jnp.sum(jnp.where(f_mask, (f - f_ref) ** 2, 0.0)) / (3 * n)
+        return tcfg.energy_weight * e_loss + tcfg.force_weight * f_loss
+
+    def batch_loss(params, batch: PaddedBatch):
+        losses = jax.vmap(single_loss, in_axes=(None, 0, 0, 0, 0, 0))(
+            params,
+            batch.positions,
+            batch.numbers,
+            batch.shifts,
+            batch.energy,
+            batch.forces,
+        )
+        return jnp.mean(losses)
+
+    return batch_loss
+
+
+def train_painn(
+    params,
+    cfg: PaiNNConfig,
+    batches: list[PaddedBatch] | Iterator[PaddedBatch],
+    tcfg: TrainConfig = TrainConfig(),
+    ensemble: bool = False,
+):
+    """Train (or fine-tune) PaiNN params; returns (params, loss_history).
+
+    With ensemble=True, ``params`` carries a leading member axis and every
+    member trains in parallel (vmapped update) on the same data.
+    """
+    batches = list(batches)
+    loss_fn = make_loss_fn(cfg, tcfg)
+    opt = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), optax.adam(tcfg.learning_rate))
+
+    def to_device(b: PaddedBatch):
+        return PaddedBatch(
+            jnp.asarray(b.positions, jnp.float32),
+            jnp.asarray(b.numbers),
+            jnp.asarray(b.shifts, jnp.float32),
+            jnp.asarray(b.energy, jnp.float32),
+            jnp.asarray(b.forces, jnp.float32),
+        )
+
+    dev_batches = [to_device(b) for b in batches]
+
+    if ensemble:
+        opt_state = jax.vmap(opt.init)(params)
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def member_update(p, s):
+                loss, g = jax.value_and_grad(loss_fn)(p, batch)
+                updates, s = opt.update(g, s, p)
+                return optax.apply_updates(p, updates), s, loss
+
+            params, opt_state, losses = jax.vmap(member_update)(params, opt_state)
+            return params, opt_state, jnp.mean(losses)
+
+    else:
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            loss, g = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+    history = []
+    for _ in range(tcfg.epochs):
+        epoch = 0.0
+        for batch in dev_batches:
+            params, opt_state, loss = step(params, opt_state, batch)
+            epoch += float(loss)
+        history.append(epoch / len(dev_batches))
+    return params, history
+
+
+def init_ensemble(key, cfg: PaiNNConfig, n_members: int):
+    """Independently initialized ensemble (stacked params)."""
+    from surface_sampling_tpu.models.ensemble import stack_params
+
+    keys = jax.random.split(key, n_members)
+    return stack_params([init_painn(k, cfg) for k in keys])

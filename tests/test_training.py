@@ -1,0 +1,97 @@
+"""PaiNN training + prediction helper tests: fit a tiny PaiNN to LJ data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.models import PaiNNConfig, init_painn
+from surface_sampling_tpu.models.prediction import (
+    get_embedding,
+    get_errors,
+    get_prediction,
+    get_residual,
+    get_system_val,
+)
+from surface_sampling_tpu.models.train import (
+    TrainConfig,
+    init_ensemble,
+    pad_structures,
+    train_painn,
+)
+from surface_sampling_tpu.potentials import make_lennard_jones
+from surface_sampling_tpu.structure import Structure
+
+
+@pytest.fixture(scope="module")
+def lj_dataset():
+    """Random Ar-like clusters labelled with LJ energies/forces."""
+    pot = make_lennard_jones(epsilon=0.5, sigma=2.2, cutoff=6.0)
+    rng = np.random.default_rng(0)
+    structures, energies, forces = [], [], []
+    shifts = jnp.zeros((1, 3))
+    for _ in range(12):
+        n = 5
+        pos = rng.uniform(0, 5.0, (n, 3))
+        # push apart overlapping atoms
+        for _ in range(40):
+            d = pos[:, None] - pos[None, :]
+            r = np.linalg.norm(d, axis=-1) + np.eye(n) * 10
+            if r.min() > 1.9:
+                break
+            i, j = np.unravel_index(np.argmin(r), r.shape)
+            pos[i] += 0.3 * (pos[i] - pos[j]) / max(r[i, j], 0.5)
+        st = Structure.from_symbols(["Ar"] * n, pos, np.eye(3) * 100.0)
+        ti = jnp.zeros(n, jnp.int32)
+        alive = jnp.ones(n, bool)
+        e, f = pot.energy_and_forces(jnp.asarray(pos, jnp.float32), ti, alive, shifts)
+        structures.append(st)
+        energies.append(float(e))
+        forces.append(np.asarray(f))
+    return structures, energies, forces
+
+
+def test_training_reduces_loss(lj_dataset):
+    structures, energies, forces = lj_dataset
+    cfg = PaiNNConfig(feat_dim=16, n_rbf=8, cutoff=6.0, n_layers=2, readout_hidden=8,
+                      max_neighbors=6)
+    batch = pad_structures(structures, energies, forces, cfg.cutoff)
+    params = init_painn(jax.random.PRNGKey(0), cfg)
+    params, hist = train_painn(
+        params, cfg, [batch], TrainConfig(epochs=60, learning_rate=3e-3)
+    )
+    assert hist[-1] < 0.5 * hist[0]
+
+
+def test_ensemble_training(lj_dataset):
+    structures, energies, forces = lj_dataset
+    cfg = PaiNNConfig(feat_dim=8, n_rbf=6, cutoff=6.0, n_layers=1, readout_hidden=8,
+                      max_neighbors=6)
+    batch = pad_structures(structures, energies, forces, cfg.cutoff)
+    params = init_ensemble(jax.random.PRNGKey(1), cfg, 2)
+    params, hist = train_painn(
+        params, cfg, [batch], TrainConfig(epochs=20, learning_rate=3e-3), ensemble=True
+    )
+    assert hist[-1] < hist[0]
+    # trained ensemble predicts with spread
+    pred = get_prediction(params, cfg, batch, ensemble=True)
+    assert np.all(np.asarray(pred["energy_std"]) >= 0)
+
+
+def test_prediction_helpers(lj_dataset):
+    structures, energies, forces = lj_dataset
+    cfg = PaiNNConfig(feat_dim=8, n_rbf=6, cutoff=6.0, n_layers=1, readout_hidden=8,
+                      max_neighbors=6)
+    batch = pad_structures(structures, energies, forces, cfg.cutoff)
+    params = init_painn(jax.random.PRNGKey(2), cfg)
+    pred = get_prediction(params, cfg, batch)
+    B = len(structures)
+    assert pred["energy"].shape == (B,)
+    emb = get_embedding(pred, batch.numbers)
+    assert emb.shape[0] == B
+    errs = get_errors(pred, batch)
+    assert errs["energy_mae_per_atom"].shape == (B,)
+    res = get_residual(pred, batch)
+    assert res.shape == (B,)
+    sv = get_system_val(np.asarray(pred["forces"]), batch.numbers, "max")
+    assert sv.shape == (B,)
