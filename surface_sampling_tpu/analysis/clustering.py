@@ -102,7 +102,12 @@ def get_cluster_centers(points: np.ndarray, n_clusters: int):
     (clustering.py:160-199); returns (centers, labels)."""
     Z = linkage(points, "ward")
     labels = fcluster(Z, n_clusters, criterion="maxclust")
-    centers = np.array([points[labels == i].mean(axis=0) for i in range(1, n_clusters + 1)])
+    # fcluster may return fewer clusters than requested (ties); relabel to
+    # contiguous 1..k over the clusters that exist
+    uniq = np.unique(labels)
+    remap = {old: new for new, old in enumerate(uniq, start=1)}
+    labels = np.array([remap[v] for v in labels])
+    centers = np.array([points[labels == i].mean(axis=0) for i in range(1, len(uniq) + 1)])
     return centers, labels
 
 

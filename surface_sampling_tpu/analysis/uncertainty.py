@@ -193,6 +193,27 @@ class GMMUncertainty(Uncertainty):
         u = reduce_order(nll, self.order) if self.order != "atomic" else nll
         return self.finalize(u)
 
+    def _n_parameters(self, d: int) -> int:
+        """Free parameters of a full-covariance GMM (gmm.py bic/aic)."""
+        cov = self.n_components * d * (d + 1) // 2
+        return int(cov + self.n_components * d + self.n_components - 1)
+
+    def bic(self, x) -> float:
+        """Bayesian information criterion (vendored gmm.py:739 analog)."""
+        import numpy as _np
+
+        x = _np.atleast_2d(_np.asarray(x))
+        ll = float(_np.asarray(self.log_prob(x)).mean())
+        return -2.0 * ll * len(x) + self._n_parameters(x.shape[1]) * _np.log(len(x))
+
+    def aic(self, x) -> float:
+        """Akaike information criterion (vendored gmm.py:755 analog)."""
+        import numpy as _np
+
+        x = _np.atleast_2d(_np.asarray(x))
+        ll = float(_np.asarray(self.log_prob(x)).mean())
+        return -2.0 * ll * len(x) + 2.0 * self._n_parameters(x.shape[1])
+
 
 UNC_DICT = {"ensemble": EnsembleUncertainty, "gmm": GMMUncertainty}
 

@@ -150,6 +150,44 @@ def prepare_canonical_fn(
     return prepare
 
 
+def even_site_prefill(spec, num_ads_atoms: int, rng=None, code: int | None = None) -> np.ndarray:
+    """Evenly spread initial adsorption over the site lattice.
+
+    Reference MCMC.prepare_canonical(even_adsorption_sites=True)
+    (mcmc.py:163-179): Ward-cluster the xy site coordinates into
+    ``num_ads_atoms`` groups and occupy the member closest to each center.
+    Returns an initial site_state (codes random over the vocabulary unless
+    ``code`` is given).
+    """
+    from surface_sampling_tpu.analysis.clustering import (
+        find_closest_points_indices,
+        get_cluster_centers,
+    )
+
+    rng = rng or np.random.default_rng()
+    centers, labels = get_cluster_centers(spec.site_coords[:, :2], num_ads_atoms)
+    sites_idx = list(find_closest_points_indices(spec.site_coords[:, :2], centers, labels))
+    # ward/fcluster can merge ties and return fewer clusters; top up randomly
+    remaining = [s for s in range(spec.n_sites) if s not in sites_idx]
+    while len(sites_idx) < num_ads_atoms and remaining:
+        pick = int(rng.choice(len(remaining)))
+        sites_idx.append(remaining.pop(pick))
+    ss = np.zeros(spec.n_sites, dtype=np.int32)
+    for s in sites_idx[:num_ads_atoms]:
+        ss[s] = code if code is not None else rng.integers(1, spec.n_codes)
+    return ss
+
+
+def count_adsorption_sites(site_state, connectivity) -> dict:
+    """Histogram of occupied sites by connectivity class
+    (mcmc/slab.py:425-436 analog)."""
+    from collections import Counter
+
+    ss = np.asarray(site_state)
+    conn = np.asarray(connectivity)
+    return dict(Counter(conn[ss > 0].tolist()))
+
+
 def geometric_schedule(start_temp: float, total_sweeps: int, alpha: float = 0.99) -> np.ndarray:
     """T_i = start * alpha^i — the reference's default annealing schedule
     (utils/sampling.py:43-49)."""

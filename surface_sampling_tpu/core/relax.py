@@ -114,6 +114,11 @@ def fire_relax(
     )
     i, pos, vel, dt, alpha, n_pos, e, f = jax.lax.while_loop(cond, body, init)
     mf = fnorm_max(f)
+    return _finish(pos, e, mf, positions0, i, cfg)
+
+
+def _finish(pos, e, mf, positions0, i, cfg: FireConfig) -> "RelaxResult":
+    dtype = pos.dtype
     oob = (jnp.abs(e) > ENERGY_THRESHOLD) | (mf > MAX_FORCE_THRESHOLD)
     e_out = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, dtype), e)
     nan_guard = jnp.isnan(e_out) | jnp.any(jnp.isnan(pos))
@@ -127,3 +132,83 @@ def fire_relax(
         oob=oob | nan_guard,
         n_steps=i,
     )
+
+
+def fire_relax_traj(
+    energy_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    positions0: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    cfg: FireConfig = FireConfig(),
+    record_interval: int = 5,
+):
+    """FIRE with trajectory capture — the TrajectoryObserver analog
+    (mcmc/dynamics.py:21-80: energies/forces/structures recorded every
+    ``record_interval`` optimizer steps).
+
+    Runs a fixed ``cfg.steps`` scan (no early exit; frames past convergence
+    repeat the converged geometry) and returns
+    (RelaxResult, frames (n_rec, N, 3), frame_energies (n_rec,)).
+    """
+    dtype = positions0.dtype
+    fmask = free_mask[:, None].astype(dtype)
+    eg = jax.value_and_grad(energy_fn)
+
+    def force_of(pos):
+        e, g = eg(pos)
+        return e, -g * fmask
+
+    def fnorm_max(f):
+        return jnp.sqrt(jnp.max(jnp.sum(f * f, axis=1)))
+
+    e0, f0 = force_of(positions0)
+
+    def body(carry, _):
+        pos, vel, dt, alpha, n_pos, e, f = carry
+        done = fnorm_max(f) < cfg.fmax
+        vf = jnp.sum(f * vel)
+        uphill = vf <= 0.0
+        v_norm = jnp.sqrt(jnp.sum(vel * vel))
+        f_norm = jnp.sqrt(jnp.sum(f * f))
+        mixed = (1.0 - alpha) * vel + alpha * f * (v_norm / jnp.maximum(f_norm, 1e-30))
+        vel_n = jnp.where(uphill, jnp.zeros_like(vel), mixed)
+        grow = (~uphill) & (n_pos > cfg.n_min)
+        dt_n = jnp.where(grow, jnp.minimum(dt * cfg.f_inc, cfg.dt_max), dt)
+        alpha_n = jnp.where(grow, alpha * cfg.f_alpha, alpha)
+        dt_n = jnp.where(uphill, dt_n * cfg.f_dec, dt_n)
+        alpha_n = jnp.where(uphill, jnp.asarray(cfg.alpha_start, dtype), alpha_n)
+        n_pos_n = jnp.where(uphill, 0, n_pos + 1)
+        vel_n = vel_n + dt_n * f
+        dr = dt_n * vel_n
+        norm = jnp.sqrt(jnp.sum(dr * dr))
+        dr = dr * jnp.minimum(1.0, cfg.max_step / jnp.maximum(norm, 1e-30))
+        pos_n = pos + dr * fmask
+        e_n, f_n = force_of(pos_n)
+        # freeze once converged
+        pos_n = jnp.where(done, pos, pos_n)
+        e_n = jnp.where(done, e, e_n)
+        f_n = jnp.where(done, f, f_n)
+        carry = (
+            pos_n,
+            jnp.where(done, vel, vel_n),
+            jnp.where(done, dt, dt_n),
+            jnp.where(done, alpha, alpha_n),
+            jnp.where(done, n_pos, n_pos_n),
+            e_n,
+            f_n,
+        )
+        return carry, (pos_n, e_n)
+
+    init = (
+        positions0,
+        jnp.zeros_like(positions0),
+        jnp.asarray(cfg.dt_start, dtype),
+        jnp.asarray(cfg.alpha_start, dtype),
+        jnp.asarray(0, jnp.int32),
+        e0,
+        f0,
+    )
+    (pos, *_, e, f), (frames, frame_e) = jax.lax.scan(body, init, None, length=cfg.steps)
+    result = _finish(pos, e, fnorm_max(f), positions0, jnp.asarray(cfg.steps), cfg)
+    frames = frames[::record_interval]
+    frame_e = frame_e[::record_interval]
+    return result, frames, frame_e

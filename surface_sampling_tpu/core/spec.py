@@ -122,6 +122,43 @@ class SurfaceSpec:
         out[P:] = np.repeat(np.arange(S, dtype=np.int32), G)
         return out
 
+    # --- serialization (SurfaceSystem.todict/fromdict analog,
+    #     mcmc/system.py:591-653) ---------------------------------------
+    def todict(self) -> dict:
+        d = {}
+        for f_ in self.__dataclass_fields__:
+            v = getattr(self, f_)
+            if f_ == "vocab":
+                d[f_] = [
+                    {"name": a.name, "numbers": list(a.numbers),
+                     "offsets": a.offsets.tolist()}
+                    for a in v
+                ]
+            elif isinstance(v, np.ndarray):
+                d[f_] = v.tolist()
+            else:
+                d[f_] = v
+        return d
+
+    @classmethod
+    def fromdict(cls, d: dict) -> "SurfaceSpec":
+        kw = dict(d)
+        kw["vocab"] = tuple(
+            AdsorbateType(a["name"], tuple(a["numbers"]), np.asarray(a["offsets"]))
+            for a in d["vocab"]
+        )
+        casts = {
+            "pristine_numbers": np.int32, "code_numbers": np.int32,
+            "code_natoms": np.int32, "element_zs": np.int32,
+            "z_to_element": np.int32, "type_of_z": np.int32,
+            "frozen_pristine": bool,
+        }
+        for f_ in cls.__dataclass_fields__:
+            if f_ in ("vocab", "group_size", "surface_name"):
+                continue
+            kw[f_] = np.asarray(d[f_], dtype=casts.get(f_, np.float64))
+        return cls(**kw)
+
 
 def make_spec(
     slab: Structure,

@@ -154,6 +154,41 @@ def write_poscar(path: str | Path, st: Structure) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+def write_lammps_data(path: str | Path, st: Structure, type_order: list[str] | None = None) -> None:
+    """Write a LAMMPS 'atomic' data file (interop with the reference's
+    LAMMPS pipelines, mcmc/calculators/lammpsrun.py write_lammps_data)."""
+    syms = st.symbols
+    types = type_order or sorted(set(syms))
+    tmap = {s: i + 1 for i, s in enumerate(types)}
+    # LAMMPS wants a lower-triangular cell
+    a, b, c = st.cell
+    xx = np.linalg.norm(a)
+    xy = np.dot(b, a) / xx
+    yy = np.sqrt(max(np.dot(b, b) - xy**2, 0))
+    xz = np.dot(c, a) / xx
+    yz = (np.dot(b, c) - xy * xz) / max(yy, 1e-12)
+    zz = np.sqrt(max(np.dot(c, c) - xz**2 - yz**2, 0))
+    rot_cell = np.array([[xx, 0, 0], [xy, yy, 0], [xz, yz, zz]])
+    frac = st.scaled_positions
+    pos = frac @ rot_cell
+    lines = [
+        f"# {st.formula} written by surface_sampling_tpu",
+        "",
+        f"{len(st)} atoms",
+        f"{len(types)} atom types",
+        "",
+        f"0.0 {xx:.10f} xlo xhi",
+        f"0.0 {yy:.10f} ylo yhi",
+        f"0.0 {zz:.10f} zlo zhi",
+    ]
+    if abs(xy) + abs(xz) + abs(yz) > 1e-10:
+        lines.append(f"{xy:.10f} {xz:.10f} {yz:.10f} xy xz yz")
+    lines += ["", "Atoms # atomic", ""]
+    for i, (s, p) in enumerate(zip(syms, pos), start=1):
+        lines.append(f"{i} {tmap[s]} {p[0]:.10f} {p[1]:.10f} {p[2]:.10f}")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
 def save_structures_npz(path: str | Path, structures: list[Structure], energies=None) -> None:
     """Bundle a trajectory of same-shape structures into one npz file."""
     if structures:

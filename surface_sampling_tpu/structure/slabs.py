@@ -254,6 +254,83 @@ def fcc111(symbol: str, size: tuple[int, int, int], a: float, vacuum: float = 15
     return st.center_z(vacuum)
 
 
+class SupercellSurfaceGenerator:
+    """Rotated/odd-sized supercell slabs from a bulk structure.
+
+    Re-design of the reference's pymatgen-based SupercellSurfaceGenerator
+    (mcmc/utils/slab.py:100-298): cut a primitive slab for the Miller
+    index, tile it, generate 3x3 periodic images, rotate in-plane by
+    ``rotation`` degrees, and keep the atoms that land in the new box.
+    """
+
+    def __init__(self, bulk_st: Structure, miller: tuple[int, int, int],
+                 min_slab_layers: int = 3, vacuum: float = 15.0):
+        self.bulk = bulk_st
+        self.miller = miller
+        self.layers = min_slab_layers
+        self.vacuum = vacuum
+
+    @property
+    def hkl_to_hkil(self) -> tuple[int, int, int, int]:
+        """Miller (hkl) -> hexagonal Miller-Bravais (hkil)."""
+        h, k, l = self.miller  # noqa: E741
+        return (h, k, -(h + k), l)
+
+    def get_primitive_slab(self) -> Structure:
+        slab, _ = surface_from_bulk(
+            self.bulk, self.miller, size=(1, 1), layers=self.layers, vacuum=self.vacuum
+        )
+        return slab
+
+    @staticmethod
+    def generate_periodic_sites(st: Structure) -> tuple[np.ndarray, np.ndarray]:
+        """Positions + numbers of the 3x3 in-plane periodic images."""
+        offsets = [(0, 0), (1, 1), (1, -1), (-1, 1), (-1, -1), (0, 1), (1, 0), (0, -1), (-1, 0)]
+        pos, nums = [], []
+        for tx, ty in offsets:
+            shift = tx * st.cell[0] + ty * st.cell[1]
+            pos.append(st.positions + shift)
+            nums.append(st.numbers)
+        return np.concatenate(pos), np.concatenate(nums)
+
+    @staticmethod
+    def filter_sites_in_box(cart: np.ndarray, cell: np.ndarray, eps: float = 1e-8):
+        frac = np.linalg.solve(cell.T, cart.T).T
+        inside = np.all((frac >= -eps) & (frac < 1.0 - eps), axis=1)
+        return cart[inside], np.where(inside)[0]
+
+    def get_supercell_slab(
+        self, new_a: float, new_b: float, rotation: float = 0.0
+    ) -> Structure:
+        """Scaled (new_a x new_b) and optionally rotated supercell slab."""
+        prim = self.get_primitive_slab()
+        tiled = prim.repeat((int(np.ceil(new_a)) + 2, int(np.ceil(new_b)) + 2, 1))
+        new_cell = prim.cell.copy()
+        new_cell[0] = prim.cell[0] * new_a
+        new_cell[1] = prim.cell[1] * new_b
+        pos, nums = self.generate_periodic_sites(
+            Structure(tiled.numbers, tiled.positions, new_cell, tiled.pbc)
+        )
+        theta = np.radians(rotation)
+        rot = np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1.0]]
+        )
+        pos = pos @ rot.T
+        kept, idx = self.filter_sites_in_box(pos, new_cell)
+        # dedup overlapping image atoms
+        key = np.round(np.linalg.solve(new_cell.T, kept.T).T, 6)
+        _, uniq = np.unique(np.hstack([key, nums[idx][:, None]]), axis=0, return_index=True)
+        return Structure(nums[idx][uniq], kept[uniq], new_cell)
+
+    @classmethod
+    def save_slab(cls, slab: Structure, filename: str = "POSCAR") -> None:
+        from surface_sampling_tpu.structure.io import write_poscar
+
+        write_poscar(filename, slab)
+
+
 def symmetrize_slab(slab: Structure, num_base_atoms: int, sort_z_axis: bool = True) -> Structure:
     """Mirror the top half of a slab below its base layer.
 

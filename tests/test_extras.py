@@ -1,0 +1,108 @@
+"""Tests for breadth extras: supercell generator, trajectory relax, even
+adsorption, spec serialization, lammps-data writer, GMM criteria."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.core import FireConfig, make_spec
+from surface_sampling_tpu.core.engine import count_adsorption_sites, even_site_prefill
+from surface_sampling_tpu.core.relax import fire_relax_traj
+from surface_sampling_tpu.core.spec import SurfaceSpec
+from surface_sampling_tpu.potentials import make_lennard_jones
+from surface_sampling_tpu.structure import bulk
+from surface_sampling_tpu.structure.io import write_lammps_data
+from surface_sampling_tpu.structure.slabs import SupercellSurfaceGenerator, fcc100
+
+
+def test_supercell_surface_generator():
+    cu = bulk("Cu", "fcc", 3.6147)
+    gen = SupercellSurfaceGenerator(cu, (1, 0, 0), min_slab_layers=2, vacuum=8.0)
+    prim = gen.get_primitive_slab()
+    sc = gen.get_supercell_slab(2.0, 2.0)
+    # 2x2 supercell has ~4x the atoms of the primitive slab
+    assert len(sc) == 4 * len(prim)
+    assert gen.hkl_to_hkil == (1, 0, -1, 0)
+    # rotation keeps density (0 deg rotation sanity)
+    sc_rot = gen.get_supercell_slab(2.0, 2.0, rotation=90.0)
+    assert abs(len(sc_rot) - len(sc)) <= len(prim)
+
+
+def test_fire_relax_traj_records_frames():
+    pot = make_lennard_jones(1.0, 1.0, 5.0)
+    shifts = jnp.zeros((1, 3))
+    pos0 = jnp.array([[0.0, 0, 0], [1.4, 0, 0]])
+
+    def e_of(p):
+        return pot.energy(p, jnp.zeros(2, jnp.int32), jnp.ones(2, bool), shifts)
+
+    res, frames, frame_e = fire_relax_traj(
+        e_of, pos0, jnp.ones(2, bool), FireConfig(steps=40, fmax=1e-3), record_interval=5
+    )
+    assert frames.shape == (8, 2, 3)
+    assert frame_e.shape == (8,)
+    # energies decrease along the recorded trajectory
+    fe = np.asarray(frame_e)
+    assert fe[-1] <= fe[0]
+    assert np.isclose(float(res.energy), -1.0, atol=1e-2)
+
+
+def _tiny_spec():
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6, vacuum=10.0)
+    sites = np.array([[0, 0, 13.0], [1.3, 0, 13.0], [0, 1.3, 13.0], [1.3, 1.3, 13.0]])
+    return make_spec(slab, sites, ["Cu", "O"], potential_numbers=[29, 8], cutoff=4.0)
+
+
+def test_even_site_prefill():
+    spec = _tiny_spec()
+    ss = even_site_prefill(spec, 3, rng=np.random.default_rng(0))
+    assert (ss > 0).sum() == 3
+    assert set(np.unique(ss)) <= {0, 1, 2}
+
+
+def test_count_adsorption_sites():
+    spec = _tiny_spec()
+    conn = np.array([1, 1, 2, 4])  # site coordination classes
+    ss = np.array([1, 0, 2, 1])
+    counts = count_adsorption_sites(ss, conn)
+    assert counts == {1: 1, 2: 1, 4: 1}
+
+
+def test_spec_serialization_roundtrip():
+    spec = _tiny_spec()
+    d = spec.todict()
+    back = SurfaceSpec.fromdict(d)
+    assert back.n_sites == spec.n_sites
+    assert back.vocab[0].name == "Cu"
+    np.testing.assert_allclose(back.site_coords, spec.site_coords)
+    np.testing.assert_array_equal(back.code_numbers, spec.code_numbers)
+    # JSON-roundtrip safe
+    import json
+
+    back2 = SurfaceSpec.fromdict(json.loads(json.dumps(d)))
+    np.testing.assert_allclose(back2.pristine_positions, spec.pristine_positions)
+
+
+def test_write_lammps_data(tmp_path):
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6, vacuum=10.0)
+    p = tmp_path / "data.lammps"
+    write_lammps_data(p, slab)
+    text = p.read_text()
+    assert "8 atoms" in text
+    assert "1 atom types" in text
+    assert "Atoms # atomic" in text
+
+
+def test_gmm_bic_aic_prefer_true_component_count():
+    from surface_sampling_tpu.analysis import GMMUncertainty
+
+    rng = np.random.default_rng(0)
+    X = np.concatenate([rng.normal(0, 1, (300, 3)), rng.normal(8, 1, (300, 3))])
+    bics = {}
+    for k in (1, 2, 5):
+        gu = GMMUncertainty(n_components=k)
+        gu.fit_gmm(X)
+        bics[k] = gu.bic(X)
+    assert bics[2] < bics[1]
+    assert bics[2] < bics[5]
