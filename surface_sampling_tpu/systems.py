@@ -74,7 +74,7 @@ def cu100_eam(
 
         slack = 0.6 if relax is not None else 0.05
         nbr = build_static_neighbor_table(spec, tables.cutoff, relax_slack=slack)
-        pot = make_eam_static(tables, nbr, mode="poly", dtype=dtype or jnp.float32)
+        pot = make_eam_static(tables, nbr, mode="cheb", dtype=dtype or jnp.float32)
     else:
         pot = make_eam(tables, dtype=dtype or jnp.float32)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
