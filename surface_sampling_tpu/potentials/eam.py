@@ -244,7 +244,7 @@ def make_eam_static(
     n_seg: int = 32,
     degree: int = 6,
     dtype=jnp.float32,
-    relax_slack_check: bool = False,
+    gather_via_matmul: bool = False,
 ) -> Potential:
     """EAM over a static candidate-pair table (core/static_neighbors.py).
 
@@ -410,19 +410,59 @@ def make_eam_static(
         def eval_frho(rho, ti):
             return spline_eval(frho_c, rho, inv_drho, table_idx=ti)
 
-    def per_atom(positions, type_idx, alive, shifts_unused):
-        pj = positions[slot_j]                              # (N, M, 3)
-        disp = positions[:, None, :] - (pj + shift)
-        r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
-        tj = type_idx[slot_j]
-        mask = valid & alive[:, None] & alive[slot_j] & (r < cutoff)
-        fmask = mask.astype(r.dtype)
-        rsafe = jnp.where(mask, r, cutoff)
-        rho_i = jnp.sum(eval_rhor(rsafe, tj) * fmask, axis=1)
-        F_i = jnp.where(alive, eval_frho(rho_i, type_idx), 0.0)
-        pair_t = type_idx[:, None] * T + tj
-        phi = eval_z2r(rsafe, pair_t) / rsafe * fmask
-        return F_i + 0.5 * jnp.sum(phi, axis=1)
+    if gather_via_matmul:
+        assert mode == "cheb", "gather_via_matmul is implemented for the cheb mode"
+        # express the static j-gather and the per-atom reduction as
+        # constant 0/1 matmuls — MXU work instead of gather/scatter, and
+        # XLA fuses all elementwise math between the two matmuls. Shapes
+        # are 2D (N, P=N*M) throughout.
+        N, M = nbr_table.slot_j.shape
+        P = N * M
+        gj = np.zeros((N, P), dtype=np.float32)
+        rows = np.repeat(np.arange(N), M)
+        gj[nbr_table.slot_j.reshape(-1), np.arange(P)] = 1.0
+        red = np.zeros((P, N), dtype=np.float32)
+        red[np.arange(P), rows] = 1.0
+        gj_c = jnp.asarray(gj, dtype)
+        red_c = jnp.asarray(red, dtype)
+        shift_flat = jnp.asarray(nbr_table.shift.reshape(P, 3).T, dtype)   # (3, P)
+        valid_flat = jnp.asarray(nbr_table.valid.reshape(P), bool)
+        i_of_pair = jnp.asarray(rows)
+        tj_flat = jnp.asarray(nbr_table.slot_j.reshape(P))
+
+        def per_atom(positions, type_idx, alive, shifts_unused):
+            pos_t = positions.T                                  # (3, N)
+            pj = pos_t @ gj_c                                    # (3, P)
+            pi = pos_t[:, i_of_pair]                             # static gather
+            disp = pi - (pj + shift_flat)
+            r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=0), 1e-12))  # (P,)
+            af = alive.astype(r.dtype)
+            alive_j = af @ gj_c
+            mask = valid_flat & (alive_j > 0.5) & (af[i_of_pair] > 0.5) & (r < cutoff)
+            fmask = mask.astype(r.dtype)
+            rsafe = jnp.where(mask, r, cutoff)
+            tj = type_idx[tj_flat] if T > 1 else None
+            rho_i = (eval_rhor(rsafe, tj) * fmask) @ red_c        # (N,)
+            F_i = jnp.where(alive, eval_frho(rho_i, type_idx), 0.0)
+            pair_t = type_idx[i_of_pair] * T + tj if T > 1 else None
+            phi = eval_z2r(rsafe, pair_t) / rsafe * fmask
+            return F_i + 0.5 * (phi @ red_c)
+
+    else:
+
+        def per_atom(positions, type_idx, alive, shifts_unused):
+            pj = positions[slot_j]                              # (N, M, 3)
+            disp = positions[:, None, :] - (pj + shift)
+            r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
+            tj = type_idx[slot_j]
+            mask = valid & alive[:, None] & alive[slot_j] & (r < cutoff)
+            fmask = mask.astype(r.dtype)
+            rsafe = jnp.where(mask, r, cutoff)
+            rho_i = jnp.sum(eval_rhor(rsafe, tj) * fmask, axis=1)
+            F_i = jnp.where(alive, eval_frho(rho_i, type_idx), 0.0)
+            pair_t = type_idx[:, None] * T + tj
+            phi = eval_z2r(rsafe, pair_t) / rsafe * fmask
+            return F_i + 0.5 * jnp.sum(phi, axis=1)
 
     def energy(positions, type_idx, alive, shifts_unused=None):
         return jnp.sum(per_atom(positions, type_idx, alive, shifts_unused))
