@@ -1,0 +1,40 @@
+"""Parallel tempering on Au(110) — a capability beyond the reference:
+replicas at a temperature ladder exchange configurations between sweeps.
+Run: python examples/06_parallel_tempering.py
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.core import make_sweep_fn
+from surface_sampling_tpu.core.events import make_semigrand_step
+from surface_sampling_tpu.parallel import chain_states, make_tempered_run, temperature_ladder
+from surface_sampling_tpu.systems import au110_eam
+
+
+def main():
+    sys = au110_eam()
+    d = sys.run.d
+    step = make_semigrand_step(d, sys.run.state_energy_fn)
+    sweep = make_sweep_fn(step, 8)
+
+    n_rep = 16
+    temps = jnp.asarray(temperature_ladder(0.02, 2.0, n_rep), jnp.float32)
+    states = chain_states(d, jax.random.PRNGKey(0), n_rep)
+    e0 = jax.vmap(lambda s: sys.run.state_energy_fn(s).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+
+    trun = make_tempered_run(sweep, n_rounds=30)
+    out, rec = trun(states, temps, jax.random.PRNGKey(1))
+    e = np.asarray(rec.energy)
+    print(f"{n_rep} replicas, ladder {float(temps[0]):.2f} -> {float(temps[-1]):.3f} kT")
+    print(f"mean swap acceptance: {np.asarray(rec.swap_rate).mean():.2f}")
+    print(f"best energy (cold replica): {e[:, -1].min():.4f} eV")
+    print(f"global best: {e.min():.4f} eV")
+    print("(semigrand fills all 8 sites; the canonical 6-adsorbate ground "
+          "state pinned by the reference is -79.0349 eV)")
+
+
+if __name__ == "__main__":
+    main()
