@@ -1,0 +1,144 @@
+"""Tests for weighted canonical proposals: Boltzmann per-atom-energy
+weights and distance-decay site selection (mcmc/slab.py:74-165 analogs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_sampling_tpu.core import make_canonical_step, make_spec
+from surface_sampling_tpu.core.state import initial_state
+from surface_sampling_tpu.core.energy import StateEnergy
+from surface_sampling_tpu.core.state import realize_positions
+from surface_sampling_tpu.potentials import make_lennard_jones
+from surface_sampling_tpu.structure.slabs import fcc100
+from surface_sampling_tpu.structure.sites import find_adsorption_sites
+from surface_sampling_tpu.utils.misc import compute_distance_weight_matrix
+
+
+def _system():
+    slab = fcc100("Cu", size=(2, 2, 2), a=1.5 * 2**0.5, vacuum=10.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.2)["all"]
+    from surface_sampling_tpu.core import MCMCRun
+
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29], cutoff=3.0)
+    pot = make_lennard_jones(epsilon=0.4, sigma=1.05, cutoff=3.0)
+    return spec, pot, MCMCRun(spec, pot)
+
+
+def _fake_fn(d):
+    def fn(ss):
+        pos = realize_positions(d, ss)
+        return StateEnergy(jnp.asarray(0.0, pos.dtype), jnp.asarray(0.0, pos.dtype),
+                           pos, jnp.asarray(False))
+
+    return fn
+
+
+def test_distance_decay_prefers_nearby_swaps():
+    spec, pot, run = _system()
+    d = run.d
+    dwm = compute_distance_weight_matrix(spec.site_coords, distance_decay_factor=0.5)
+    assert np.allclose(dwm.sum(axis=1), 1.0)
+    step = jax.jit(
+        lambda s: make_canonical_step(
+            d,
+            _fake_fn(d),
+            criterion="testing",
+            require_distance_decay=True,
+            distance_weight_matrix=dwm,
+        )(s, jnp.asarray(1.0))
+    )
+    # one adsorbate: measure hop distances under decay
+    S = len(spec.site_coords)
+    ss0 = jnp.zeros(S, jnp.int32).at[0].set(1)
+    hops = []
+    state = initial_state(d, jax.random.PRNGKey(0), site_state=ss0)
+    prev = 0
+    for _ in range(60):
+        state, _ = step(state)
+        cur = int(np.argmax(np.asarray(state.site_state)))
+        if cur != prev:
+            hops.append(np.linalg.norm(spec.site_coords[cur] - spec.site_coords[prev]))
+            prev = cur
+    mean_hop = np.mean(hops)
+    # uniform swaps would average ~half the cell diagonal; decay keeps hops short
+    all_d = np.linalg.norm(
+        spec.site_coords[None] - spec.site_coords[:, None], axis=-1
+    )
+    assert mean_hop < all_d[all_d > 0].mean()
+
+
+def test_boltzmann_weighted_canonical_runs():
+    spec, pot, run = _system()
+    d = run.d
+    step = jax.jit(
+        lambda s: make_canonical_step(
+            d,
+            run.state_energy_fn,
+            criterion="testing",
+            require_per_atom_energies=True,
+            potential=pot,
+        )(s, jnp.asarray(1.0))
+    )
+    S = len(spec.site_coords)
+    ss0 = jnp.zeros(S, jnp.int32).at[0].set(1).at[5].set(1)
+    state = run.init_state(jax.random.PRNGKey(0), site_state=ss0)
+    for _ in range(10):
+        state, info = step(state)
+        assert int((np.asarray(state.site_state) > 0).sum()) == 2
+    assert np.isfinite(float(state.energy))
+
+
+def test_dataset_loader_roundtrip(tmp_path):
+    import json
+
+    from surface_sampling_tpu.models.dataset import (
+        get_train_val_test_loader,
+        load_labelled_structures,
+    )
+
+    rng = np.random.default_rng(0)
+    recs = []
+    for _ in range(10):
+        n = 4
+        recs.append(
+            {
+                "symbols": ["Si"] * n,
+                "positions": (rng.uniform(0, 5, (n, 3))).tolist(),
+                "cell": (np.eye(3) * 8).tolist(),
+                "energy": float(rng.normal()),
+                "forces": rng.normal(size=(n, 3)).tolist(),
+            }
+        )
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps(recs))
+    sts, es, fs = load_labelled_structures(p)
+    assert len(sts) == 10 and len(es) == 10
+    train, val, test = get_train_val_test_loader(p, cutoff=4.0, batch_size=4)
+    n_total = sum(b.positions.shape[0] for b in train + val + test)
+    assert n_total == 10
+    assert train[0].positions.shape[1] == 4
+
+
+def test_dataset_loader_mptrj_style(tmp_path):
+    import json
+
+    frame = {
+        "structure": {
+            "lattice": {"matrix": (np.eye(3) * 5).tolist()},
+            "sites": [
+                {"species": [{"element": "Ga"}], "abc": [0, 0, 0]},
+                {"species": [{"element": "N"}], "abc": [0.5, 0.5, 0.5]},
+            ],
+        },
+        "energy_per_atom": -4.5,
+        "force": [[0, 0, 0], [0, 0, 0]],
+    }
+    p = tmp_path / "mptrj.json"
+    p.write_text(json.dumps({"mp-1": {"mp-1-0": frame, "mp-1-1": frame}}))
+    from surface_sampling_tpu.models.dataset import load_labelled_structures
+
+    sts, es, fs = load_labelled_structures(p)
+    assert len(sts) == 2
+    assert sts[0].formula == "GaN"
+    assert np.isclose(es[0], -9.0)
