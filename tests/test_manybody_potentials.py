@@ -58,6 +58,34 @@ def test_tersoff_gan_cohesive_energy():
         assert abs(e - (-4.526)) < 5e-3
 
 
+def test_tersoff_gan_tutorial_slab_matches_lammps():
+    """The reference's GaN_0001 tutorial prints 'Energy -144.059 eV' for its
+    3x3 pristine slab (LAMMPS Tersoff); our implementation on the exact
+    slab geometry (vendored from the tutorial pkl) must match."""
+    from pathlib import Path
+
+    data = np.load(
+        Path(__file__).parents[1]
+        / "surface_sampling_tpu/systems_data/GaN_0001_3x3.npz"
+    )
+    with jax.enable_x64(True):
+        from surface_sampling_tpu.ops.neighbors import pair_shifts_for
+
+        t = builtin_tersoff("GaN_nord2003")
+        pot = make_tersoff(t, max_neighbors=24, dtype=jnp.float64)
+        sym_of = {31: "Ga", 7: "N"}
+        ti = jnp.asarray(
+            [t.elements.index(sym_of[int(z)]) for z in data["numbers"]], jnp.int32
+        )
+        frac = np.linalg.solve(data["cell"].T, data["positions"].T).T
+        shifts = jnp.asarray(pair_shifts_for(data["cell"], frac, t.cutoff))
+        e = float(
+            pot.energy(jnp.asarray(data["positions"]), ti, jnp.ones(len(ti), bool), shifts)
+        )
+        assert abs(e - (-144.0586923519652)) < 1e-8   # pinned (tutorial: -144.059)
+        assert abs(e - (-144.059)) < 1e-3
+
+
 def test_neighbor_list_counts_fcc():
     """fcc with cutoff between 1st and 2nd shell -> exactly 12 neighbors."""
     a = 3.6
