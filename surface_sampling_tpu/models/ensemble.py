@@ -28,8 +28,11 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
     EnsembleNFF semantics); forces_std is computed by callers from grads
     when needed. Embedding is the member-mean of final scalar features.
     """
+    from surface_sampling_tpu.models.painn import painn_edges
+
+    edges = painn_edges(cfg, positions, alive, shifts)  # shared across members
     outs = jax.vmap(
-        lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts)
+        lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges)
     )(stacked_params)
     energies = outs["energy"]                       # (E,)
     return {

@@ -113,13 +113,21 @@ def _cosine_envelope(d, cutoff):
     return jnp.where(d < cutoff, 0.5 * (jnp.cos(jnp.pi * d / cutoff) + 1.0), 0.0)
 
 
-def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts):
+def painn_edges(cfg: PaiNNConfig, positions, alive, shifts):
+    """Precompute the padded edge set (shared across ensemble members —
+    the geometry is member-independent, so the top_k neighbor search and
+    RBF expansion run once per structure, not once per member)."""
+    return neighbor_list(positions, shifts, alive, cfg.cutoff, cfg.max_neighbors)[:4]
+
+
+def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
+                   edges=None):
     """Run the trunk; returns per-atom scalar features s (N, F) and the
     edge data used (for diagnostics)."""
     F = cfg.feat_dim
     N = positions.shape[0]
-    disp, d, nbr_j, nbr_mask, _ = neighbor_list(
-        positions, shifts, alive, cfg.cutoff, cfg.max_neighbors
+    disp, d, nbr_j, nbr_mask = (
+        edges if edges is not None else painn_edges(cfg, positions, alive, shifts)
     )
     fmask = nbr_mask.astype(positions.dtype)[..., None]          # (N, M, 1)
     dsafe = jnp.maximum(d, 1e-8)
@@ -161,10 +169,13 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts):
     return s, (d, nbr_mask)
 
 
-def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts):
+def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
+                edges=None):
     """Full forward: returns dict with per-atom energies (training units),
     total energy, and per-atom embeddings (final scalar features)."""
-    s, (d, nbr_mask) = painn_features(params, cfg, positions, numbers, alive, shifts)
+    s, (d, nbr_mask) = painn_features(
+        params, cfg, positions, numbers, alive, shifts, edges=edges
+    )
     h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
     e_atom = _dense(params["readout"]["dense1"], h)[..., 0]      # (N,)
     e_atom = jnp.where(alive, e_atom, 0.0)
