@@ -49,6 +49,9 @@ def build_potential(calc_settings: dict, system_settings: dict):
     """Construct a Potential + its type->Z table from calc_settings.
 
     calc_name: eam | lj | morse | tersoff | sw | nff (PaiNN npz params).
+    EAM additionally exposes its tables via the returned potential's
+    ``__dict__["tables"]`` so assemble_system can switch to the static-pair
+    fast path once the spec geometry exists.
     """
     name = calc_settings.get("calc_name", "eam").lower()
     if name == "eam":
@@ -60,7 +63,9 @@ def build_potential(calc_settings: dict, system_settings: dict):
             tables = load_tables_npz(files[0])
         else:
             tables = tables_from_funcfl([parse_funcfl(f) for f in files])
-        return make_eam(tables), tables.numbers, tables.cutoff
+        pot = make_eam(tables)
+        pot.__dict__["tables"] = tables
+        return pot, tables.numbers, tables.cutoff
     if name == "tersoff":
         from surface_sampling_tpu.potentials import make_tersoff
         from surface_sampling_tpu.potentials.tersoff import load_tersoff, load_tersoff_npz
@@ -151,6 +156,20 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         surface_name=sys_s.get("surface_name"),
         extra_elements=list(calc_s.get("chem_pots", {}).keys()) or None,
     )
+
+    # default EAM runs onto the gather-free fast path (exact splines compile
+    # pathologically slowly on the remote TPU compiler at large chain counts;
+    # opt out with calc_settings {"fast": false})
+    tables = getattr(potential, "__dict__", {}).get("tables")
+    if tables is not None and calc_s.get("fast", True):
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+        from surface_sampling_tpu.potentials.eam import make_eam_static
+
+        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.05
+        nbr = build_static_neighbor_table(
+            spec, sys_s.get("cutoff", pot_cutoff), relax_slack=slack
+        )
+        potential = make_eam_static(tables, nbr, mode="cheb")
 
     if surface_energy_fn is None and calc_s.get("offset", False):
         surface_energy_fn = make_offset_surface_energy(
