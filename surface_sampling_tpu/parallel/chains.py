@@ -80,3 +80,38 @@ def shard_chain_states(states: MCState, mesh: Mesh, axis: str = "chains") -> MCS
     """Place a chain-batched MCState with its leading axis sharded."""
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), states)
+
+
+def make_ensemble_sharded_energy(
+    batched_member_energy: Callable,
+    mesh: Mesh,
+    ensemble_axis: str = "ensemble",
+) -> Callable:
+    """Ensemble parallelism: shard the NN-ensemble member axis over a mesh
+    dimension (SURVEY §2.3's "expert-ish" axis).
+
+    Args:
+        batched_member_energy: (member_params, positions, ...) -> scalar
+            per member — i.e. the fn normally vmapped over stacked params.
+        mesh: mesh containing ``ensemble_axis``.
+
+    Returns ``fn(stacked_params, *args) -> (mean_energy, member_energies)``
+    where each device computes its local members and one ``all_gather``
+    over ICI assembles the member energies (the only collective needed —
+    chains stay embarrassingly parallel on the other axis).
+    """
+
+    def local(params_shard, *args):
+        e_local = jax.vmap(lambda p: batched_member_energy(p, *args))(params_shard)
+        e_all = jax.lax.all_gather(e_local, ensemble_axis, tiled=True)
+        return jnp.mean(e_all), e_all
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ensemble_axis), *([P()] * 4)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )

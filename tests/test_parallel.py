@@ -101,3 +101,34 @@ def test_tempering_swap_preserves_multiset():
     out, rate = _swap_phase(states, temps, jax.random.PRNGKey(0), 0)
     # energies after the phase are a permutation of before
     assert sorted(np.asarray(out.energy).tolist()) == sorted(np.asarray(e).tolist())
+
+
+def test_ensemble_sharded_energy_matches_vmap():
+    """Ensemble members sharded over a mesh axis must reproduce the plain
+    vmapped ensemble (models/ensemble.py) member-for-member."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from surface_sampling_tpu.models import PaiNNConfig, init_painn, painn_apply
+    from surface_sampling_tpu.models.train import init_ensemble
+    from surface_sampling_tpu.parallel.chains import make_ensemble_sharded_energy
+
+    cfg = PaiNNConfig(feat_dim=8, n_rbf=6, cutoff=4.0, n_layers=1, readout_hidden=8,
+                      max_neighbors=4)
+    params = init_ensemble(jax.random.PRNGKey(0), cfg, 8)
+
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (5, 3)) * 3.0
+    numbers = jnp.asarray([8, 8, 22, 38, 8], jnp.int32)
+    alive = jnp.ones(5, bool)
+    shifts = jnp.zeros((1, 3))
+
+    def member_energy(p, positions, numbers, alive, shifts):
+        return painn_apply(p, cfg, positions, numbers, alive, shifts)["energy"]
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("ensemble",))
+    sharded = make_ensemble_sharded_energy(member_energy, mesh)
+    mean_e, member_e = sharded(params, pos, numbers, alive, shifts)
+
+    ref = jax.vmap(lambda p: member_energy(p, pos, numbers, alive, shifts))(params)
+    np.testing.assert_allclose(np.asarray(member_e), np.asarray(ref), rtol=1e-5)
+    assert np.isclose(float(mean_e), float(ref.mean()), rtol=1e-5)
