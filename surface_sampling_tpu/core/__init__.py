@@ -2,6 +2,7 @@
 
 from surface_sampling_tpu.core.energy import (
     RelaxConfig,
+    SymmetricSlabConfig,
     identity_surface_energy,
     make_offset_surface_energy,
     make_state_energy_fn,
@@ -43,6 +44,7 @@ __all__ = [
     "MCMCRun",
     "MCState",
     "RelaxConfig",
+    "SymmetricSlabConfig",
     "SurfaceSpec",
     "change_site",
     "device_spec",

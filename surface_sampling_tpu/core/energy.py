@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,6 +104,36 @@ class RelaxConfig:
     max_step: float = 0.2
 
 
+@dataclass(frozen=True)
+class SymmetricSlabConfig:
+    """Symmetric-slab energy mode (reference system.py:111-119, 348-357 +
+    utils/slab.py symmetrize_slab): the MC manipulates the top half; the
+    energy is evaluated on the slab with every non-base atom mirrored below
+    the base plane. Here the mirror is a static reflection of the realized
+    slot arrays — shapes stay fixed (N + N - n_base slots), so the mode
+    composes with scan/vmap like any other system.
+
+    base_z: the z of the reflection plane (mean of the base atoms).
+    n_base: number of base atoms (not mirrored).
+    """
+
+    base_z: float
+    n_base: int
+
+
+def symmetrize_arrays(sym: SymmetricSlabConfig, positions, numbers, alive):
+    """Append mirrored copies of all non-base slots."""
+    refl = positions.at[:, 2].set(2.0 * sym.base_z - positions[:, 2])
+    m_pos = refl[sym.n_base:]
+    m_num = numbers[sym.n_base:]
+    m_alive = alive[sym.n_base:]
+    return (
+        jnp.concatenate([positions, m_pos]),
+        jnp.concatenate([numbers, m_num]),
+        jnp.concatenate([alive, m_alive]),
+    )
+
+
 class StateEnergy(NamedTuple):
     surface_energy: jnp.ndarray     # acceptance energy (OOB-clamped)
     potential_energy: jnp.ndarray
@@ -115,9 +146,17 @@ def make_state_energy_fn(
     potential: Potential,
     surface_energy_fn: Callable = identity_surface_energy,
     relax: RelaxConfig | None = None,
+    symmetric: SymmetricSlabConfig | None = None,
 ) -> Callable:
     """Build ``fn(site_state) -> StateEnergy`` — the inner evaluation of
-    every MC step. Pure; jit/vmap/scan-safe."""
+    every MC step. Pure; jit/vmap/scan-safe.
+
+    With ``symmetric`` set, the potential sees the mirrored double slab
+    (counts double accordingly for the mirrored atoms); relaxation then
+    moves the top half with the mirror positions re-derived per force
+    evaluation so the slab stays exactly symmetric (the reference relaxes
+    the symmetrized copy, system.py:355-357).
+    """
 
     fire_cfg = None
     if relax is not None:
@@ -128,9 +167,31 @@ def make_state_energy_fn(
         type_idx = realize_type_idx(d, site_state)
         alive = realize_alive(d, site_state)
         counts = element_counts(d, site_state, dtype=pos0.dtype)
+        if symmetric is not None:
+            from surface_sampling_tpu.core.state import realize_numbers
 
-        def e_of(p):
-            return potential.energy(p, type_idx, alive, d.shifts)
+            numbers = realize_numbers(d, site_state)
+            # mirrored element counts: non-base alive atoms count twice
+            elem = d.z_to_element[numbers]
+            onehot = jax.nn.one_hot(elem, d.n_elements, dtype=pos0.dtype)
+            counts = counts + jnp.sum(
+                onehot[symmetric.n_base:]
+                * alive[symmetric.n_base:, None].astype(pos0.dtype),
+                axis=0,
+            )
+            _, numbers_full, alive_full = symmetrize_arrays(symmetric, pos0, numbers, alive)
+            type_idx_full = d.type_of_z[numbers_full]
+            n_base, base_z = symmetric.n_base, symmetric.base_z
+
+            def e_of(p_top):
+                refl = p_top.at[:, 2].set(2.0 * base_z - p_top[:, 2])
+                p_full = jnp.concatenate([p_top, refl[n_base:]])
+                return potential.energy(p_full, type_idx_full, alive_full, d.shifts)
+
+        else:
+
+            def e_of(p):
+                return potential.energy(p, type_idx, alive, d.shifts)
 
         if fire_cfg is None:
             e_pot = e_of(pos0)

@@ -206,6 +206,7 @@ class MCMCRun:
     potential: object
     surface_energy_fn: Callable | None = None
     relax: object | None = None
+    symmetric: object | None = None
     dtype: object = jnp.float32
 
     def __post_init__(self):
@@ -214,7 +215,7 @@ class MCMCRun:
 
         se_fn = self.surface_energy_fn or identity_surface_energy
         self.state_energy_fn = make_state_energy_fn(
-            self.d, self.potential, se_fn, relax=self.relax
+            self.d, self.potential, se_fn, relax=self.relax, symmetric=self.symmetric
         )
 
     def init_state(self, key, site_state=None) -> MCState:

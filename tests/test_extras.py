@@ -106,3 +106,48 @@ def test_gmm_bic_aic_prefer_true_component_count():
         bics[k] = gu.bic(X)
     assert bics[2] < bics[1]
     assert bics[2] < bics[5]
+
+
+def test_symmetric_slab_energy_mode():
+    """Symmetric-slab mode: energy equals a direct evaluation of the
+    manually mirrored structure (reference system.py:348-357 semantics)."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core import MCMCRun, SymmetricSlabConfig
+    from surface_sampling_tpu.core.state import realize_alive, realize_numbers, realize_positions
+    from surface_sampling_tpu.ops.neighbors import pair_shifts
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6, vacuum=20.0)
+    slab = slab.sorted_by_z()
+    sites = np.array([[0.0, 0.0, slab.positions[:, 2].max() + 1.8]])
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29], cutoff=3.5)
+    pot = make_lennard_jones(epsilon=0.4, sigma=2.2, cutoff=3.5)
+    base_z = float(slab.positions[:4, 2].mean())   # bottom layer = base
+    sym = SymmetricSlabConfig(base_z=base_z, n_base=4)
+    run_sym = MCMCRun(spec, pot, symmetric=sym)
+
+    ss = jnp.ones(1, jnp.int32)
+    out = run_sym.state_energy_fn(ss)
+
+    # manual mirror of the realized alive atoms
+    d = run_sym.d
+    pos = np.asarray(realize_positions(d, ss))
+    alive = np.asarray(realize_alive(d, ss))
+    refl = pos.copy()
+    refl[:, 2] = 2 * base_z - refl[:, 2]
+    full_pos = np.concatenate([pos, refl[4:]])
+    full_alive = np.concatenate([alive, alive[4:]])
+    shifts = jnp.asarray(d.shifts)
+    e_manual = float(
+        pot.energy(
+            jnp.asarray(full_pos, jnp.float32),
+            jnp.zeros(len(full_pos), jnp.int32),
+            jnp.asarray(full_alive),
+            shifts,
+        )
+    )
+    assert np.isclose(float(out.potential_energy), e_manual, rtol=1e-6)
+    # symmetric energy differs from the plain-slab energy (mirror interacts)
+    run_plain = MCMCRun(spec, pot)
+    e_plain = float(run_plain.state_energy_fn(ss).potential_energy)
+    assert abs(e_plain - float(out.potential_energy)) > 1e-3
