@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from surface_sampling_tpu.constants import HARTREE_TO_EV, Z_FROM_SYMBOL
-from surface_sampling_tpu.core.relax import ENERGY_THRESHOLD, FireConfig, fire_relax
+from surface_sampling_tpu.core.relax import (
+    ENERGY_THRESHOLD,
+    FireConfig,
+    fire_relax,
+    lbfgs_relax as _lbfgs,
+)
 from surface_sampling_tpu.core.spec import SurfaceSpec
 from surface_sampling_tpu.core.state import (
     DeviceSpec,
@@ -102,6 +107,7 @@ class RelaxConfig:
     steps: int = 20
     fmax: float = 0.01
     max_step: float = 0.2
+    method: str = "fire"          # fire | lbfgs
 
 
 @dataclass(frozen=True)
@@ -201,7 +207,8 @@ def make_state_energy_fn(
             pos = pos0
         else:
             free = realize_free_mask(d, site_state)
-            res = fire_relax(e_of, pos0, free, fire_cfg)
+            relaxer = fire_relax if relax.method == "fire" else _lbfgs
+            res = relaxer(e_of, pos0, free, fire_cfg)
             e_pot, pos, oob = res.energy, res.positions, res.oob
 
         se = surface_energy_fn(e_pot, counts)

@@ -134,6 +134,58 @@ def _finish(pos, e, mf, positions0, i, cfg: FireConfig) -> "RelaxResult":
     )
 
 
+def lbfgs_relax(
+    energy_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    positions0: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    cfg: FireConfig = FireConfig(),
+) -> RelaxResult:
+    """L-BFGS relaxation (optax.lbfgs with zoom linesearch) — the
+    quasi-Newton counterpart of the reference's BFGS/BFGSLineSearch
+    optimizers (mcmc/dynamics.py:119-124). Frozen atoms enter by
+    reparameterizing on masked displacements. Same OOB semantics as FIRE.
+    """
+    import optax
+
+    dtype = positions0.dtype
+    fmask = free_mask[:, None].astype(dtype)
+
+    def loss(delta):
+        return energy_fn(positions0 + delta * fmask)
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(loss)
+    delta0 = jnp.zeros_like(positions0)
+    opt_state0 = opt.init(delta0)
+
+    def converged(g):
+        f = g * fmask
+        return jnp.sqrt(jnp.max(jnp.sum(f * f, axis=1))) < cfg.fmax
+
+    def cond(carry):
+        i, delta, opt_state, g = carry
+        return (i < cfg.steps) & ~converged(g)
+
+    def body(carry):
+        i, delta, opt_state, _ = carry
+        v, g = value_and_grad(delta, state=opt_state)
+        updates, opt_state = opt.update(
+            g, opt_state, delta, value=v, grad=g, value_fn=loss
+        )
+        delta = optax.apply_updates(delta, updates)
+        return (i + 1, delta, opt_state, g)
+
+    g0 = jax.grad(loss)(delta0)
+    i, delta, opt_state, g = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), delta0, opt_state0, g0)
+    )
+    pos = positions0 + delta * fmask
+    e = energy_fn(pos)
+    g_final = jax.grad(loss)(delta)
+    mf = jnp.sqrt(jnp.max(jnp.sum((g_final * fmask) ** 2, axis=1)))
+    return _finish(pos, e, mf, positions0, i, cfg)
+
+
 def fire_relax_traj(
     energy_fn: Callable[[jnp.ndarray], jnp.ndarray],
     positions0: jnp.ndarray,

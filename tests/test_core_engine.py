@@ -209,3 +209,30 @@ def test_oob_clamp():
     out = se(jnp.ones(len(spec.site_coords), jnp.int32))
     assert float(out.surface_energy) == 1000.0
     assert bool(out.oob)
+
+
+def test_lbfgs_relax_lj_dimer():
+    from surface_sampling_tpu.core.relax import lbfgs_relax
+
+    pot = make_lennard_jones(epsilon=1.0, sigma=1.0, cutoff=5.0)
+    shifts = jnp.zeros((1, 3))
+    pos0 = jnp.array([[0.0, 0, 0], [1.4, 0, 0]])
+
+    def e_of(p):
+        return pot.energy(p, jnp.zeros(2, jnp.int32), jnp.ones(2, bool), shifts)
+
+    res = lbfgs_relax(e_of, pos0, jnp.ones(2, bool), FireConfig(steps=60, fmax=1e-3))
+    assert bool(res.converged)
+    d = float(jnp.linalg.norm(res.positions[1] - res.positions[0]))
+    assert np.isclose(d, 2 ** (1 / 6), atol=1e-2)
+    assert np.isclose(float(res.energy), -1.0, atol=1e-3)
+    # frozen-atom variant keeps atom 0 pinned
+    res2 = lbfgs_relax(e_of, pos0, jnp.array([False, True]), FireConfig(steps=60, fmax=1e-3))
+    assert np.allclose(np.asarray(res2.positions[0]), [0, 0, 0])
+
+
+def test_run_with_lbfgs_relaxation():
+    spec, pot, run = lj_system(relax=RelaxConfig(steps=5, fmax=0.05, method="lbfgs"))
+    temps = geometric_schedule(0.3, 2, alpha=0.9)
+    state, rec = run.run(jax.random.PRNGKey(0), temps, cfg=EngineConfig(sweep_size=3))
+    assert np.all(np.isfinite(np.asarray(rec.energy)))
