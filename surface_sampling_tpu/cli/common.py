@@ -117,6 +117,16 @@ def build_potential(calc_settings: dict, system_settings: dict):
             [0],
             p.get("cutoff", 5.0),
         )
+    if name == "morse":
+        from surface_sampling_tpu.potentials import make_morse
+
+        p = calc_settings
+        return (
+            make_morse(p.get("D", 1.0), p.get("alpha", 1.5), p.get("r0", 2.5),
+                       p.get("cutoff", 6.0)),
+            [0],
+            p.get("cutoff", 6.0),
+        )
     raise ValueError(f"unknown calc_name {name!r}")
 
 

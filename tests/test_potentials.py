@@ -112,3 +112,37 @@ def test_eam_jit_and_vmap():
     e = jax.jit(jax.vmap(lambda p: pot.energy(p, ti, alive, shifts)))(batch_pos)
     assert e.shape == (2,)
     assert e[1] > e[0]  # perturbed structure has higher energy
+
+
+def test_eam_alloy_two_funcfl():
+    """Multi-element funcfl combination (Cu+Au alloy tables): cross pair
+    interactions exist and pure-element limits match the single tables."""
+    from surface_sampling_tpu.potentials import builtin_eam
+    from surface_sampling_tpu.potentials.eam import EAMTables, tables_from_funcfl
+
+    cu, au = builtin_eam("Cu_u3"), builtin_eam("Au_u3")
+    # reconstruct element dicts from the stored tables (same grids)
+    def as_funcfl(t):
+        return {
+            "number": int(t.numbers[0]), "nrho": t.nrho, "drho": t.drho,
+            "nr": t.nr, "dr": t.dr, "cutoff": t.cutoff,
+            "frho": t.frho[0], "zr": np.sqrt(np.maximum(t.z2r[0, 0], 0) / 27.2 / 0.529),
+            "rhor": t.rhor[0],
+        }
+
+    alloy = tables_from_funcfl([as_funcfl(cu), as_funcfl(au)])
+    assert alloy.z2r.shape[0] == 2
+    # cross term is the geometric mixing of the pure terms
+    assert np.allclose(
+        alloy.z2r[0, 1], np.sqrt(np.maximum(alloy.z2r[0, 0], 0) *
+                                 np.maximum(alloy.z2r[1, 1], 0)), atol=1e-8
+    )
+    pot = make_eam(alloy)
+    # mixed dimer energy is finite and differs from both pure dimers
+    shifts = jnp.zeros((1, 3))
+    pos = jnp.array([[0.0, 0, 0], [2.6, 0, 0]])
+    alive = jnp.ones(2, bool)
+    e_mix = float(pot.energy(pos, jnp.asarray([0, 1]), alive, shifts))
+    e_cu = float(pot.energy(pos, jnp.asarray([0, 0]), alive, shifts))
+    e_au = float(pot.energy(pos, jnp.asarray([1, 1]), alive, shifts))
+    assert np.isfinite(e_mix) and e_mix != e_cu and e_mix != e_au
