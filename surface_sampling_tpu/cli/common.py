@@ -248,12 +248,23 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
     states = states._replace(energy=e0)
     if cfg.canonical and cfg.num_ads_atoms > 0:
-        prep = jax.jit(jax.vmap(
-            prepare_canonical_fn(d, se_fn, cfg.num_ads_atoms, cfg), in_axes=(0, None)
-        ))
-        states = prep(states, jnp.asarray(float(temps[0])))
+        if samp.get("even_adsorption_sites", False):
+            from surface_sampling_tpu.core.engine import even_site_prefill
+
+            ss0 = even_site_prefill(
+                asys.spec, cfg.num_ads_atoms, rng=np.random.default_rng(seed)
+            )
+            states = chain_states(d, jax.random.PRNGKey(seed), n_chains, site_state=ss0)
+        else:
+            prep = jax.jit(jax.vmap(
+                prepare_canonical_fn(d, se_fn, cfg.num_ads_atoms, cfg), in_axes=(0, None)
+            ))
+            states = prep(states, jnp.asarray(float(temps[0])))
         e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
         states = states._replace(energy=e0)
+
+    if samp.get("tempering", False):
+        return _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed)
 
     run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential)
     crun = make_chain_run(run_fn)
@@ -313,6 +324,59 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         "frac_accept_hist": accept,
         "adsorption_count_hist": n_ads,
         "best_energy": float(flat[best]),
+        "run_folder": run_folder,
+    }
+
+
+def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed):
+    """Replica-exchange variant of run_sampling: chains become a temperature
+    ladder; one swap phase per sweep (parallel/tempering.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core import make_sweep_fn
+    from surface_sampling_tpu.core.events import make_canonical_step, make_semigrand_step
+    from surface_sampling_tpu.io import save_checkpoint
+    from surface_sampling_tpu.parallel import make_tempered_run, temperature_ladder
+    from surface_sampling_tpu.utils.plot import plot_energy_analysis
+
+    d = asys.run.d
+    se_fn = asys.run.state_energy_fn
+    n_chains = int(np.asarray(states.site_state).shape[0])
+    t_min = float(samp.get("t_min", min(temps)))
+    t_max = float(samp.get("t_max", max(temps)))
+    ladder = jnp.asarray(temperature_ladder(t_min, t_max, n_chains), jnp.float32)
+    if cfg.canonical:
+        step_fn = make_canonical_step(d, se_fn, criterion=cfg.criterion,
+                                      filter_distance=cfg.filter_distance)
+    else:
+        step_fn = make_semigrand_step(d, se_fn, criterion=cfg.criterion,
+                                      filter_distance=cfg.filter_distance)
+    sweep = make_sweep_fn(step_fn, cfg.sweep_size)
+    n_rounds = len(temps)
+    trun = make_tempered_run(sweep, n_rounds=n_rounds)
+    logger.info("Tempering: %d replicas, ladder %.3f -> %.3f, %d rounds",
+                n_chains, t_max, t_min, n_rounds)
+    out_states, rec = trun(states, ladder, jax.random.PRNGKey(seed + 1))
+    jax.block_until_ready(rec.energy)
+    energy = np.asarray(rec.energy)
+    swap = np.asarray(rec.swap_rate)
+    lines = ["round,swap_rate,energy_min,energy_cold"]
+    for i in range(n_rounds):
+        lines.append(f"{i+1},{swap[i]:.4f},{energy[i].min():.6f},{energy[i, -1]:.6f}")
+    (run_folder / "stats.csv").write_text("\n".join(lines) + "\n")
+    plot_energy_analysis(energy.min(axis=1), swap, save_folder=run_folder)
+    save_checkpoint(run_folder / "checkpoint.npz", out_states, n_rounds,
+                    np.asarray(ladder))
+    np.savez_compressed(run_folder / "history.npz", site_state=np.asarray(rec.site_state),
+                        energy=energy, swap_rate=swap, ladder=np.asarray(ladder))
+    best = float(energy.min())
+    logger.info("Best energy %.4f eV; mean swap rate %.2f", best, swap.mean())
+    return {
+        "energy_hist": energy,
+        "frac_accept_hist": swap,
+        "adsorption_count_hist": np.zeros_like(swap),
+        "best_energy": best,
         "run_folder": run_folder,
     }
 

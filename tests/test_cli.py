@@ -148,3 +148,25 @@ def test_formation_entries_cli(tmp_path):
     assert len(entries) == 1
     assert entries[0]["composition"] == {"Ir": 1, "O": 1, "H": 1}
     assert np.isfinite(entries[0]["formation_energy"])
+
+
+def test_sample_surface_cli_tempering(cu_setup):
+    tmp_path, slab_path, settings_path = cu_setup
+    import json as _json
+
+    s = _json.loads(settings_path.read_text())
+    s["sampling_settings"]["tempering"] = True
+    s["sampling_settings"]["n_chains"] = 8
+    s["sampling_settings"]["t_min"] = 0.05
+    s["sampling_settings"]["t_max"] = 1.0
+    s["sampling_settings"]["run_folder"] = str(tmp_path / "run_pt")
+    p2 = tmp_path / "settings_pt.json"
+    p2.write_text(_json.dumps(s))
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(p2), "--slab", str(slab_path)])
+    run = tmp_path / "run_pt"
+    assert (run / "stats.csv").exists()
+    text = (run / "stats.csv").read_text()
+    assert text.startswith("round,swap_rate")
+    assert (run / "checkpoint.npz").exists()
