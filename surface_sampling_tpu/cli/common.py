@@ -272,19 +272,27 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         "Running %d chains x %d sweeps x %d steps on %s",
         n_chains, sweeps, cfg.sweep_size, jax.devices()[0].platform,
     )
-    out_states, recs = crun(states, jnp.asarray(temps, jnp.float32))
-    jax.block_until_ready(recs.energy)
+    from surface_sampling_tpu.utils.tracing import PhaseTimer, block_and_time
+
+    timer = PhaseTimer()
+    with timer.phase("compile+first_run"):
+        out_states, recs = crun(states, jnp.asarray(temps, jnp.float32))
+        jax.block_until_ready(recs.energy)
 
     energy = np.asarray(recs.energy)              # (chains, sweeps)
     accept = np.asarray(recs.accept_rate)
     n_ads = np.asarray(recs.n_ads)
+    oob = np.asarray(recs.oob_rate)
+    if oob.mean() > 0:
+        logger.warning("%.2f%% of trial moves hit the OOB energy clamp",
+                       100 * oob.mean())
 
     # stats.csv: per-sweep aggregates (reference stats.csv analog)
-    lines = ["sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean"]
+    lines = ["sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean,oob_rate"]
     for i in range(sweeps):
         lines.append(
             f"{i+1},{temps[i]:.6f},{energy[:, i].mean():.6f},{energy[:, i].min():.6f},"
-            f"{accept[:, i].mean():.4f},{n_ads[:, i].mean():.3f}"
+            f"{accept[:, i].mean():.4f},{n_ads[:, i].mean():.3f},{oob[:, i].mean():.4f}"
         )
     (run_folder / "stats.csv").write_text("\n".join(lines) + "\n")
 
@@ -319,6 +327,7 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         temps=temps,
     )
     logger.info("Best surface energy %.4f eV (chain %d sweep %d)", flat[best], bc, bs + 1)
+    logger.info("Timing: %s", timer.report().replace("\n", " | "))
     return {
         "energy_hist": energy,
         "frac_accept_hist": accept,

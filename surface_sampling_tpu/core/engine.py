@@ -38,6 +38,7 @@ class SweepRecord(NamedTuple):
     accept_rate: jnp.ndarray       # (sweeps,)
     n_ads: jnp.ndarray             # (sweeps,)
     positions: jnp.ndarray         # (sweeps, N, 3) relaxed geometry snapshots
+    oob_rate: jnp.ndarray          # (sweeps,) fraction of trial moves OOB-clamped
 
 
 @dataclass(frozen=True)
@@ -115,6 +116,7 @@ def make_run_fn(
                 positions=s.relaxed_positions
                 if cfg.record_positions
                 else jnp.zeros((0, 3), s.relaxed_positions.dtype),
+                oob_rate=jnp.mean(infos.oob.astype(jnp.float32)),
             )
             return s, rec
 

@@ -104,3 +104,24 @@ def test_plots_render(tmp_path):
     plot_specific_weights(np.random.rand(6, 3), np.random.rand(6), 2, save_folder=tmp_path)
     assert (tmp_path / "summary_stats.png").exists()
     assert (tmp_path / "clustering_results.png").exists()
+
+
+def test_phase_timer_and_block_and_time():
+    import time as _time
+
+    from surface_sampling_tpu.utils.tracing import PhaseTimer, block_and_time
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        _time.sleep(0.01)
+    with t.phase("a"):
+        _time.sleep(0.01)
+    with t.phase("b"):
+        pass
+    assert t.counts["a"] == 2
+    assert t.phases["a"] >= 0.02
+    assert "a:" in t.report() and "b:" in t.report()
+
+    out, dt = block_and_time(lambda x: jnp.sum(x * 2), jnp.ones(16))
+    assert float(out) == 32.0
+    assert dt >= 0
