@@ -83,3 +83,32 @@ def make_painn_potential(
     )
     pot.__dict__["outputs"] = outputs  # embeddings/std for analysis layers
     return pot
+
+
+def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV") -> Potential:
+    """Wrap the JAX CHGNet (models/chgnet.py) as a framework Potential —
+    the counterpart of nff's CHGNetNFF calculator. CHGNet checkpoints
+    predict energies in eV directly (intensive per-atom readout summed)."""
+    from surface_sampling_tpu.models.chgnet import chgnet_apply
+
+    factor = UNIT_FACTORS[units]
+    znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
+
+    def outputs(positions, type_idx, alive, shifts):
+        numbers = znums[type_idx] * alive.astype(jnp.int32)
+        return chgnet_apply(params, cfg, positions, numbers, alive, shifts)
+
+    def energy(positions, type_idx, alive, shifts):
+        return outputs(positions, type_idx, alive, shifts)["energy"] * factor
+
+    def per_atom(positions, type_idx, alive, shifts):
+        return outputs(positions, type_idx, alive, shifts)["per_atom_energy"] * factor
+
+    pot = Potential(
+        energy=energy,
+        per_atom_energy=per_atom,
+        cutoff=cfg.atom_graph_cutoff,
+        name="chgnet",
+    )
+    pot.__dict__["outputs"] = outputs
+    return pot

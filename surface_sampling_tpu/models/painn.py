@@ -124,6 +124,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
                    edges=None):
     """Run the trunk; returns per-atom scalar features s (N, F) and the
     edge data used (for diagnostics)."""
+    params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.feat_dim
     N = positions.shape[0]
     disp, d, nbr_j, nbr_mask = (
