@@ -48,7 +48,7 @@ def load_slab(path: str | Path) -> Structure:
 def build_potential(calc_settings: dict, system_settings: dict):
     """Construct a Potential + its type->Z table from calc_settings.
 
-    calc_name: eam | lj | morse | tersoff | sw | nff (PaiNN npz params).
+    calc_name: eam | lj | morse | tersoff | sw | nff (PaiNN) | chgnet.
     EAM additionally exposes its tables via the returned potential's
     ``__dict__["tables"]`` so assemble_system can switch to the static-pair
     fast path once the spec geometry exists.
@@ -108,6 +108,16 @@ def build_potential(calc_settings: dict, system_settings: dict):
             stoidict=offset_data.get("stoidict"),
         )
         return pot, numbers, cfg.cutoff
+    if name == "chgnet":
+        from surface_sampling_tpu.models.convert_chgnet import load_chgnet_npz
+        from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
+
+        params, cfg = load_chgnet_npz(calc_settings["model_path"])
+        elements = calc_settings["elements"]
+        numbers = [Z_FROM_SYMBOL[e] for e in elements]
+        pot = make_chgnet_potential(params, cfg, numbers,
+                                    units=calc_settings.get("model_units", "eV"))
+        return pot, numbers, cfg.atom_graph_cutoff
     if name == "lj":
         from surface_sampling_tpu.potentials import make_lennard_jones
 

@@ -5,11 +5,16 @@ from surface_sampling_tpu.models.ensemble import (
     ensemble_forces_std,
     stack_params,
 )
-from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+from surface_sampling_tpu.models.chgnet import CHGNetConfig, chgnet_apply, init_chgnet
+from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential, make_painn_potential
 from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn, painn_apply
 
 __all__ = [
+    "CHGNetConfig",
     "PaiNNConfig",
+    "chgnet_apply",
+    "init_chgnet",
+    "make_chgnet_potential",
     "ensemble_apply",
     "ensemble_forces_std",
     "init_painn",
