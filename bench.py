@@ -38,12 +38,25 @@ def main() -> None:
     sweep_size = 32
 
     sys = cu100_eam(fast=True)
+    run = sys.run
+    try:
+        # fused Pallas kernel path (fastest); falls back to the XLA cheb path
+        from surface_sampling_tpu.core import MCMCRun
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+        from surface_sampling_tpu.ops.pallas_eam import make_eam_pallas_potential
+        from surface_sampling_tpu.potentials import builtin_eam
+
+        tables = builtin_eam("Cu_u3")
+        nbr = build_static_neighbor_table(sys.spec, tables.cutoff, relax_slack=0.05)
+        run = MCMCRun(sys.spec, make_eam_pallas_potential(tables, nbr))
+    except Exception:
+        pass
     cfg = EngineConfig(sweep_size=sweep_size, record_positions=False)
-    run_fn = make_run_fn(sys.run.d, sys.run.state_energy_fn, cfg)
+    run_fn = make_run_fn(run.d, run.state_energy_fn, cfg)
     crun = make_chain_run(run_fn)
 
-    states = chain_states(sys.run.d, jax.random.PRNGKey(0), n_chains)
-    e0 = jax.jit(jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy))(
+    states = chain_states(run.d, jax.random.PRNGKey(0), n_chains)
+    e0 = jax.jit(jax.vmap(lambda ss: run.state_energy_fn(ss).surface_energy))(
         states.site_state
     )
     states = states._replace(energy=e0)

@@ -179,3 +179,24 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
         return batched_energy(positions, alive_f), True
 
     return energy, batched_energy
+
+
+def make_eam_pallas_potential(tables, nbr_table, **kw):
+    """Wrap the fused kernel as a framework Potential (energy-only: no VJP,
+    so pair with relax=None; per-atom energies fall back to the XLA cheb
+    path for Boltzmann-weighted proposals)."""
+    from surface_sampling_tpu.potentials.base import Potential
+    from surface_sampling_tpu.potentials.eam import make_eam_static
+
+    energy_fn, _ = make_pallas_eam_energy(tables, nbr_table, **kw)
+    xla_pot = make_eam_static(tables, nbr_table, mode="cheb")
+
+    def energy(positions, type_idx, alive, shifts_unused=None):
+        return energy_fn(positions, alive.astype(positions.dtype))
+
+    return Potential(
+        energy=energy,
+        per_atom_energy=xla_pot.per_atom_energy,
+        cutoff=float(tables.cutoff),
+        name="eam-pallas",
+    )
