@@ -128,3 +128,41 @@ def test_cluster_centers_for_even_adsorption():
     assert centers.shape == (3, 2)
     idx = find_closest_points_indices(pts, centers, labels)
     assert len(np.unique(idx)) == 3
+
+
+def test_statistics_module():
+    from surface_sampling_tpu.analysis.statistics import (
+        autocorrelation,
+        compare_distributions,
+        distribution_summary,
+        effective_sample_size,
+        integrated_autocorrelation_time,
+        pooled_chain_energies,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, 4000)
+    b = rng.normal(0.05, 1, 4000)
+    c = rng.normal(3.0, 1, 4000)
+
+    s = distribution_summary(a)
+    assert abs(s["mean"]) < 0.1 and abs(s["std"] - 1) < 0.1
+    near = compare_distributions(a, b)
+    far = compare_distributions(a, c)
+    assert far["wasserstein"] > 10 * near["wasserstein"]
+    assert far["ks_stat"] > near["ks_stat"]
+
+    # iid series: tau ~ 1; AR(1) with phi=0.9: tau ~ (1+phi)/(1-phi) = 19
+    assert integrated_autocorrelation_time(a) < 3
+    x = np.zeros(20000)
+    for i in range(1, len(x)):
+        x[i] = 0.9 * x[i - 1] + rng.normal()
+    tau = integrated_autocorrelation_time(x)
+    assert 8 < tau < 40
+    assert effective_sample_size(x) < len(x) / 5
+
+    acf = autocorrelation(a, max_lag=10)
+    assert np.isclose(acf[0], 1.0)
+
+    pooled = pooled_chain_energies(np.arange(40).reshape(4, 10))
+    assert pooled.shape == (20,)
