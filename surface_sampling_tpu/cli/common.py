@@ -250,7 +250,17 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         ),
         filter_distance=float(samp.get("filter_distance", 0) or 1.5),
         record_positions=bool(samp.get("record_positions", True)),
+        require_per_atom_energies=bool(samp.get("require_per_atom_energies", False)),
+        require_distance_decay=bool(samp.get("require_distance_decay", False)),
     )
+    dwm = None
+    if cfg.require_distance_decay:
+        from surface_sampling_tpu.utils.misc import compute_distance_weight_matrix
+
+        dwm = compute_distance_weight_matrix(
+            asys.spec.site_coords,
+            float(samp.get("distance_decay_factor", 1.0)),
+        )
     d = asys.run.d
     se_fn = asys.run.state_energy_fn
 
@@ -276,7 +286,8 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     if samp.get("tempering", False):
         return _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed)
 
-    run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential)
+    run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential,
+                         distance_weight_matrix=dwm)
     crun = make_chain_run(run_fn)
     logger.info(
         "Running %d chains x %d sweeps x %d steps on %s",

@@ -170,3 +170,46 @@ def test_sample_surface_cli_tempering(cu_setup):
     text = (run / "stats.csv").read_text()
     assert text.startswith("round,swap_rate")
     assert (run / "checkpoint.npz").exists()
+
+
+def test_sample_bulk_cli(tmp_path):
+    """Bulk-defect sampling: all lattice sites prefilled and exchangeable
+    (scripts/sample_bulk.py analog)."""
+    from surface_sampling_tpu.cli.sample_bulk import main
+    from surface_sampling_tpu.potentials.eam import builtin_eam, save_tables_npz
+    from surface_sampling_tpu.structure import bulk
+
+    bulk_path = tmp_path / "bulk.cif"
+    write_cif(bulk_path, bulk("Cu", "fcc", 3.6147))
+    eam_path = tmp_path / "Cu_u3.eam.npz"
+    save_tables_npz(eam_path, builtin_eam("Cu_u3"))
+    settings = {
+        "system_settings": {"cutoff": 4.95},
+        "sampling_settings": {
+            "total_sweeps": 2, "sweep_size": 2, "start_temp": 0.5,
+            "adsorbates": ["Cu"], "n_chains": 2,
+            "run_folder": str(tmp_path / "run_bulk"),
+        },
+        "calc_settings": {"calc_name": "eam", "potential_file": str(eam_path),
+                          "fast": False},
+    }
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps(settings))
+    main(["--settings", str(sp), "--bulk", str(bulk_path)])
+    assert (tmp_path / "run_bulk" / "stats.csv").exists()
+
+
+def test_sample_surface_cli_distance_decay(cu_setup):
+    """Canonical run with distance-decay switch weights through the CLI."""
+    tmp_path, slab_path, settings_path = cu_setup
+    s = json.loads(settings_path.read_text())
+    s["sampling_settings"].update(
+        canonical=True, num_ads_atoms=3, require_distance_decay=True,
+        distance_decay_factor=0.8, run_folder=str(tmp_path / "run_dd"),
+    )
+    p2 = tmp_path / "settings_dd.json"
+    p2.write_text(json.dumps(s))
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(p2), "--slab", str(slab_path)])
+    assert (tmp_path / "run_dd" / "stats.csv").exists()
