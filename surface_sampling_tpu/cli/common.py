@@ -29,12 +29,35 @@ from surface_sampling_tpu.utils import create_anneal_schedule, setup_folders, se
 from surface_sampling_tpu.utils.misc import load_structures_any
 
 
+_PATH_KEYS = ("potential_file", "model_path", "offset_data",
+              "phase_diagram", "pourbaix_diagram")
+
+
 def load_settings(path: str | Path) -> dict:
     settings = json.loads(Path(path).read_text())
     merged_sampling = {**DEFAULT_SAMPLING_SETTINGS, **settings.get("sampling_settings", {})}
     settings["sampling_settings"] = merged_sampling
     settings.setdefault("system_settings", {})
     settings.setdefault("calc_settings", {})
+    # resolve relative file references against the settings file's directory
+    # (not the process cwd — running the CLI from elsewhere must still work)
+    base = Path(path).resolve().parent
+    calc = settings["calc_settings"]
+
+    def resolve(v):
+        p = Path(v)
+        if not p.is_absolute() and (base / p).exists():
+            return str(base / p)
+        return v
+
+    for key in _PATH_KEYS:
+        if isinstance(calc.get(key), str):
+            calc[key] = resolve(calc[key])
+    if isinstance(calc.get("files"), list):
+        calc["files"] = [resolve(f) if isinstance(f, str) else f for f in calc["files"]]
+    if isinstance(calc.get("model_paths"), list):
+        calc["model_paths"] = [resolve(f) if isinstance(f, str) else f
+                               for f in calc["model_paths"]]
     return settings
 
 
