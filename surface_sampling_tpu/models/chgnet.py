@@ -50,7 +50,7 @@ class CHGNetConfig:
     bond_graph_cutoff: float = 3.0
     cutoff_coeff: int = 8        # polynomial envelope exponent p
     max_z: int = 94
-    max_neighbors: int = 48      # atom-graph padding
+    max_neighbors: int = 96      # atom-graph padding (oxides need ~85 at 6 A)
     max_bond_neighbors: int = 12 # bond-graph padding (bonds per atom < 3 A)
     mlp_hidden_dims: tuple = (64, 64, 64)
     is_intensive: bool = True
@@ -203,7 +203,7 @@ def chgnet_apply(params, cfg: CHGNetConfig, positions, numbers, alive, shifts):
     N = positions.shape[0]
     dtype = positions.dtype
 
-    disp, r, nbr_j, nbr_mask, _ = neighbor_list(
+    disp, r, nbr_j, nbr_mask, overflow = neighbor_list(
         positions, shifts, alive, cfg.atom_graph_cutoff, cfg.max_neighbors
     )
     fmask = nbr_mask.astype(dtype)
@@ -278,7 +278,8 @@ def chgnet_apply(params, cfg: CHGNetConfig, positions, numbers, alive, shifts):
     comp = params["composition"][z_idx]
     e_atom = (e_atom_nn + comp) * alive.astype(dtype)
     n_alive = jnp.maximum(jnp.sum(alive.astype(dtype)), 1.0)
-    total = jnp.sum(e_atom)  # intensive-per-atom contributions summed -> eV
+    # reject states whose neighbor graph was truncated (see painn_edges)
+    total = jnp.sum(e_atom) + jnp.where(overflow, 1e6, 0.0).astype(dtype)
     return {
         "per_atom_energy": e_atom,
         "energy": total,

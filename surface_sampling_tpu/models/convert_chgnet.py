@@ -158,6 +158,9 @@ def load_chgnet_npz(path):
         cfg_kw["is_intensive"] = bool(cfg_kw["is_intensive"])
     if "mlp_hidden_dims" in cfg_kw:
         cfg_kw["mlp_hidden_dims"] = tuple(int(x) for x in np.atleast_1d(cfg_kw["mlp_hidden_dims"]))
+    # older conversions saved the (too small) 48-neighbor padding default
+    if cfg_kw.get("max_neighbors", 96) < 96:
+        cfg_kw["max_neighbors"] = 96
     return _unflatten(flat), CHGNetConfig(**cfg_kw)
 
 

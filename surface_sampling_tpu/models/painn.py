@@ -49,7 +49,7 @@ class PaiNNConfig:
     power: float = 12.0
     sigma: float = 1.5
     readout_hidden: int = 64
-    max_neighbors: int = 48
+    max_neighbors: int = 64
 
 
 # ----------------------------------------------------------------------
@@ -116,8 +116,13 @@ def _cosine_envelope(d, cutoff):
 def painn_edges(cfg: PaiNNConfig, positions, alive, shifts):
     """Precompute the padded edge set (shared across ensemble members —
     the geometry is member-independent, so the top_k neighbor search and
-    RBF expansion run once per structure, not once per member)."""
-    return neighbor_list(positions, shifts, alive, cfg.cutoff, cfg.max_neighbors)[:4]
+    RBF expansion run once per structure, not once per member).
+
+    Returns (disp, d, nbr_j, nbr_mask, overflow); ``overflow`` is True when
+    an atom had more in-range neighbors than ``cfg.max_neighbors`` — the
+    energy is then clamped upward so the MC rejects the (over-crowded)
+    state instead of silently using a truncated graph."""
+    return neighbor_list(positions, shifts, alive, cfg.cutoff, cfg.max_neighbors)
 
 
 def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
@@ -127,7 +132,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.feat_dim
     N = positions.shape[0]
-    disp, d, nbr_j, nbr_mask = (
+    disp, d, nbr_j, nbr_mask, _overflow = (
         edges if edges is not None else painn_edges(cfg, positions, alive, shifts)
     )
     fmask = nbr_mask.astype(positions.dtype)[..., None]          # (N, M, 1)
@@ -174,6 +179,9 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
                 edges=None):
     """Full forward: returns dict with per-atom energies (training units),
     total energy, and per-atom embeddings (final scalar features)."""
+    if edges is None:
+        edges = painn_edges(cfg, positions, alive, shifts)
+    overflow = edges[4]
     s, (d, nbr_mask) = painn_features(
         params, cfg, positions, numbers, alive, shifts, edges=edges
     )
@@ -185,8 +193,12 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         r_pow = (cfg.sigma / jnp.maximum(d, 1e-3)) ** cfg.power
         e_excl = jnp.sum(jnp.where(nbr_mask, r_pow, 0.0), axis=1)
         e_atom = e_atom + e_excl
+    # truncated neighbor graphs make energies unreliable: push the total
+    # far up so the Metropolis/OOB machinery rejects such states
+    penalty = jnp.where(overflow, 1e6, 0.0).astype(e_atom.dtype)
     return {
         "per_atom_energy": e_atom,
-        "energy": jnp.sum(e_atom),
+        "energy": jnp.sum(e_atom) + penalty,
         "embedding": s,
+        "overflow": overflow,
     }

@@ -152,6 +152,7 @@ def srtio3_001_painn(
     chem_pots: dict | None = None,
     adsorbates: tuple[str, ...] = ("Sr", "Ti", "O"),
     n_models: int = 3,
+    max_neighbors: int = 64,
     dtype=None,
 ) -> ExampleSystem:
     """SrTiO3(001) 2x2 slab with the reference's trained PaiNN ensemble —
@@ -179,11 +180,14 @@ def srtio3_001_painn(
     offset_data = _json.loads((_DATA / "srtio3_offset_data.json").read_text())
     chem_pots = chem_pots or {"Sr": -2.0, "Ti": 0.0, "O": 0.0}
 
+    import dataclasses as _dc
+
     model_dir = Path(__file__).parent / "models" / "data"
     plist, cfg = [], None
     for i in range(1, n_models + 1):
         p, cfg = load_params_npz(model_dir / f"srtio3_painn_{i:02d}.npz")
         plist.append(p)
+    cfg = _dc.replace(cfg, max_neighbors=max_neighbors)
     params = stack_params(plist) if n_models > 1 else plist[0]
 
     type_numbers = [Z_FROM_SYMBOL[s] for s in ("Sr", "Ti", "O")]
