@@ -20,6 +20,8 @@ import optax
 
 from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn, painn_apply
 
+train_model = None  # alias assigned below
+
 
 class PaddedBatch(NamedTuple):
     """Fixed-shape training batch (B structures padded to N_max atoms);
@@ -65,12 +67,15 @@ class TrainConfig:
     grad_clip: float = 10.0
 
 
-def make_loss_fn(cfg: PaiNNConfig, tcfg: TrainConfig):
+def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
+    """Energy+force loss; ``apply_fn(params, cfg, ...)`` may be any of the
+    model families (painn_apply, chgnet_apply, mace_apply)."""
+
     def single_loss(params, positions, numbers, shifts, e_ref, f_ref):
         alive = numbers > 0
 
         def e_of(pos):
-            return painn_apply(params, cfg, pos, numbers, alive, shifts)["energy"]
+            return apply_fn(params, cfg, pos, numbers, alive, shifts)["energy"]
 
         e, g = jax.value_and_grad(e_of)(positions)
         f = -g
@@ -96,18 +101,20 @@ def make_loss_fn(cfg: PaiNNConfig, tcfg: TrainConfig):
 
 def train_painn(
     params,
-    cfg: PaiNNConfig,
+    cfg,
     batches: list[PaddedBatch] | Iterator[PaddedBatch],
     tcfg: TrainConfig = TrainConfig(),
     ensemble: bool = False,
+    apply_fn=painn_apply,
 ):
-    """Train (or fine-tune) PaiNN params; returns (params, loss_history).
+    """Train (or fine-tune) model params; returns (params, loss_history).
 
-    With ensemble=True, ``params`` carries a leading member axis and every
-    member trains in parallel (vmapped update) on the same data.
+    Works for every model family via ``apply_fn`` (painn_apply default,
+    chgnet_apply, mace_apply). With ensemble=True, ``params`` carries a
+    leading member axis and every member trains in parallel.
     """
     batches = list(batches)
-    loss_fn = make_loss_fn(cfg, tcfg)
+    loss_fn = make_loss_fn(cfg, tcfg, apply_fn=apply_fn)
     opt = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), optax.adam(tcfg.learning_rate))
 
     def to_device(b: PaddedBatch):
@@ -159,3 +166,7 @@ def init_ensemble(key, cfg: PaiNNConfig, n_members: int):
 
     keys = jax.random.split(key, n_members)
     return stack_params([init_painn(k, cfg) for k in keys])
+
+
+# family-agnostic alias (train_painn predates the other families)
+train_model = train_painn

@@ -95,3 +95,55 @@ def test_prediction_helpers(lj_dataset):
     assert res.shape == (B,)
     sv = get_system_val(np.asarray(pred["forces"]), batch.numbers, "max")
     assert sv.shape == (B,)
+
+
+def test_mace_trains_and_is_invariant(lj_dataset):
+    from surface_sampling_tpu.models.mace import MACEConfig, init_mace, mace_apply
+    from surface_sampling_tpu.models.train import train_painn
+
+    structures, energies, forces = lj_dataset
+    cfg = MACEConfig(feat_dim=16, n_rbf=6, cutoff=6.0, n_layers=2,
+                     max_neighbors=6, readout_hidden=8)
+    batch = pad_structures(structures, energies, forces, cfg.cutoff)
+    params = init_mace(jax.random.PRNGKey(0), cfg)
+    params, hist = train_painn(
+        params, cfg, [batch], TrainConfig(epochs=50, learning_rate=3e-3),
+        apply_fn=mace_apply,
+    )
+    assert hist[-1] < 0.6 * hist[0]
+
+    # invariances
+    pos = jnp.asarray(structures[0].positions, jnp.float32)
+    nums = jnp.asarray(structures[0].numbers)
+    alive = jnp.ones(len(nums), bool)
+    shifts = jnp.zeros((1, 3))
+    e0 = float(mace_apply(params, cfg, pos, nums, alive, shifts)["energy"])
+    e_t = float(mace_apply(params, cfg, pos + 2.5, nums, alive, shifts)["energy"])
+    assert np.isclose(e0, e_t, atol=1e-4)
+    th = 0.8
+    rot = jnp.asarray([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]],
+                      jnp.float32)
+    e_r = float(mace_apply(params, cfg, pos @ rot.T, nums, alive, shifts)["energy"])
+    assert np.isclose(e0, e_r, atol=1e-3)
+
+
+def test_mace_potential_mc_smoke(lj_dataset):
+    from surface_sampling_tpu.core import MCMCRun, make_spec
+    from surface_sampling_tpu.core.events import make_semigrand_step
+    from surface_sampling_tpu.models.mace import MACEConfig, init_mace, make_mace_potential
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+    cfg = MACEConfig(feat_dim=8, n_rbf=4, cutoff=4.0, n_layers=1, max_neighbors=16)
+    params = init_mace(jax.random.PRNGKey(1), cfg)
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6, vacuum=10.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.5)["ontop"]
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29], cutoff=4.0)
+    pot = make_mace_potential(params, cfg, [29])
+    run = MCMCRun(spec, pot)
+    state = run.init_state(jax.random.PRNGKey(2))
+    step = jax.jit(lambda s: make_semigrand_step(run.d, run.state_energy_fn)(
+        s, jnp.asarray(1.0)))
+    for _ in range(3):
+        state, info = step(state)
+    assert np.isfinite(float(state.energy))
