@@ -183,6 +183,7 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
             planar_distance=sys_s.get("planar_distance", 2.0),
             near_reduce=sys_s.get("near_reduce", 0.01),
             no_obtuse_hollow=sys_s.get("no_obtuse_hollow", True),
+            symm_reduce=sys_s.get("symm_reduce", False),
         )[sys_s.get("ads_site_type", "all")]
     ads_coords = np.asarray(ads_coords)
 

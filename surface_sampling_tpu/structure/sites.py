@@ -16,6 +16,99 @@ from scipy.spatial import Delaunay
 from surface_sampling_tpu.structure.atoms import Structure
 
 
+def find_surface_symmetry_ops(
+    slab: Structure, tol: float = 1e-3
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Numerically detect the slab's in-plane space-group operations.
+
+    Enumerate the 2D rotation/mirror parts W (integer matrices in the
+    fractional basis preserving the in-plane metric, W^T G W = G) and, for
+    each, candidate fractional translations t mapping the atom set onto
+    itself (species- and z-preserving). Returns a list of (W, t) with
+    fractional 2-vectors t. This is the machinery behind symm_reduce in
+    pymatgen's AdsorbateSiteFinder (reference mcmc/system.py:247), rebuilt
+    without spglib.
+    """
+    cell2d = slab.cell[:2, :2]
+    G = cell2d @ cell2d.T
+    frac3 = slab.scaled_positions
+    frac = frac3[:, :2] % 1.0
+    z = slab.positions[:, 2]
+    species = slab.numbers
+
+    # candidate integer rotation parts (entries -2..2 covers hex lattices)
+    ops: list[np.ndarray] = []
+    rng = (-2, -1, 0, 1, 2)
+    for a in rng:
+        for b in rng:
+            for c in rng:
+                for d in rng:
+                    W = np.array([[a, b], [c, d]], dtype=np.int64)
+                    if abs(round(np.linalg.det(W))) != 1:
+                        continue
+                    if np.allclose(W.T @ G @ W, G, atol=tol * np.abs(G).max()):
+                        ops.append(W)
+
+    def maps_structure(W, t) -> bool:
+        img = (frac @ W.T + t) % 1.0
+        for i in range(len(frac)):
+            d2 = img[i] - frac
+            d2 -= np.round(d2)
+            cart = d2 @ cell2d
+            match = (
+                (np.einsum("ij,ij->i", cart, cart) < tol**2)
+                & (np.abs(z - z[i]) < 1e-3)
+                & (species == species[i])
+            )
+            if not match.any():
+                return False
+        return True
+
+    found: list[tuple[np.ndarray, np.ndarray]] = []
+    anchor = int(np.argmin(species))  # any deterministic anchor atom
+    same = np.where((species == species[anchor]) & (np.abs(z - z[anchor]) < 1e-3))[0]
+    for W in ops:
+        for j in same:
+            t = (frac[j] - frac[anchor] @ W.T) % 1.0
+            if maps_structure(W, t):
+                if not any(
+                    np.array_equal(W, W2) and np.allclose(t, t2, atol=1e-4)
+                    for W2, t2 in found
+                ):
+                    found.append((W, t))
+    return found
+
+
+def symmetry_reduce_sites(
+    slab: Structure, sites: np.ndarray, tol: float = 0.05
+) -> np.ndarray:
+    """Keep one representative per symmetry orbit of adsorption sites
+    (pymatgen symm_reduce analog)."""
+    if len(sites) == 0:
+        return sites
+    ops = find_surface_symmetry_ops(slab)
+    cell2d = slab.cell[:2, :2]
+    frac = np.linalg.solve(slab.cell.T, sites.T).T[:, :2] % 1.0
+    kept: list[int] = []
+    for i in range(len(sites)):
+        dup = False
+        for W, t in ops:
+            img = (frac[i] @ W.T + t) % 1.0
+            for j in kept:
+                d = img - frac[j]
+                d -= np.round(d)
+                if np.linalg.norm(d @ cell2d) < tol and abs(
+                    sites[i, 2] - sites[j, 2]
+                ) < 1e-3:
+                    dup = True
+                    break
+            if dup:
+                break
+        if not dup:
+            kept.append(i)
+    return sites[np.array(kept, dtype=int)]
+
+
 def find_adsorption_sites(
     slab: Structure,
     site_types: tuple[str, ...] = ("ontop", "bridge", "hollow"),
@@ -24,6 +117,7 @@ def find_adsorption_sites(
     near_reduce: float = 0.01,
     no_obtuse_hollow: bool = True,
     put_inside: bool = True,
+    symm_reduce: bool = False,
 ) -> dict[str, np.ndarray]:
     """Find adsorption sites above the top surface of a slab.
 
@@ -100,6 +194,8 @@ def find_adsorption_sites(
             if put_inside:
                 arr = _wrap_xy(arr, slab.cell)
             arr = _near_reduce(arr, slab.cell, near_reduce)
+            if symm_reduce:
+                arr = symmetry_reduce_sites(slab, arr)
         out[fam] = arr
         all_sites.append(arr)
     allarr = np.concatenate(all_sites) if all_sites else np.zeros((0, 3))

@@ -155,3 +155,33 @@ def test_structure_add_and_select():
     assert len(s) == 8
     sel = s.select(s.numbers == 79)
     assert sel.formula == "Au4"
+
+
+def test_surface_symmetry_ops_fcc100():
+    """fcc(100) slab has the p4m surface group: 8 point ops (x lattice
+    translations detected as distinct fractional t's)."""
+    from surface_sampling_tpu.structure.sites import find_surface_symmetry_ops
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=10.0)
+    ops = find_surface_symmetry_ops(slab)
+    # rotation parts present: at least identity, C4, C2, mirrors
+    ws = {tuple(W.flatten()) for W, t in ops}
+    assert (1, 0, 0, 1) in ws            # identity
+    assert (0, -1, 1, 0) in ws           # 90-degree rotation
+    assert (-1, 0, 0, -1) in ws          # 180
+    assert (1, 0, 0, -1) in ws or (-1, 0, 0, 1) in ws  # mirror
+    assert len(ops) >= 8
+
+
+def test_symm_reduce_collapses_equivalent_sites():
+    """On fcc(100) 2x2, the 4 ontop sites are all symmetry-equivalent ->
+    one representative (the reference's Cu test uses symm_reduce=True)."""
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=10.0)
+    full = find_adsorption_sites(slab, planar_distance=1.5)
+    red = find_adsorption_sites(slab, planar_distance=1.5, symm_reduce=True)
+    assert len(red["ontop"]) == 1
+    assert len(red["bridge"]) < len(full["bridge"])
+    assert len(red["hollow"]) < len(full["hollow"])
+    # reduced sites are a subset of the full set
+    for s in red["ontop"]:
+        assert np.min(np.linalg.norm(full["ontop"] - s, axis=1)) < 1e-8
