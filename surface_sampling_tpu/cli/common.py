@@ -116,6 +116,10 @@ def build_potential(calc_settings: dict, system_settings: dict):
             params, cfg = load_params_npz(p)
             plist.append(params)
         params = stack_params(plist) if len(plist) > 1 else plist[0]
+        if calc_settings.get("max_neighbors"):
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, max_neighbors=int(calc_settings["max_neighbors"]))
         elements = calc_settings["elements"]
         numbers = [Z_FROM_SYMBOL[e] for e in elements]
         offset_data = calc_settings.get("offset_data") or {}
@@ -216,10 +220,14 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         potential = make_eam_static(tables, nbr, mode="cheb")
 
     if surface_energy_fn is None and calc_s.get("offset", False):
+        offset_data = calc_s["offset_data"]
+        if isinstance(offset_data, str):
+            offset_data = json.loads(Path(offset_data).read_text())
+            calc_s["offset_data"] = offset_data
         surface_energy_fn = make_offset_surface_energy(
             spec,
             calc_s.get("chem_pots", {}),
-            calc_s["offset_data"],
+            offset_data,
             offset_units=calc_s.get("offset_units", "atomic"),
         )
 

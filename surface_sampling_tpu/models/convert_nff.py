@@ -147,8 +147,11 @@ def load_params_npz(path):
             name = k[len("__cfg__"):]
             v = d[k].item()
             cfg_kw[name] = v
-    # restore python types
-    for int_key in ("feat_dim", "n_rbf", "n_layers", "max_z", "readout_hidden", "max_neighbors"):
+    # restore python types; max_neighbors is a runtime padding knob, not a
+    # checkpoint property — always take the current default (older npz saved
+    # a too-small 48 that silently truncated crowded graphs)
+    cfg_kw.pop("max_neighbors", None)
+    for int_key in ("feat_dim", "n_rbf", "n_layers", "max_z", "readout_hidden"):
         if int_key in cfg_kw:
             cfg_kw[int_key] = int(cfg_kw[int_key])
     if "excl_vol" in cfg_kw:

@@ -117,3 +117,24 @@ def test_srtio3_adsorption_step_smoke():
     for _ in range(2):
         state, info = step(state)
     assert np.isfinite(float(state.energy))
+
+
+def test_srtio3_relaxed_surface_energy_matches_tutorial():
+    """Full-stack parity: FIRE-relaxed pristine surface energy through the
+    CLI assembly path matches the tutorial's printed 'Surface energy
+    12.471 eV' (BFGS-relaxed) to a couple of meV."""
+    import json
+
+    from surface_sampling_tpu.cli.common import assemble_system, load_settings
+    from surface_sampling_tpu.structure import Structure
+
+    s = load_settings("examples/configs/srtio3_painn.json")
+    d = np.load("surface_sampling_tpu/systems_data/SrTiO3_001_2x2.npz")
+    slab = Structure(d["numbers"], d["positions"], d["cell"])
+    asys = assemble_system(s, slab)
+    se = float(
+        asys.run.state_energy_fn(
+            jnp.zeros(asys.spec.n_sites, jnp.int32)
+        ).surface_energy
+    )
+    assert abs(se - 12.471) < 0.02
