@@ -23,11 +23,18 @@ logger = logging.getLogger(__name__)
 def pca_whiten(X: np.ndarray, n_components: int = 32):
     """PCA with whitening (sklearn-equivalent); returns (X_r, evr)."""
     X = np.asarray(X, dtype=np.float64)
+    if not np.isfinite(X).all():
+        bad = np.where(~np.isfinite(X).all(axis=1))[0]
+        raise ValueError(
+            f"embeddings contain non-finite values (rows {bad[:8].tolist()}"
+            f"{'...' if len(bad) > 8 else ''}); the model likely diverged or "
+            "produced overflow on these structures"
+        )
     n_components = min(n_components, *X.shape)
     mu = X.mean(axis=0)
     Xc = X - mu
     U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
-    evr = (S**2) / np.sum(S**2)
+    evr = (S**2) / max(np.sum(S**2), np.finfo(np.float64).tiny)  # all-identical rows -> evr 0
     X_r = U[:, :n_components] * np.sqrt(X.shape[0] - 1)
     return X_r, evr[:n_components]
 

@@ -4,6 +4,7 @@ from surface_sampling_tpu.core.energy import (
     RelaxConfig,
     SymmetricSlabConfig,
     identity_surface_energy,
+    make_chem_pot_surface_energy,
     make_offset_surface_energy,
     make_state_energy_fn,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "identity_surface_energy",
     "initial_state",
     "make_canonical_step",
+    "make_chem_pot_surface_energy",
     "make_offset_surface_energy",
     "make_run_fn",
     "make_semigrand_step",

@@ -52,6 +52,23 @@ def identity_surface_energy(e_pot, counts):
     return e_pot
 
 
+def make_chem_pot_surface_energy(spec: SurfaceSpec, chem_pots: dict[str, float]) -> Callable:
+    """Plain semigrand surface energy E_pot - sum_e mu_e * n_e (the
+    reference's default when no bulk-reference offset table is supplied;
+    mcmc.py chem-pot bookkeeping without calculators.py offsets)."""
+    coeff = np.zeros(len(spec.element_zs))
+    for sym, mu in chem_pots.items():
+        idx = np.where(spec.element_zs == Z_FROM_SYMBOL[sym])[0]
+        if len(idx):
+            coeff[int(idx[0])] = mu
+    coeff_j = jnp.asarray(coeff)
+
+    def surface_energy(e_pot, counts):
+        return e_pot - jnp.dot(counts, coeff_j.astype(counts.dtype))
+
+    return surface_energy
+
+
 def make_offset_surface_energy(
     spec: SurfaceSpec,
     chem_pots: dict[str, float],

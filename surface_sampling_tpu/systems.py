@@ -213,6 +213,59 @@ def srtio3_001_painn(
     return ExampleSystem(spec, pot, run)
 
 
+def lamno3_001_chgnet(
+    planar_distance: float = 1.6,
+    surface_depth: int = 1,
+    adsorbates: tuple[str, ...] = ("O", "HO", "H2O"),
+    chem_pots: dict | None = None,
+    relax: RelaxConfig | None = None,
+    max_neighbors: int = 96,
+    dtype=None,
+) -> ExampleSystem:
+    """LaMnO3(001) 2x2x3 slab with the reference's fine-tuned CHGNet —
+    the electrochemical (Pourbaix) sampling system (scripts/
+    sample_pourbaix_surface.py, tutorials/data/LaMnO3_001: O/OH/H2O
+    adsorption on the MnO2 termination under aqueous conditions).
+
+    Geometry and weights converted from the reference's fixtures
+    (systems_data/LaMnO3_001_2x2x3.npz, models/data/lamno3_chgnet.npz).
+    The surface energy here is a plain chem-pot offset; for the full
+    Pourbaix grand potential at (pH, phi) build the se_fn with
+    pourbaix.make_pourbaix_surface_energy (see examples/07)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core.energy import make_chem_pot_surface_energy
+    from surface_sampling_tpu.models.convert_chgnet import load_chgnet_npz
+    from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
+
+    data = np.load(_DATA / "LaMnO3_001_2x2x3.npz")
+    slab = Structure(data["numbers"], data["positions"], data["cell"])
+    sites = find_adsorption_sites(
+        slab, planar_distance=planar_distance, near_reduce=0.01, no_obtuse_hollow=True
+    )["all"]
+    params, cfg = load_chgnet_npz(Path(__file__).parent / "models" / "data" / "lamno3_chgnet.npz")
+    if max_neighbors != cfg.max_neighbors:
+        cfg = _dc.replace(cfg, max_neighbors=max_neighbors)
+
+    type_numbers = [Z_FROM_SYMBOL[s] for s in ("La", "Mn", "O", "H")]
+    spec = make_spec(
+        slab,
+        sites,
+        list(adsorbates),
+        potential_numbers=type_numbers,
+        cutoff=cfg.atom_graph_cutoff,
+        surface_depth=surface_depth,
+        surface_name="LaMnO3_001",
+    )
+    pot = make_chgnet_potential(params, cfg, type_numbers, units="eV")
+    chem_pots = chem_pots or {"O": -5.0, "H": -3.0}
+    se_fn = make_chem_pot_surface_energy(spec, chem_pots)
+    run = MCMCRun(spec, pot, surface_energy_fn=se_fn, relax=relax, dtype=dtype or jnp.float32)
+    return ExampleSystem(spec, pot, run)
+
+
 def au110_eam(relax: RelaxConfig | None = None, dtype=None) -> ExampleSystem:
     """Au(110) 2x2 canonical test system with the reference's exact geometry
     (tests/test_Au.py:31-44: 16-atom slab, 8 pre-identified sites,

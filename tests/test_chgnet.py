@@ -129,3 +129,25 @@ def test_chgnet_forces_and_mc_step(lamno3):
         realize_alive(run.d, ss), run.d.shifts,
     )
     assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_lamno3_prebuilt_system():
+    """systems.lamno3_001_chgnet: spec builds, pristine SE = E (no ads), and
+    the chem-pot surface energy subtracts mu_e * n_e after an O adsorption."""
+    from surface_sampling_tpu.core.state import change_site
+    from surface_sampling_tpu.systems import lamno3_001_chgnet
+
+    sys_ = lamno3_001_chgnet(chem_pots={"O": -5.0, "H": -3.0})
+    assert sys_.spec.n_sites > 0
+    pristine = jnp.zeros(sys_.spec.n_sites, jnp.int32)
+    out0 = sys_.run.state_energy_fn(pristine)
+    # no adsorbates: counts contribution is the slab's own mu terms, which
+    # the chem-pot form also subtracts -> SE differs from E by a constant;
+    # adding one O (code 1) must change SE by dE_pot + 5.0 exactly
+    ss1 = np.asarray(pristine).copy()
+    ss1[0] = 1  # adsorbate vocab: ("O", "HO", "H2O") -> code 1 is O
+    out1 = sys_.run.state_energy_fn(jnp.asarray(ss1))
+    d_se = float(out1.surface_energy - out0.surface_energy)
+    d_e = float(out1.potential_energy - out0.potential_energy)
+    assert np.isclose(d_se, d_e + 5.0, atol=1e-4)
+    assert np.isfinite(d_e)
