@@ -1,10 +1,23 @@
 """Create surface formation-energy entries for Pourbaix analysis
 (scripts/create_surface_formation_entries.py analog).
 
-Computes NN (or classical) energies of sampled surfaces, applies the
-surface-OH compatibility corrections (pourbaix/utils.py), subtracts
-elemental reference energies from a phase diagram, and writes a JSON list
-of {composition, energy, formation_energy} entries.
+Computes NN (or classical) energies of sampled surfaces — optionally after
+an on-device FIRE relaxation (reference --relax/optimize_slab) — applies
+composition-based energy corrections, subtracts elemental reference
+energies from a phase diagram, and writes a JSON list of entries.
+
+Corrections (all opt-in, mirroring the reference's pipeline):
+  * --oh-correction: SurfaceOHCompatibility ZPE-TS (+0.23 eV/OH) and
+    hydrogen-bond (-0.30 eV/OH) terms (pourbaix/utils.py).
+  * --oxide-correction [EV_PER_O]: MP2020-style anion correction per O atom
+    (MaterialsProject2020Compatibility oxide value -0.687 eV/O by default;
+    the reference applies the full pymatgen compatibility object, which for
+    oxide slabs reduces to this per-O term).
+
+Each output entry records GGA+U-style metadata (run_type, hubbards) like
+the reference's ComputedStructureEntry parameters
+(create_surface_formation_entries.py:42-49,165-180), so entries remain
+annotated for downstream surface-Pourbaix construction.
 """
 
 from __future__ import annotations
@@ -14,6 +27,10 @@ import json
 from collections import Counter
 from pathlib import Path
 
+# reference create_surface_formation_entries.py:42-49
+DFT_U_VALUES = {"La": 0.0, "Mn": 3.9, "Pt": 0.0, "O": 0.0, "Ir": 0.0, "H": 0.0}
+MP2020_OXIDE_CORRECTION = -0.687  # eV per O (MP2020 anion correction, oxides)
+
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -22,6 +39,14 @@ def main(argv=None) -> None:
     ap.add_argument("--phase-diagram", required=True, help="pd_dict.json for element refs")
     ap.add_argument("--oh-correction", action="store_true",
                     help="apply SurfaceOHCompatibility corrections")
+    ap.add_argument("--oxide-correction", nargs="?", type=float,
+                    const=MP2020_OXIDE_CORRECTION, default=None, metavar="EV_PER_O",
+                    help="MP2020-style per-O anion correction "
+                         f"(default {MP2020_OXIDE_CORRECTION} eV/O when given bare)")
+    ap.add_argument("--relax", action="store_true",
+                    help="FIRE-relax each structure before the energy evaluation")
+    ap.add_argument("--relax-steps", type=int, default=20)
+    ap.add_argument("--fmax", type=float, default=0.01)
     ap.add_argument("--out", default="surface_formation_entries.json")
     args = ap.parse_args(argv)
 
@@ -42,19 +67,47 @@ def main(argv=None) -> None:
     for f in args.structures:
         structures.extend(load_structures_any(f))
 
+    relax_fn = None
+    if args.relax:
+        import jax
+
+        from surface_sampling_tpu.core.relax import FireConfig, fire_relax
+
+        fcfg = FireConfig(steps=args.relax_steps, fmax=args.fmax)
+
+        @jax.jit
+        def relax_fn(positions, ti, alive, shifts):
+            def e_fn(pos):
+                return pot.energy(pos, ti, alive, shifts)
+
+            res = fire_relax(e_fn, positions, jnp.ones(positions.shape[0], bool), fcfg)
+            return res.positions
+
     entries = []
     for st in structures:
         shifts = jnp.asarray(pair_shifts_for(st.cell, st.scaled_positions, cutoff), jnp.float32)
         ti = jnp.asarray([z_to_type.get(int(z), 0) for z in st.numbers], jnp.int32)
-        e = float(
-            pot.energy(jnp.asarray(st.positions, jnp.float32), ti,
-                       jnp.ones(len(st), bool), shifts)
-        )
+        alive = jnp.ones(len(st), bool)
+        pos = jnp.asarray(st.positions, jnp.float32)
+        if relax_fn is not None:
+            pos = relax_fn(pos, ti, alive, shifts)
+        e = float(pot.energy(pos, ti, alive, shifts))
         comp = dict(Counter(st.symbols))
         if args.oh_correction:
             e = compat.process_entry_energy(e, comp)
+        if args.oxide_correction is not None:
+            e += args.oxide_correction * comp.get("O", 0)
         e_form = e - sum(n * pd.el_refs[el] for el, n in comp.items() if el in pd.el_refs)
-        entries.append({"composition": comp, "energy": e, "formation_energy": e_form})
+        entries.append({
+            "composition": comp,
+            "energy": e,
+            "formation_energy": e_form,
+            "parameters": {
+                "run_type": "GGA+U",
+                "is_hubbard": True,
+                "hubbards": {el: DFT_U_VALUES.get(el, 0.0) for el in comp},
+            },
+        })
 
     Path(args.out).write_text(json.dumps(entries, indent=1))
     print(f"Wrote {len(entries)} entries -> {args.out}")

@@ -69,6 +69,32 @@ def load_labelled_structures(path: str | Path):
     return structures, np.asarray(energies), forces
 
 
+def make_uncertainty_dataset(structures, cutoff: float, n_max=None):
+    """Unlabelled scoring batch: pad structures into one PaddedBatch with
+    zero energy/force labels (mcmc/uncertainty/utils.py:12-26 analog —
+    the reference builds an nff Dataset of AtomsBatches; here scoring and
+    training share the same fixed-shape tensors)."""
+    from surface_sampling_tpu.models.train import pad_structures
+
+    energies = np.zeros(len(structures))
+    forces = [np.zeros((len(s), 3)) for s in structures]
+    return pad_structures(structures, energies, forces, cutoff, n_max=n_max)
+
+
+def make_clustering_dataset(structures, center_idx_list, cutoff: float, n_max=None):
+    """Scoring batch plus per-structure center masks (B, N): True on the
+    atoms whose embeddings should be pooled (e.g. surface atoms only) —
+    mcmc/uncertainty/utils.py:40-59 analog, where ``center_idx`` feeds
+    torch_scatter pooling; here it is a padded boolean mask consumed by
+    models.prediction.get_embedding(..., center_mask=...)."""
+    batch = make_uncertainty_dataset(structures, cutoff, n_max=n_max)
+    B, N = batch.numbers.shape
+    center_mask = np.zeros((B, N), bool)
+    for b, idx in enumerate(center_idx_list):
+        center_mask[b, np.asarray(idx, dtype=np.int64)] = True
+    return batch, center_mask
+
+
 def get_train_val_test_loader(
     path: str | Path,
     cutoff: float,

@@ -43,11 +43,16 @@ def get_prediction(params, cfg: PaiNNConfig, batch, ensemble: bool = False):
     return {"energy": e, "forces": f, "embedding": emb, "energy_std": estd}
 
 
-def get_embedding(pred: dict, numbers: np.ndarray, pool: str = "mean") -> np.ndarray:
+def get_embedding(pred: dict, numbers: np.ndarray, pool: str = "mean",
+                  center_mask: np.ndarray | None = None) -> np.ndarray:
     """Per-system pooled embeddings from per-atom ones (prediction.py:126
-    scatter_sum analog, on padded batches)."""
+    scatter_sum analog, on padded batches). ``center_mask`` (B, N) restricts
+    pooling to selected atoms (e.g. surface atoms from
+    models.dataset.make_clustering_dataset)."""
     emb = np.asarray(pred["embedding"])            # (B, N, F)
     alive = np.asarray(numbers) > 0                # (B, N)
+    if center_mask is not None:
+        alive = alive & np.asarray(center_mask, bool)
     w = alive[..., None].astype(emb.dtype)
     summed = (emb * w).sum(axis=1)
     if pool == "sum":

@@ -49,6 +49,50 @@ def compute_distance_weight_matrix(
     return w
 
 
+def group_layers_with_indices(z: np.ndarray, threshold: float = 0.1):
+    """Group sorted z coordinates into layers split where the gap between
+    consecutive atoms exceeds ``threshold``; returns (layer_z, layer_indices)
+    lists ordered bottom-up (mcmc/uncertainty/utils.py:93-111 analog)."""
+    z = np.asarray(z, float)
+    order = np.argsort(z)
+    zs = z[order]
+    breaks = np.where(np.diff(zs) > threshold)[0] + 1
+    layer_z = np.split(zs, breaks)
+    layer_idx = np.split(order, breaks)
+    return [a for a in layer_z], [a for a in layer_idx]
+
+
+def preprocess_traj(
+    structures: list[Structure],
+    z_cutoff: int | None = None,
+    z_threshold: float = 0.1,
+) -> list[Structure]:
+    """Trim the bottom ``z_cutoff`` atomic layers from each sampled structure
+    and shift the remainder down by the removed height — the reference's
+    dataset-preparation step before uncertainty/clustering scoring
+    (mcmc/uncertainty/utils.py:62-90 analog). With z_cutoff=None, structures
+    are only z-sorted."""
+    out = []
+    for st in structures:
+        z = st.positions[:, 2]
+        if z_cutoff is None:
+            out.append(st.select(np.argsort(z)))
+            continue
+        layer_z, layer_idx = group_layers_with_indices(z, z_threshold)
+        if z_cutoff >= len(layer_z):
+            raise ValueError(
+                f"z_cutoff={z_cutoff} >= number of layers {len(layer_z)}"
+            )
+        keep = np.ones(len(st), bool)
+        for idx in layer_idx[:z_cutoff]:
+            keep[idx] = False
+        shift = np.mean(layer_z[z_cutoff]) - np.mean(layer_z[0])
+        red = st.select(keep)
+        red.positions = red.positions - np.array([0.0, 0.0, shift])
+        out.append(red)
+    return out
+
+
 def load_structures_any(path: str | Path) -> list[Structure]:
     """Load structures from .npz bundles, .cif, .xyz, or a .txt list of
     paths (mcmc/utils/misc.py:90-115 analog)."""

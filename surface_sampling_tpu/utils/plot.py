@@ -140,3 +140,28 @@ def plot_specific_weights(coords, weights, site_idx, save_folder=None, run_iter:
     ax.set_ylabel("y (A)")
     fig.colorbar(sc, ax=ax)
     return _save(fig, save_folder, f"specific_weights_iter_{run_iter:04d}.png")
+
+def plot_surfaces(structures, save_folder=None, max_cols: int = 4,
+                  save_prepend: str = ""):
+    """Top-view (x, y) scatter grid of surface structures, sized by z and
+    colored by atomic number (mcmc/utils/plot.py:282-308 analog)."""
+    structures = list(structures)
+    n = len(structures)
+    cols = min(max_cols, max(n, 1))
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows),
+                             squeeze=False)
+    for k, st in enumerate(structures):
+        ax = axes[k // cols][k % cols]
+        z = st.positions[:, 2]
+        zspan = max(z.max() - z.min(), 1e-6)
+        size = 20 + 60 * (z - z.min()) / zspan
+        sc = ax.scatter(st.positions[:, 0], st.positions[:, 1], s=size,
+                        c=st.numbers, cmap="viridis", edgecolors="k",
+                        linewidths=0.3)
+        ax.set_title(st.formula, fontsize=8)
+        ax.set_aspect("equal")
+    for k in range(n, rows * cols):
+        axes[k // cols][k % cols].axis("off")
+    fig.tight_layout()
+    return _save(fig, save_folder, f"{save_prepend}surfaces.png")

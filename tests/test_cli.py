@@ -148,6 +148,21 @@ def test_formation_entries_cli(tmp_path):
     assert len(entries) == 1
     assert entries[0]["composition"] == {"Ir": 1, "O": 1, "H": 1}
     assert np.isfinite(entries[0]["formation_energy"])
+    assert entries[0]["parameters"]["hubbards"]["Mn"] if "Mn" in entries[0]["composition"] else True
+    # oxide correction shifts the energy by exactly -0.687 eV per O;
+    # relaxation must not raise the energy
+    out2 = tmp_path / "entries2.json"
+    main(["--structures", str(p), "--settings", str(sp),
+          "--phase-diagram", "tests/data/pourbaix/pd_dict.json",
+          "--oh-correction", "--oxide-correction", "--out", str(out2)])
+    e2 = json.loads(out2.read_text())
+    assert np.isclose(e2[0]["energy"] - entries[0]["energy"], -0.687)
+    out3 = tmp_path / "entries3.json"
+    main(["--structures", str(p), "--settings", str(sp),
+          "--phase-diagram", "tests/data/pourbaix/pd_dict.json",
+          "--relax", "--relax-steps", "10", "--out", str(out3)])
+    e3 = json.loads(out3.read_text())
+    assert e3[0]["energy"] <= entries[0]["energy"] + 1e-6
 
 
 def test_sample_surface_cli_tempering(cu_setup):

@@ -125,3 +125,60 @@ def test_phase_timer_and_block_and_time():
     out, dt = block_and_time(lambda x: jnp.sum(x * 2), jnp.ones(16))
     assert float(out) == 32.0
     assert dt >= 0
+
+
+def test_preprocess_traj_layer_trimming(tmp_path):
+    """Trim bottom 1 layer from a 3-layer slab: atom count drops by one
+    layer, remaining structure shifts down by the interlayer spacing
+    (reference mcmc/uncertainty/utils.py preprocess_traj behavior)."""
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.utils.misc import group_layers_with_indices, preprocess_traj
+
+    a = 3.6147
+    slab = fcc100("Cu", size=(2, 2, 3), a=a, vacuum=10.0)
+    layer_z, layer_idx = group_layers_with_indices(slab.positions[:, 2])
+    assert len(layer_z) == 3
+    assert all(len(i) == 4 for i in layer_idx)
+
+    (red,) = preprocess_traj([slab], z_cutoff=1)
+    assert len(red) == 8
+    # bottom of the trimmed slab sits where the original bottom layer was
+    assert np.isclose(red.positions[:, 2].min(), slab.positions[:, 2].min())
+    # z-sort only when z_cutoff is None
+    (srt,) = preprocess_traj([slab])
+    assert len(srt) == 12
+    assert np.all(np.diff(srt.positions[:, 2]) >= -1e-12)
+    with np.testing.assert_raises(ValueError):
+        preprocess_traj([slab], z_cutoff=3)
+
+
+def test_clustering_dataset_center_mask():
+    """make_clustering_dataset pads center indices into a mask that
+    restricts get_embedding pooling to the selected atoms."""
+    from surface_sampling_tpu.models.dataset import (
+        make_clustering_dataset,
+        make_uncertainty_dataset,
+    )
+    from surface_sampling_tpu.models.prediction import get_embedding
+    from surface_sampling_tpu.structure import bulk
+
+    sts = [bulk("Cu", "fcc", 3.6), bulk("Au", "fcc", 4.08).repeat((2, 1, 1))]
+    batch, mask = make_clustering_dataset(sts, [[0, 1], [2]], cutoff=4.0)
+    assert batch.numbers.shape == (2, 8)
+    assert mask.sum() == 3 and mask[0, 0] and mask[0, 1] and mask[1, 2]
+    ub = make_uncertainty_dataset(sts, cutoff=4.0)
+    assert np.allclose(ub.energy, 0.0)
+    # fake per-atom embeddings: pooled value = mean over masked atoms only
+    emb = np.arange(2 * 8 * 1, dtype=float).reshape(2, 8, 1)
+    pooled = get_embedding({"embedding": emb}, batch.numbers, center_mask=mask)
+    assert np.isclose(pooled[0, 0], (0 + 1) / 2)
+    assert np.isclose(pooled[1, 0], emb[1, 2, 0])
+
+
+def test_plot_surfaces(tmp_path):
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.utils.plot import plot_surfaces
+
+    slabs = [fcc100("Cu", size=(2, 2, 2), a=3.6, vacuum=8.0) for _ in range(3)]
+    plot_surfaces(slabs, save_folder=tmp_path)
+    assert (tmp_path / "surfaces.png").exists()
