@@ -31,9 +31,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from surface_sampling_tpu.ops.splines import lammps_spline_coeffs, spline_eval
+from surface_sampling_tpu.ops.splines import lammps_spline_coeffs, spline_eval_rows
 
-CHAIN_BLOCK = 8  # chains per kernel program (f32 sublane tile)
+CHAIN_BLOCK = 64  # chains per kernel program, default
+# Larger blocks amortize per-program overhead (~10us each on v5e) and fill
+# MXU sublanes (128-tall tiles); the ceiling is VMEM: intermediates are
+# (block, N*M) f32, so block * P * 4B * ~8 live arrays must stay << 16 MiB.
 
 
 def _dense_spline(table_1d: np.ndarray, delta: float, xq: np.ndarray) -> np.ndarray:
@@ -46,18 +49,25 @@ def _dense_spline(table_1d: np.ndarray, delta: float, xq: np.ndarray) -> np.ndar
 
 
 def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 24,
-                           interpret: bool = False):
+                           interpret: bool = False, chain_block: int | None = None):
     """Build ``energy(positions (N,3), alive_f (N,)) -> scalar`` (vmappable).
 
     Args:
         tables: EAMTables (single element).
         nbr_table: StaticNeighborTable for the system spec.
         interpret: run the kernel in interpreter mode (CPU tests).
+        chain_block: chains per kernel program (default CHAIN_BLOCK, capped
+            so (block, N*M) intermediates fit VMEM).
     """
     if len(tables.numbers) != 1:
         raise ValueError("pallas EAM kernel supports single-element tables")
     N, M = nbr_table.slot_j.shape
     P = N * M
+    if chain_block is None:
+        # keep ~8 live (block, P) f32 intermediates within ~12 MiB of VMEM
+        budget = 12 * 2**20 // (8 * 4 * max(P, 1))
+        chain_block = max(8, min(CHAIN_BLOCK, 1 << (budget.bit_length() - 1)))
+    block = int(chain_block)
     cutoff = float(tables.cutoff)
     r_hi = float(tables.nr * tables.dr)
     xs = np.linspace(r_lo, r_hi, 30000)
@@ -70,12 +80,17 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
     mid = 0.5 * (r_lo + r_hi)
     half = 0.5 * (r_hi - r_lo)
 
-    # static 0/1 matmul operands
+    # static matmul operands. Instead of gathering both pair endpoints
+    # (8 matmuls), fuse the difference and the aliveness sum:
+    #   d = pos @ (gi - gj) - shift        (3 matmuls)
+    #   pair_alive = alive @ (gi + gj) > 1.5  (1 matmul)
     rows = np.repeat(np.arange(N), M)
     gj = np.zeros((N, P), np.float32)
     gj[nbr_table.slot_j.reshape(-1), np.arange(P)] = 1.0
     gi = np.zeros((N, P), np.float32)
     gi[rows, np.arange(P)] = 1.0
+    gdiff = gi - gj
+    gsum = gi + gj
     red = gi.T.copy()
     shift = nbr_table.shift.reshape(P, 3).T.astype(np.float32)
     valid = nbr_table.valid.reshape(1, P).astype(np.float32)
@@ -83,19 +98,16 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
     rho_list = [float(v) for v in rho_coef]
     z2r_list = [float(v) for v in z2r_coef]
 
-    def kernel(posx, posy, posz, alive, gi_r, gj_r, red_r, sx, sy, sz, val,
+    def kernel(posx, posy, posz, alive, gdiff_r, gsum_r, red_r, sx, sy, sz, val,
                rho_out, ep_out):
         ax = alive[...]
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-        pjx, pjy, pjz = dot(posx[...], gj_r[...]), dot(posy[...], gj_r[...]), dot(posz[...], gj_r[...])
-        pix, piy, piz = dot(posx[...], gi_r[...]), dot(posy[...], gi_r[...]), dot(posz[...], gi_r[...])
-        aj = dot(ax, gj_r[...])
-        ai = dot(ax, gi_r[...])
-        dx = pix - pjx - sx[...]
-        dy = piy - pjy - sy[...]
-        dz = piz - pjz - sz[...]
+        dx = dot(posx[...], gdiff_r[...]) - sx[...]
+        dy = dot(posy[...], gdiff_r[...]) - sy[...]
+        dz = dot(posz[...], gdiff_r[...]) - sz[...]
+        pair_alive = (dot(ax, gsum_r[...]) > 1.5).astype(jnp.float32)
         r = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
-        mask = val[...] * aj * ai * (r < cutoff).astype(jnp.float32)
+        mask = val[...] * pair_alive * (r < cutoff).astype(jnp.float32)
         rs = jnp.where(mask > 0, r, cutoff)
         u = (jnp.clip(rs, r_lo, r_hi) - mid) / half
         two_u = 2.0 * u
@@ -107,20 +119,24 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
                 b1, b2 = coef[k] + two_u * b1 - b2, b1
             return coef[0] + u * b1 - b2
 
+        # quartic repulsion wall below the fit floor (matches eam.py cheb
+        # mode; over-rejecting, no transcendental per lane)
         d_in = jnp.maximum(r_lo - rs, 0.0)
-        wall = 100.0 * (jnp.exp(jnp.minimum(8.0 * d_in, 30.0)) - 1.0)
+        q = 8.0 * d_in
+        q2 = q * q
+        wall = 100.0 * (q2 + q2 * q2)
         rho_ij = (clenshaw(rho_list) + wall) * mask
         phi = (clenshaw(z2r_list) + wall) / rs * mask
         rho_out[...] = dot(rho_ij, red_r[...])
         ep_out[...] = 0.5 * dot(phi, red_r[...])
 
-    bs_pos = pl.BlockSpec((CHAIN_BLOCK, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bs_pos = pl.BlockSpec((block, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def bs_const(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    gi_j = jnp.asarray(gi)
-    gj_j = jnp.asarray(gj)
+    gdiff_j = jnp.asarray(gdiff)
+    gsum_j = jnp.asarray(gsum)
     red_j = jnp.asarray(red)
     sx_j = jnp.asarray(shift[0:1])
     sy_j = jnp.asarray(shift[1:2])
@@ -130,7 +146,7 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
     def batched_rho_ep(positions, alive_f):
         """positions (C, N, 3), alive_f (C, N) -> rho (C, N), epair (C, N)."""
         C = positions.shape[0]
-        pad = (-C) % CHAIN_BLOCK
+        pad = (-C) % block
         if pad:
             positions = jnp.concatenate(
                 [positions, jnp.zeros((pad,) + positions.shape[1:], positions.dtype)], axis=0
@@ -139,12 +155,12 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
         Cp = positions.shape[0]
         rho, ep = pl.pallas_call(
             kernel,
-            grid=(Cp // CHAIN_BLOCK,),
+            grid=(Cp // block,),
             in_specs=[bs_pos] * 4
             + [bs_const((N, P)), bs_const((N, P)), bs_const((P, N)),
                bs_const((1, P)), bs_const((1, P)), bs_const((1, P)), bs_const((1, P))],
             out_specs=[
-                pl.BlockSpec((CHAIN_BLOCK, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((block, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
             ] * 2,
             out_shape=[jax.ShapeDtypeStruct((Cp, N), jnp.float32)] * 2,
             interpret=interpret,
@@ -153,7 +169,7 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
             positions[:, :, 1].astype(jnp.float32),
             positions[:, :, 2].astype(jnp.float32),
             alive_f.astype(jnp.float32),
-            gi_j, gj_j, red_j, sx_j, sy_j, sz_j, val_j,
+            gdiff_j, gsum_j, red_j, sx_j, sy_j, sz_j, val_j,
         )
         return rho[:C], ep[:C]
 
@@ -162,7 +178,7 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
 
     def batched_energy(positions, alive_f):
         rho, ep = batched_rho_ep(positions, alive_f)
-        F = spline_eval(frho_c, rho, inv_drho) * alive_f
+        F = spline_eval_rows(frho_c, rho, inv_drho) * alive_f
         return jnp.sum(F + ep, axis=1)
 
     @jax.custom_batching.custom_vmap

@@ -94,6 +94,30 @@ def spline_eval(
     return ((c3 * t + c2) * t + c1) * t + c0
 
 
+def spline_eval_rows(
+    coeffs: jnp.ndarray,
+    x: jnp.ndarray,
+    inv_delta,
+    table_idx: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """:func:`spline_eval` using one row gather of the (n, 4) table.
+
+    On TPU a row gather pads the coefficient axis from 4 to the 128-lane
+    tile, so it allocates 32x the useful HBM of the query array — ruinous
+    in the pair loop (queries ~ chains x pairs) but 9.5x FASTER than four
+    scalar gathers for per-ATOM queries (chains x N_slots), where the
+    padded buffer is small. Use this for embedding-function F(rho) lookups;
+    use :func:`spline_eval` inside pair loops. Bit-identical results.
+    """
+    n = coeffs.shape[-2]
+    idx, t = _interval(x, inv_delta, n)
+    if coeffs.ndim == 2:
+        cc = jnp.take(coeffs, idx, axis=0)
+    else:
+        cc = jnp.take(coeffs.reshape(-1, 4), table_idx * n + idx, axis=0)
+    return ((cc[..., 0] * t + cc[..., 1]) * t + cc[..., 2]) * t + cc[..., 3]
+
+
 def spline_eval_deriv(
     coeffs: jnp.ndarray,
     x: jnp.ndarray,
