@@ -219,6 +219,20 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         )
         potential = make_eam_static(tables, nbr, mode="cheb")
 
+    # PaiNN runs onto the static-candidate edge path (skips the all-image
+    # top_k neighbor search; ~2x faster MC evals); opt out with
+    # calc_settings {"fast": false}
+    painn_args = getattr(potential, "__dict__", {}).get("painn_args")
+    if painn_args is not None and calc_s.get("fast", True):
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+        from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+
+        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
+        nbr = build_static_neighbor_table(
+            spec, painn_args["cfg"].cutoff, relax_slack=slack
+        )
+        potential = make_painn_potential(static_nbr=nbr, **painn_args)
+
     if surface_energy_fn is None and calc_s.get("offset", False):
         offset_data = calc_s["offset_data"]
         if isinstance(offset_data, str):

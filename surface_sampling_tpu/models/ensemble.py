@@ -21,16 +21,19 @@ def stack_params(params_list):
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list)
 
 
-def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, shifts):
+def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
+                   edges=None):
     """Forward all members; returns per-member outputs plus ensemble stats.
 
     energy/energy_std: scalar mean and std over members (the reference's
     EnsembleNFF semantics); forces_std is computed by callers from grads
     when needed. Embedding is the member-mean of final scalar features.
+    ``edges`` lets callers reuse a precomputed (e.g. static-table) edge set.
     """
     from surface_sampling_tpu.models.painn import painn_edges
 
-    edges = painn_edges(cfg, positions, alive, shifts)  # shared across members
+    if edges is None:
+        edges = painn_edges(cfg, positions, alive, shifts)  # shared across members
     outs = jax.vmap(
         lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges)
     )(stacked_params)

@@ -31,6 +31,7 @@ def make_painn_potential(
     units: str = "kcal/mol",
     ensemble: bool = False,
     stoidict: dict | None = None,
+    static_nbr=None,
 ) -> Potential:
     """Wrap PaiNN as a Potential over (positions, type_idx, alive, shifts).
 
@@ -44,8 +45,28 @@ def make_painn_potential(
             the reference applies these inside nff's calculate so the
             optimizer and OOB guard see absolute energies (validated against
             the SrTiO3 tutorial's printed -467.52 eV pristine energy).
+        static_nbr: optional core.static_neighbors.StaticNeighborTable for
+            the system spec — ranks only the static candidate pairs instead
+            of searching all image pairs (~2x faster MC evaluations). The
+            positions passed in must then be slot-realized geometries of
+            that spec (the MC hot path); arbitrary geometries (training,
+            datasets) should omit it.
     """
     factor = UNIT_FACTORS[units]
+    if static_nbr is not None:
+        from surface_sampling_tpu.ops.neighbors import neighbor_list_from_table
+
+        tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
+        tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
+        tbl_valid = jnp.asarray(static_nbr.valid)
+
+        def edge_fn(positions, alive):
+            return neighbor_list_from_table(
+                positions, alive, tbl_j, tbl_shift, tbl_valid,
+                cfg.cutoff, cfg.max_neighbors,
+            )
+    else:
+        edge_fn = None
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
     if stoidict is not None:
         per_type = np.array(
@@ -64,9 +85,12 @@ def make_painn_potential(
 
     def outputs(positions, type_idx, alive, shifts):
         numbers = znums[type_idx] * alive.astype(jnp.int32)
+        edges = edge_fn(positions, alive) if edge_fn is not None else None
         if ensemble:
-            return ensemble_apply(params, cfg, positions, numbers, alive, shifts)
-        return painn_apply(params, cfg, positions, numbers, alive, shifts)
+            return ensemble_apply(params, cfg, positions, numbers, alive, shifts,
+                                  edges=edges)
+        return painn_apply(params, cfg, positions, numbers, alive, shifts,
+                           edges=edges)
 
     def energy(positions, type_idx, alive, shifts):
         e = outputs(positions, type_idx, alive, shifts)["energy"] * factor
@@ -82,6 +106,13 @@ def make_painn_potential(
         energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff, name="painn"
     )
     pot.__dict__["outputs"] = outputs  # embeddings/std for analysis layers
+    if static_nbr is None:
+        # rebuild hook: cli.common.assemble_system re-invokes with the
+        # spec's static candidate table once the spec exists
+        pot.__dict__["painn_args"] = dict(
+            params=params, cfg=cfg, type_numbers=type_numbers, units=units,
+            ensemble=ensemble, stoidict=stoidict,
+        )
     return pot
 
 

@@ -140,6 +140,49 @@ def neighbor_list(
     return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
 
 
+def neighbor_list_from_table(
+    positions: jnp.ndarray,
+    alive: jnp.ndarray,
+    slot_j: jnp.ndarray,
+    shift: jnp.ndarray,
+    valid: jnp.ndarray,
+    cutoff: float,
+    max_neighbors: int,
+):
+    """Padded neighbor list from a static candidate table (MC hot path).
+
+    Same contract as :func:`neighbor_list`, but instead of searching all
+    (K, N, N) image pairs it only ranks the precomputed candidate pairs of a
+    core.static_neighbors.StaticNeighborTable — for VSSR-MC systems the
+    candidate width is ~20-50x smaller than K*N, which removes the top_k
+    sort from the profile (it was 57% of a PaiNN ensemble evaluation).
+
+    Args:
+        slot_j: (N, Mc) int candidate neighbor slot per center.
+        shift: (N, Mc, 3) periodic image shift of each candidate.
+        valid: (N, Mc) bool candidate-padding mask.
+    """
+    N, Mc = slot_j.shape
+    # one packed row gather [x, y, z, alive] instead of two separate ones
+    packed = jnp.concatenate(
+        [positions, alive[:, None].astype(positions.dtype)], axis=1
+    )                                                            # (N, 4)
+    pj = packed[slot_j]                                          # (N, Mc, 4)
+    disp = positions[:, None, :] - (pj[..., :3] + shift)         # (N, Mc, 3)
+    r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
+    mask = valid & alive[:, None] & (pj[..., 3] > 0.5) & (r < cutoff)
+    max_neighbors = min(max_neighbors, Mc)
+    scores = jnp.where(mask, -r, -jnp.inf)
+    vals, idx = jax.lax.top_k(scores, max_neighbors)             # (N, M)
+    nbr_mask = jnp.isfinite(vals)
+    rows = jnp.arange(N)[:, None]
+    nbr_j = slot_j[rows, idx].astype(jnp.int32)
+    nbr_disp = jnp.where(nbr_mask[..., None], disp[rows, idx], 0.0)
+    nbr_r = jnp.where(nbr_mask, -vals, cutoff)
+    overflow = jnp.any(jnp.sum(mask, axis=1) > max_neighbors)
+    return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
+
+
 # ---------------------------------------------------------------------
 # Plain minimum-image helpers (geometry predicates, site distances)
 # ---------------------------------------------------------------------

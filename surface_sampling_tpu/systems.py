@@ -200,6 +200,10 @@ def srtio3_001_painn(
         surface_depth=surface_depth,
         surface_name="SrTiO3_001",
     )
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+    slack = 0.6 if relax is not None else 0.1
+    static_nbr = build_static_neighbor_table(spec, cfg.cutoff, relax_slack=slack)
     pot = make_painn_potential(
         params,
         cfg,
@@ -207,6 +211,7 @@ def srtio3_001_painn(
         units="kcal/mol",
         ensemble=n_models > 1,
         stoidict=offset_data["stoidict"],
+        static_nbr=static_nbr,
     )
     se_fn = make_offset_surface_energy(spec, chem_pots, offset_data, offset_units="atomic")
     run = MCMCRun(spec, pot, surface_energy_fn=se_fn, relax=relax, dtype=dtype or jnp.float32)

@@ -138,3 +138,39 @@ def test_srtio3_relaxed_surface_energy_matches_tutorial():
         ).surface_energy
     )
     assert abs(se - 12.471) < 0.02
+
+
+def test_static_table_edges_match_full_search():
+    """neighbor_list_from_table must reproduce the all-image neighbor_list
+    energies exactly on slot-realized geometries (the MC hot path uses the
+    static-candidate table; correctness = identical edge sets)."""
+    from surface_sampling_tpu.core.state import realize_alive, realize_positions
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    sys_ = srtio3_001_painn()        # builds with static_nbr
+    d = sys_.run.d
+    # a crowded random state exercises adsorbate-adsorbate pairs
+    key = jax.random.PRNGKey(7)
+    ss = jax.random.randint(key, (sys_.spec.n_sites,), 0, 4)
+    pos = realize_positions(d, ss)
+    alive = realize_alive(d, ss)
+
+    import dataclasses as _dc
+    from pathlib import Path
+
+    from surface_sampling_tpu.core.state import realize_type_idx
+    from surface_sampling_tpu.models.convert_nff import load_params_npz
+    from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+
+    mdir = Path("surface_sampling_tpu/models/data")
+    plist, cfg = [], None
+    for i in (1, 2, 3):
+        p, cfg = load_params_npz(mdir / f"srtio3_painn_{i:02d}.npz")
+        plist.append(p)
+    cfg = _dc.replace(cfg, max_neighbors=64)
+    params = stack_params(plist)
+    pot_full = make_painn_potential(params, cfg, [38, 22, 8], ensemble=True)
+    ti = realize_type_idx(d, ss)
+    e_full = float(pot_full.energy(pos, ti, alive, d.shifts))
+    e_static = float(sys_.potential.energy(pos, ti, alive, d.shifts))
+    assert np.isclose(e_full, e_static, rtol=0, atol=5e-3), (e_full, e_static)
