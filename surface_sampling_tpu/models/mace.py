@@ -4,18 +4,28 @@ The reference lists MACE among its NN backends (SURVEY §2.2:
 "NffScaleMACE") but ships no MACE weights, so there is nothing to port or
 bit-validate; this module provides a from-paper MACE-style architecture
 (Batatia et al., "MACE: Higher order equivariant message passing neural
-networks", NeurIPS 2022) restricted to L_max = 1 and correlation order
-nu <= 3 — the regime that captures most of MACE's accuracy on energies —
+networks", NeurIPS 2022) with L_max <= 2 and correlation order nu <= 3,
 implemented with the framework's padded-edge formulation so it trains with
 models/train.py and serves as a drop-in Potential.
 
-Per layer t:
-    A^0_i,k   = sum_j R^0_k(r_ij) (W0 h_j)_k                 (scalars)
-    A^1_i,k   = sum_j R^1_k(r_ij) rhat_ij (W1 h_j)_k          (l=1 vectors)
-    B_i       = [A0, A0^2, A0^3, |A1|^2, A0*|A1|^2]           (invariants)
-    h_i      += MLP_t(B_i)                                    (residual)
-    E_i^t     = readout_t(h_i)
-Energy = sum_t sum_i E_i^t  (+ per-element reference energies).
+Per layer t, with per-channel atomic bases (k = channel):
+    A^0_i,k = sum_j R^0_k(r_ij) (W0 h_j)_k                    (scalars)
+    A^1_i,k = sum_j R^1_k(r_ij) rhat_ij (W1 h_j)_k            (l=1, 3 comps)
+    A^2_i,k = sum_j R^2_k(r_ij) Y2(rhat_ij) (W2 h_j)_k        (l=2, as a
+              3x3 symmetric traceless matrix T per channel)
+    B_i     = invariant contractions up to nu = 3:
+                A0, A0^2, A0^3,
+                |A1|^2, A0 |A1|^2,
+                tr(T^2), A0 tr(T^2),
+                A1 . T . A1  (CG path (1x1->2).2 -> 0),
+                tr(T^3)      (l=2 cubed -> 0)
+    h_i    += MLP_t(B_i)                                      (residual)
+    E_i^t   = readout_t(h_i)
+Energy = sum_t sum_i E_i^t (+ per-element reference energies).
+
+All contractions are exact rotation invariants (verified by the
+equivariance tests); higher L and explicit equivariant message passing
+between layers remain out of scope (no reference weights exist to match).
 """
 
 from __future__ import annotations
@@ -40,6 +50,7 @@ class MACEConfig:
     max_neighbors: int = 64
     readout_hidden: int = 16
     envelope_p: int = 6
+    l_max: int = 2               # 1 or 2
 
 
 def _lin(key, n_in, n_out, bias=True):
@@ -50,9 +61,15 @@ def _lin(key, n_in, n_out, bias=True):
     return p
 
 
+def _n_invariants(l_max: int) -> int:
+    return 5 if l_max == 1 else 9
+
+
 def init_mace(key, cfg: MACEConfig):
+    if cfg.l_max not in (1, 2):
+        raise ValueError(f"l_max must be 1 or 2, got {cfg.l_max}")
     F, R = cfg.feat_dim, cfg.n_rbf
-    keys = jax.random.split(key, 2 + 7 * cfg.n_layers)
+    keys = jax.random.split(key, 2 + 9 * cfg.n_layers)
     ki = iter(range(len(keys)))
     params = {
         "atom_embed": jax.random.normal(keys[next(ki)], (cfg.max_z, F)) * 0.2,
@@ -60,17 +77,19 @@ def init_mace(key, cfg: MACEConfig):
         "layers": [],
     }
     for _ in range(cfg.n_layers):
-        params["layers"].append(
-            {
-                "w0": _lin(keys[next(ki)], F, F, bias=False),
-                "w1": _lin(keys[next(ki)], F, F, bias=False),
-                "rad0": _lin(keys[next(ki)], R, F),
-                "rad1": _lin(keys[next(ki)], R, F),
-                "update0": _lin(keys[next(ki)], 5 * F, F),
-                "update1": _lin(keys[next(ki)], F, F),
-                "readout": _lin(keys[next(ki)], F, 1),
-            }
-        )
+        layer = {
+            "w0": _lin(keys[next(ki)], F, F, bias=False),
+            "w1": _lin(keys[next(ki)], F, F, bias=False),
+            "rad0": _lin(keys[next(ki)], R, F),
+            "rad1": _lin(keys[next(ki)], R, F),
+            "update0": _lin(keys[next(ki)], _n_invariants(cfg.l_max) * F, F),
+            "update1": _lin(keys[next(ki)], F, F),
+            "readout": _lin(keys[next(ki)], F, 1),
+        }
+        if cfg.l_max >= 2:
+            layer["w2"] = _lin(keys[next(ki)], F, F, bias=False)
+            layer["rad2"] = _lin(keys[next(ki)], R, F)
+        params["layers"].append(layer)
     return params
 
 
@@ -88,6 +107,13 @@ def _bessel(r, n_rbf, cutoff, p_env):
     return basis * polynomial_envelope(r, cutoff, p_env)[..., None]
 
 
+def _y2_matrix(unit):
+    """Rank-2 spherical tensor of a unit vector as the symmetric traceless
+    matrix u u^T - I/3 (transforms as l=2; its invariants are exact)."""
+    eye = jnp.eye(3, dtype=unit.dtype) / 3.0
+    return unit[..., :, None] * unit[..., None, :] - eye
+
+
 def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
     """Forward; returns per-atom energies, total energy, embeddings."""
     params = jax.tree.map(jnp.asarray, params)
@@ -103,6 +129,7 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
     h = params["atom_embed"][z_idx] * alive[:, None].astype(dtype)
 
     e_atom = params["atom_ref"][z_idx] * alive.astype(dtype)
+    y2 = _y2_matrix(unit) if cfg.l_max >= 2 else None                # (N, M, 3, 3)
     for lp in params["layers"]:
         r0 = _apply(lp["rad0"], rbf)                                  # (N, M, F)
         r1 = _apply(lp["rad1"], rbf)
@@ -111,7 +138,18 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
         a0 = jnp.sum(r0 * hj0 * fmask, axis=1)                        # (N, F)
         a1 = jnp.sum((r1 * hj1 * fmask)[..., None] * unit[:, :, None, :], axis=1)
         a1n2 = jnp.sum(a1 * a1, axis=-1)                              # (N, F) |A1|^2
-        b = jnp.concatenate([a0, a0 * a0, a0**3, a1n2, a0 * a1n2], axis=-1)
+        feats = [a0, a0 * a0, a0**3, a1n2, a0 * a1n2]
+        if cfg.l_max >= 2:
+            r2 = _apply(lp["rad2"], rbf)
+            hj2 = _apply(lp["w2"], h)[nbr_j]
+            w2 = (r2 * hj2 * fmask)[..., None, None]                  # (N, M, F, 1, 1)
+            t2 = jnp.sum(w2 * y2[:, :, None, :, :], axis=1)           # (N, F, 3, 3)
+            # nu=2: tr(T^2); nu=3: A0 tr(T^2), A1.T.A1, tr(T^3)
+            t2n2 = jnp.sum(t2 * t2, axis=(-2, -1))                    # (N, F)
+            v_t_v = jnp.einsum("nfa,nfab,nfb->nf", a1, t2, a1)
+            t3 = jnp.einsum("nfab,nfbc,nfca->nf", t2, t2, t2)         # tr(T^3)
+            feats += [t2n2, a0 * t2n2, v_t_v, t3]
+        b = jnp.concatenate(feats, axis=-1)
         h = h + _apply(lp["update1"], jax.nn.silu(_apply(lp["update0"], b)))
         h = jnp.where(alive[:, None], h, 0.0)
         e_atom = e_atom + jnp.where(alive, _apply(lp["readout"], jax.nn.silu(h))[..., 0], 0.0)

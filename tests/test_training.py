@@ -147,3 +147,41 @@ def test_mace_potential_mc_smoke(lj_dataset):
     for _ in range(3):
         state, info = step(state)
     assert np.isfinite(float(state.energy))
+
+
+def test_mace_l2_invariants_under_general_rotation(lj_dataset):
+    """L_max=2 path: energy invariant under a general 3D rotation (exercises
+    the Y2 tensor, A1.T.A1 and tr(T^3) contractions), and the l=2 features
+    actually contribute (l_max=2 output differs from l_max=1)."""
+    import dataclasses as _dc
+
+    from surface_sampling_tpu.models.mace import MACEConfig, init_mace, mace_apply
+
+    structures, _, _ = lj_dataset
+    cfg2 = MACEConfig(feat_dim=16, n_rbf=6, cutoff=6.0, n_layers=2,
+                      max_neighbors=6, readout_hidden=8, l_max=2)
+    params2 = init_mace(jax.random.PRNGKey(3), cfg2)
+    pos = jnp.asarray(structures[0].positions, jnp.float32)
+    nums = jnp.asarray(structures[0].numbers)
+    alive = jnp.ones(len(nums), bool)
+    shifts = jnp.zeros((1, 3))
+    e0 = float(mace_apply(params2, cfg2, pos, nums, alive, shifts)["energy"])
+
+    # general rotation: compose z and x rotations
+    a, b = 0.7, 1.1
+    rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    rx = np.array([[1.0, 0, 0], [0, np.cos(b), -np.sin(b)], [0, np.sin(b), np.cos(b)]])
+    rot = jnp.asarray(rx @ rz, jnp.float32)
+    e_r = float(mace_apply(params2, cfg2, pos @ rot.T, nums, alive, shifts)["energy"])
+    assert np.isclose(e0, e_r, atol=2e-3), (e0, e_r)
+
+    # reflection invariance too (all invariants are parity-even)
+    e_m = float(mace_apply(params2, cfg2, pos * jnp.asarray([-1.0, 1.0, 1.0]),
+                           nums, alive, shifts)["energy"])
+    assert np.isclose(e0, e_m, atol=2e-3)
+
+    # l=2 features are live: same weights with l_max=1 must differ
+    cfg1 = _dc.replace(cfg2, l_max=1)
+    params1 = init_mace(jax.random.PRNGKey(3), cfg1)
+    e1 = float(mace_apply(params1, cfg1, pos, nums, alive, shifts)["energy"])
+    assert not np.isclose(e0, e1, atol=1e-6)
