@@ -71,7 +71,8 @@ def load_slab(path: str | Path) -> Structure:
 def build_potential(calc_settings: dict, system_settings: dict):
     """Construct a Potential + its type->Z table from calc_settings.
 
-    calc_name: eam | lj | morse | tersoff | sw | nff (PaiNN) | chgnet.
+    calc_name: eam | lj | morse | tersoff | sw | nff (PaiNN) | chgnet |
+    mace (aka NffScaleMACE).
     EAM additionally exposes its tables via the returned potential's
     ``__dict__["tables"]`` so assemble_system can switch to the static-pair
     fast path once the spec geometry exists.
@@ -145,6 +146,18 @@ def build_potential(calc_settings: dict, system_settings: dict):
         pot = make_chgnet_potential(params, cfg, numbers,
                                     units=calc_settings.get("model_units", "eV"))
         return pot, numbers, cfg.atom_graph_cutoff
+    if name in ("mace", "nffscalemace"):
+        # reference model_type "NffScaleMACE"; params come from an npz saved
+        # by models.mace.save_mace_npz (trained in-framework — the reference
+        # ships no MACE weights to port)
+        from surface_sampling_tpu.models.mace import load_mace_npz, make_mace_potential
+
+        params, cfg = load_mace_npz(calc_settings["model_path"])
+        elements = calc_settings["elements"]
+        numbers = [Z_FROM_SYMBOL[e] for e in elements]
+        pot = make_mace_potential(params, cfg, numbers,
+                                  units=calc_settings.get("model_units", "eV"))
+        return pot, numbers, cfg.cutoff
     if name == "lj":
         from surface_sampling_tpu.potentials import make_lennard_jones
 

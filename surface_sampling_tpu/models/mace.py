@@ -180,3 +180,30 @@ def make_mace_potential(params, cfg: MACEConfig, type_numbers, units: str = "eV"
                     name="mace")
     pot.__dict__["outputs"] = outputs
     return pot
+
+
+def save_mace_npz(path, params, cfg: MACEConfig) -> None:
+    """Serialize trained MACE params + config to one npz (same flat scheme
+    as models/convert_nff.py)."""
+    from surface_sampling_tpu.models.convert_nff import _flatten
+
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    meta = {f"__cfg__{k}": np.asarray(v) for k, v in cfg.__dict__.items()}
+    np.savez_compressed(path, **flat, **meta)
+
+
+def load_mace_npz(path):
+    """Load (params, MACEConfig) written by :func:`save_mace_npz`."""
+    from surface_sampling_tpu.models.convert_nff import _unflatten
+
+    d = np.load(path)
+    flat = {k: d[k] for k in d.files if not k.startswith("__cfg__")}
+    kw = {}
+    for k in d.files:
+        if k.startswith("__cfg__"):
+            kw[k[len("__cfg__"):]] = d[k].item()
+    for int_key in ("feat_dim", "n_rbf", "n_layers", "max_z", "max_neighbors",
+                    "readout_hidden", "envelope_p", "l_max"):
+        if int_key in kw:
+            kw[int_key] = int(kw[int_key])
+    return _unflatten(flat), MACEConfig(**kw)

@@ -1,5 +1,6 @@
 """PaiNN training + prediction helper tests: fit a tiny PaiNN to LJ data."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,3 +186,49 @@ def test_mace_l2_invariants_under_general_rotation(lj_dataset):
     params1 = init_mace(jax.random.PRNGKey(3), cfg1)
     e1 = float(mace_apply(params1, cfg1, pos, nums, alive, shifts)["energy"])
     assert not np.isclose(e0, e1, atol=1e-6)
+
+
+def test_mace_npz_roundtrip_and_cli(tmp_path):
+    """save_mace_npz/load_mace_npz roundtrip bit-exactly and the CLI
+    sample_surface driver runs with calc_name 'mace'."""
+    import json
+
+    from surface_sampling_tpu.models.mace import (
+        MACEConfig,
+        init_mace,
+        load_mace_npz,
+        mace_apply,
+        save_mace_npz,
+    )
+    from surface_sampling_tpu.structure.io import write_cif
+    from surface_sampling_tpu.structure.slabs import fcc100
+
+    cfg = MACEConfig(feat_dim=8, n_rbf=4, cutoff=4.0, n_layers=1,
+                     max_neighbors=16, l_max=2)
+    params = init_mace(jax.random.PRNGKey(4), cfg)
+    p = tmp_path / "mace.npz"
+    save_mace_npz(p, params, cfg)
+    params2, cfg2 = load_mace_npz(p)
+    assert cfg2 == cfg
+    chex.assert_trees_all_close(
+        jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, params2))
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6, vacuum=10.0)
+    slab_path = tmp_path / "slab.cif"
+    write_cif(slab_path, slab)
+    settings = {
+        "system_settings": {"surface_name": "Cu_mace", "planar_distance": 1.5,
+                            "cutoff": 4.0},
+        "sampling_settings": {"total_sweeps": 2, "sweep_size": 2,
+                              "start_temp": 1.0, "adsorbates": ["Cu"],
+                              "n_chains": 2,
+                              "run_folder": str(tmp_path / "run")},
+        "calc_settings": {"calc_name": "mace", "model_path": str(p),
+                          "elements": ["Cu"]},
+    }
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps(settings))
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+    assert (tmp_path / "run" / "stats.csv").exists()
