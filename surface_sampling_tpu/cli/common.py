@@ -34,7 +34,15 @@ _PATH_KEYS = ("potential_file", "model_path", "offset_data",
 
 
 def load_settings(path: str | Path) -> dict:
-    settings = json.loads(Path(path).read_text())
+    try:
+        settings = json.loads(Path(path).read_text())
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"error: settings file {path} is not valid JSON: {e}") from e
+    if not isinstance(settings, dict):
+        raise SystemExit(
+            f"error: settings file {path} must contain a JSON object with "
+            "system_settings / sampling_settings / calc_settings sections"
+        )
     merged_sampling = {**DEFAULT_SAMPLING_SETTINGS, **settings.get("sampling_settings", {})}
     settings["sampling_settings"] = merged_sampling
     settings.setdefault("system_settings", {})
