@@ -1,0 +1,110 @@
+"""Exactness of the MC engine: sampled state frequencies vs the exact
+Boltzmann distribution over a fully enumerable state space.
+
+This is the strongest correctness evidence a Metropolis sampler admits:
+on 4 sites x {empty, Cu} there are 16 states whose surface energies can
+be enumerated exactly, so the empirical visit distribution of the
+semigrand chain must converge to p(s) = exp(-E(s)/T)/Z. (The reference
+has no analogous test; its engine is validated only by move mechanics.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_sampling_tpu.core import EngineConfig, MCMCRun, make_run_fn, make_spec
+from surface_sampling_tpu.parallel import chain_states, make_chain_run
+from surface_sampling_tpu.potentials import make_lennard_jones
+from surface_sampling_tpu.structure.slabs import fcc100
+from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+
+@pytest.fixture(scope="module")
+def enumerable_system():
+    pot = make_lennard_jones(epsilon=0.4, sigma=2.3, cutoff=5.0)
+    slab = fcc100("Cu", size=(2, 2, 1), a=3.6147, vacuum=10.0)
+    sites = find_adsorption_sites(slab, planar_distance=2.0)["ontop"]
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29], cutoff=5.0)
+    run = MCMCRun(spec, pot)
+    S = spec.n_sites
+    assert S == 4
+    states = np.array([[int(b) for b in np.binary_repr(i, S)] for i in range(2**S)],
+                      np.int32)
+    E = np.array([float(run.state_energy_fn(jnp.asarray(s)).surface_energy)
+                  for s in states])
+    return run, S, E
+
+
+def _sample_distribution(run, S, temp, n_chains=512, sweeps=60, burn=20):
+    cfg = EngineConfig(sweep_size=4, record_positions=False)
+    crun = make_chain_run(make_run_fn(run.d, run.state_energy_fn, cfg))
+    cs = chain_states(run.d, jax.random.PRNGKey(0), n_chains)
+    e0 = jax.jit(jax.vmap(lambda s: run.state_energy_fn(s).surface_energy))(
+        cs.site_state)
+    cs = cs._replace(energy=e0)
+    _, recs = crun(cs, jnp.full(sweeps, temp))
+    ss = np.asarray(recs.site_state)[:, burn:, :].reshape(-1, S)
+    idx = ss.dot(1 << np.arange(S)[::-1])
+    counts = np.bincount(idx, minlength=2**S)
+    return counts / counts.sum()
+
+
+def _exact(E, temp):
+    logw = -(E - E.min()) / temp
+    w = np.exp(logw)
+    return w / w.sum()
+
+
+def test_semigrand_chain_samples_exact_boltzmann(enumerable_system):
+    run, S, E = enumerable_system
+    temp = 1.5
+    p_emp = _sample_distribution(run, S, temp)
+    l1 = np.abs(p_emp - _exact(E, temp)).sum()
+    assert l1 < 0.05, f"L1(empirical, Boltzmann) = {l1:.4f}"
+    # power check: the same samples must NOT match the wrong temperature
+    l1_wrong = np.abs(p_emp - _exact(E, 0.6)).sum()
+    assert l1_wrong > 0.15, f"test has no discriminating power ({l1_wrong:.4f})"
+
+
+def test_canonical_chain_samples_exact_boltzmann_in_sector(enumerable_system):
+    """The unweighted canonical (switch) step has symmetric proposals — a
+    swap preserves type counts, so forward and reverse draws have identical
+    probability — and must therefore sample the Boltzmann distribution
+    restricted to its particle-number sector (here: 2 Cu on 4 sites)."""
+    from surface_sampling_tpu.core.events import make_canonical_step
+
+    run, S, E = enumerable_system
+    temp = 1.5
+    states = np.array([[int(b) for b in np.binary_repr(i, S)] for i in range(2**S)],
+                      np.int32)
+    sector = np.where(states.sum(axis=1) == 2)[0]          # 6 states
+    p_exact_sector = _exact(E[sector], temp)
+
+    step = make_canonical_step(run.d, run.state_energy_fn)
+    n_chains, steps, burn = 256, 200, 80
+
+    def chain(key):
+        from surface_sampling_tpu.core.state import MCState
+
+        ss0 = jnp.asarray([1, 1, 0, 0], jnp.int32)
+        se0 = run.state_energy_fn(ss0)
+        st = MCState(site_state=ss0, energy=se0.surface_energy,
+                     relaxed_positions=se0.positions, key=key)
+
+        def body(s, _):
+            s, info = step(s, jnp.asarray(temp))
+            return s, s.site_state
+
+        _, hist = jax.lax.scan(body, st, None, length=steps)
+        return hist                                          # (steps, S)
+
+    keys = jax.random.split(jax.random.PRNGKey(42), n_chains)
+    hist = jax.jit(jax.vmap(chain))(keys)
+    samp = np.asarray(hist)[:, burn:, :].reshape(-1, S)
+    assert set(samp.sum(axis=1)) == {2}, "canonical step changed the count"
+    idx = samp.dot(1 << np.arange(S)[::-1])
+    counts = np.bincount(idx, minlength=2**S)[sector]
+    p_emp = counts / counts.sum()
+    l1 = np.abs(p_emp - p_exact_sector).sum()
+    assert l1 < 0.05, f"L1 = {l1:.4f}"
