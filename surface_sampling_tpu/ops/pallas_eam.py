@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from surface_sampling_tpu.ops.splines import lammps_spline_coeffs, spline_eval_rows
+from surface_sampling_tpu.ops.splines import lammps_spline_coeffs, spline_eval_onehot
 
 CHAIN_BLOCK = 64  # chains per kernel program, default
 # Larger blocks amortize per-program overhead (~10us each on v5e) and fill
@@ -178,7 +178,7 @@ def make_pallas_eam_energy(tables, nbr_table, r_lo: float = 0.8, degree: int = 2
 
     def batched_energy(positions, alive_f):
         rho, ep = batched_rho_ep(positions, alive_f)
-        F = spline_eval_rows(frho_c, rho, inv_drho) * alive_f
+        F = spline_eval_onehot(frho_c, rho, inv_drho) * alive_f
         return jnp.sum(F + ep, axis=1)
 
     @jax.custom_batching.custom_vmap

@@ -22,7 +22,7 @@ import numpy as np
 
 from surface_sampling_tpu.constants import EAM_QQR2E
 from surface_sampling_tpu.ops.neighbors import image_distances, image_pair_mask
-from surface_sampling_tpu.ops.splines import lammps_spline_coeffs, spline_eval, spline_eval_rows
+from surface_sampling_tpu.ops.splines import lammps_spline_coeffs, spline_eval, spline_eval_onehot
 from surface_sampling_tpu.potentials.base import Potential
 
 
@@ -178,7 +178,7 @@ def make_eam(tables: EAMTables, dtype=jnp.float32) -> Potential:
         rho_kij = spline_eval(rhor_c, rsafe, inv_dr, table_idx=type_idx[None, None, :])
         rho_i = jnp.sum(rho_kij * fmask, axis=(0, 2))
         # embedding energy
-        F_i = spline_eval_rows(frho_c, rho_i, inv_drho, table_idx=type_idx)
+        F_i = spline_eval_onehot(frho_c, rho_i, inv_drho, table_idx=type_idx)
         F_i = jnp.where(alive, F_i, 0.0)
         # pair term
         pair_t = (type_idx[:, None] * T + type_idx[None, :])[None, :, :]
@@ -288,7 +288,7 @@ def make_eam_static(
             return spline_eval(z2r_c, r, inv_dr, table_idx=pair_t)
 
         def eval_frho(rho, ti):
-            return spline_eval_rows(frho_c, rho, inv_drho, table_idx=ti)
+            return spline_eval_onehot(frho_c, rho, inv_drho, table_idx=ti)
 
     elif mode == "cheb":
         # fit floor below any distance template geometries can produce
@@ -362,7 +362,7 @@ def make_eam_static(
         inv_drho = 1.0 / tables.drho
 
         def eval_frho(rho, ti):
-            return spline_eval_rows(frho_c, rho, inv_drho, table_idx=ti)
+            return spline_eval_onehot(frho_c, rho, inv_drho, table_idx=ti)
 
     else:
         # fit piecewise polys to dense samples of the exact splines
@@ -413,7 +413,7 @@ def make_eam_static(
         inv_drho = 1.0 / tables.drho
 
         def eval_frho(rho, ti):
-            return spline_eval_rows(frho_c, rho, inv_drho, table_idx=ti)
+            return spline_eval_onehot(frho_c, rho, inv_drho, table_idx=ti)
 
     if gather_via_matmul:
         assert mode == "cheb", "gather_via_matmul is implemented for the cheb mode"
