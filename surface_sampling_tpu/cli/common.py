@@ -234,11 +234,23 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
         from surface_sampling_tpu.potentials.eam import make_eam_static
 
-        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.05
-        nbr = build_static_neighbor_table(
-            spec, sys_s.get("cutoff", pot_cutoff), relax_slack=slack
-        )
-        potential = make_eam_static(tables, nbr, mode="cheb")
+        if calc_s.get("relax_atoms", False):
+            nbr = build_static_neighbor_table(
+                spec, sys_s.get("cutoff", pot_cutoff), relax_slack=0.6
+            )
+            potential = make_eam_static(tables, nbr, mode="cheb")
+        else:
+            # rigid MC: exact-spline quadratic forms (fastest AND exact);
+            # group vocabularies fall back to the cheb candidate path
+            from surface_sampling_tpu.potentials.eam import make_eam_rigid
+
+            try:
+                potential = make_eam_rigid(tables, spec)
+            except ValueError:
+                nbr = build_static_neighbor_table(
+                    spec, sys_s.get("cutoff", pot_cutoff), relax_slack=0.05
+                )
+                potential = make_eam_static(tables, nbr, mode="cheb")
 
     # PaiNN runs onto the static-candidate edge path (skips the all-image
     # top_k neighbor search; ~2x faster MC evals); opt out with

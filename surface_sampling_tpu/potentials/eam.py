@@ -473,3 +473,97 @@ def make_eam_static(
         return jnp.sum(per_atom(positions, type_idx, alive, shifts_unused))
 
     return Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="eam")
+
+
+# ----------------------------------------------------------------------
+# Rigid-lattice path: the geometry never moves, so every pair distance is
+# a compile-time constant and the EAM energy collapses to dense quadratic
+# forms over the occupancy — zero distance computation in the hot loop.
+# ----------------------------------------------------------------------
+def make_eam_rigid(tables: EAMTables, spec, dtype=jnp.float32) -> Potential:
+    """EAM for rigid (non-relaxed) MC as precomputed quadratic forms.
+
+    In VSSR-MC without relaxation, slot positions are static templates, so
+    for every candidate slot pair (i, j) the distance — and therefore the
+    exact LAMMPS-spline values rho_t(r_ij) and phi_tt'(r_ij) — is known
+    when the system is built. Summing over periodic images on the host
+    (float64, exact splines) gives per-source-type density matrices
+    W_rho[t'] (N, N) and pair matrices Phi[t, t'] (N, N), and the energy
+    of occupancy a (one-hot per type, derived from alive/type_idx) is
+
+        rho_i  = sum_t' (W_rho[t'] @ a_t')_i
+        E      = sum_i sum_t a_t,i F_t(rho_i) + 1/2 a_t,i (Phi[t,t'] @ a_t')_i
+
+    — two small dense matmuls plus the embedding lookup per evaluation,
+    with EXACT LAMMPS table values (no Chebyshev fit at all). Requires a
+    vocabulary of single-atom adsorbates (slot positions must not depend
+    on the code); positions passed at runtime are ignored.
+    """
+    K1, G = spec.code_offsets.shape[:2]
+    if G != 1 or np.abs(spec.code_offsets).max() > 1e-12:
+        raise ValueError(
+            "make_eam_rigid requires single-atom adsorbates with code-"
+            "independent slot positions (group vocabularies move atoms)"
+        )
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+    T = len(tables.numbers)
+    N = spec.n_slots
+    nbr = build_static_neighbor_table(spec, tables.cutoff, relax_slack=0.0)
+    centers = np.concatenate([spec.pristine_positions, spec.site_coords])
+
+    # exact f64 spline values at the static distances
+    rho_c = [lammps_spline_coeffs(tables.rhor[t]) for t in range(T)]
+    z2r_c = {(a, b): lammps_spline_coeffs(tables.z2r[a, b]) for a in range(T) for b in range(T)}
+
+    def spline_np(coeffs, r, delta):
+        p = np.asarray(r) / delta
+        idx = np.clip(p.astype(int), 0, coeffs.shape[0] - 2)
+        t = np.minimum(p - idx, 1.0)
+        c = coeffs[idx]
+        return ((c[:, 0] * t + c[:, 1]) * t + c[:, 2]) * t + c[:, 3]
+
+    W_rho = np.zeros((T, N, N))
+    Phi = np.zeros((T, T, N, N))
+    cutoff = float(tables.cutoff)
+    for i in range(N):
+        js = nbr.slot_j[i][nbr.valid[i]]
+        shs = nbr.shift[i][nbr.valid[i]]
+        r = np.linalg.norm(centers[i] - (centers[js] + shs), axis=1)
+        within = r < cutoff
+        js, r = js[within], r[within]
+        for tsrc in range(T):
+            vals = spline_np(rho_c[tsrc], r, tables.dr)
+            np.add.at(W_rho[tsrc][i], js, vals)
+        for ta in range(T):
+            for tb in range(T):
+                vals = spline_np(z2r_c[(ta, tb)], r, tables.dr) / r
+                np.add.at(Phi[ta, tb][i], js, vals)
+
+    W_rho_j = jnp.asarray(W_rho, dtype)          # (T, N, N)
+    Phi_j = jnp.asarray(Phi, dtype)              # (T, T, N, N)
+    frho_c = jnp.asarray(
+        np.stack([lammps_spline_coeffs(tables.frho[t]) for t in range(T)]), dtype
+    )
+    inv_drho = 1.0 / tables.drho
+
+    def _per_atom(positions, type_idx, alive, shifts):
+        a = (jax.nn.one_hot(type_idx, T, dtype=dtype)
+             * alive.astype(dtype)[:, None])                     # (N, T)
+        aT = a.T                                                 # (T, N)
+        rho = jnp.einsum("tij,tj->i", W_rho_j, aT,
+                         precision="highest")                    # (N,)
+        from surface_sampling_tpu.ops.splines import spline_eval_onehot
+
+        F = spline_eval_onehot(frho_c, rho, inv_drho, table_idx=type_idx)
+        pair = jnp.einsum("stij,tj->si", Phi_j, aT,
+                          precision="highest")                   # (T, N)
+        e_pair = 0.5 * jnp.sum(aT * pair, axis=0)                # (N,)
+        return jnp.where(alive, F, 0.0) + e_pair
+
+    def energy(positions, type_idx, alive, shifts):
+        return jnp.sum(_per_atom(positions, type_idx, alive, shifts))
+
+    return Potential(
+        energy=energy, per_atom_energy=_per_atom, cutoff=cutoff, name="eam-rigid"
+    )

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from surface_sampling_tpu.core import geometric_schedule, EngineConfig
 from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
@@ -73,3 +74,52 @@ def test_fast_full_run_finds_same_physics():
     best_exact = float(np.min(np.asarray(rec_exact.energy)))
     best_fast = float(np.min(np.asarray(rec_fast.energy)))
     assert abs(best_exact - best_fast) < 1.5  # same basin scale (eV)
+
+
+def test_rigid_quadratic_form_matches_exact_eam():
+    """make_eam_rigid (precomputed W_rho / Phi quadratic forms, exact f64
+    host splines) must reproduce the dense exact-spline EAM energy on
+    template geometries for Cu(100) and the Au(110) golden system."""
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.potentials.eam import builtin_eam, make_eam, make_eam_rigid
+    from surface_sampling_tpu.systems import au110_eam, cu100_eam
+
+    for name, sysf, tbl in [("cu100", cu100_eam, "Cu_u3"), ("au110", au110_eam, "Au_u3")]:
+        sys_ = sysf()
+        tables = builtin_eam(tbl)
+        rigid = make_eam_rigid(tables, sys_.spec)
+        exact = make_eam(tables)
+        d = sys_.run.d
+        rng = np.random.default_rng(1)
+        for _ in range(6):
+            ss = jnp.asarray(rng.integers(0, 2, sys_.spec.n_sites), jnp.int32)
+            pos = realize_positions(d, ss)
+            ti = realize_type_idx(d, ss)
+            al = realize_alive(d, ss)
+            e_r = float(rigid.energy(pos, ti, al, d.shifts))
+            e_x = float(exact.energy(pos, ti, al, d.shifts))
+            assert abs(e_r - e_x) < 5e-3, (name, e_r, e_x)
+        # per-atom energies agree too (Boltzmann-weighted proposals use them)
+        pa_r = np.asarray(rigid.per_atom_energy(pos, ti, al, d.shifts))
+        pa_x = np.asarray(exact.per_atom_energy(pos, ti, al, d.shifts))
+        al_np = np.asarray(al)
+        assert np.abs((pa_r - pa_x)[al_np]).max() < 5e-3
+
+
+def test_rigid_rejects_group_vocabularies():
+    from surface_sampling_tpu.core import make_spec
+    from surface_sampling_tpu.potentials.eam import builtin_eam, make_eam_rigid
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=15.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.5)["ontop"]
+    tables = builtin_eam("Cu_u3")
+    spec = make_spec(slab, sites, ["HO"], potential_numbers=tables.numbers,
+                     cutoff=tables.cutoff)
+    with pytest.raises(ValueError):
+        make_eam_rigid(tables, spec)
