@@ -111,6 +111,26 @@ def tables_from_funcfl(elements: list[dict]) -> EAMTables:
     )
 
 
+def combine_tables(parts: list[EAMTables]) -> EAMTables:
+    """Alloy tables from single-element table sets (the LAMMPS behaviour of
+    listing several funcfl files in one pair_coeff). Recovers each element's
+    effective charge Z(r) from its z2r diagonal (z2r = qqr2e Z_i Z_j, all
+    non-negative for funcfl data) and resamples onto the finest common grid."""
+    elements = []
+    for t in parts:
+        if len(t.numbers) != 1:
+            raise ValueError("combine_tables takes single-element table sets")
+        elements.append({
+            "number": int(t.numbers[0]),
+            "nrho": t.nrho, "drho": t.drho, "nr": t.nr, "dr": t.dr,
+            "cutoff": t.cutoff,
+            "frho": t.frho[0],
+            "zr": np.sqrt(np.maximum(t.z2r[0, 0], 0.0) / EAM_QQR2E),
+            "rhor": t.rhor[0],
+        })
+    return tables_from_funcfl(elements)
+
+
 def _resample(f: np.ndarray, delta: float, n_new: int, delta_new: float) -> np.ndarray:
     if len(f) == n_new and np.isclose(delta, delta_new):
         return f

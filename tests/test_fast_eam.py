@@ -123,3 +123,42 @@ def test_rigid_rejects_group_vocabularies():
                      cutoff=tables.cutoff)
     with pytest.raises(ValueError):
         make_eam_rigid(tables, spec)
+
+
+def test_rigid_multitype_alloy_matches_dense():
+    """T=2 branch of make_eam_rigid: a CuAu alloy (combined funcfl tables,
+    LAMMPS multi-funcfl convention) on a Cu slab with {Cu, Au} adsorbates
+    matches the dense exact-spline EAM on random mixed occupancies."""
+    from surface_sampling_tpu.core import MCMCRun, make_spec
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.potentials.eam import (
+        builtin_eam,
+        combine_tables,
+        make_eam,
+        make_eam_rigid,
+    )
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+    tables = combine_tables([builtin_eam("Cu_u3"), builtin_eam("Au_u3")])
+    assert list(tables.numbers) == [29, 79]
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=15.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.8)["ontop"]
+    spec = make_spec(slab, sites, ["Cu", "Au"], potential_numbers=tables.numbers,
+                     cutoff=tables.cutoff)
+    rigid = make_eam_rigid(tables, spec)
+    dense = make_eam(tables)
+    run = MCMCRun(spec, dense)
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        ss = jnp.asarray(rng.integers(0, 3, spec.n_sites), jnp.int32)  # 0/Cu/Au
+        pos = realize_positions(run.d, ss)
+        ti = realize_type_idx(run.d, ss)
+        al = realize_alive(run.d, ss)
+        e_r = float(rigid.energy(pos, ti, al, run.d.shifts))
+        e_d = float(dense.energy(pos, ti, al, run.d.shifts))
+        assert abs(e_r - e_d) < 5e-3, (e_r, e_d)
