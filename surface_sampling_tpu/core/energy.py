@@ -29,7 +29,7 @@ import numpy as np
 
 from surface_sampling_tpu.constants import HARTREE_TO_EV, Z_FROM_SYMBOL
 from surface_sampling_tpu.core.relax import (
-    ENERGY_THRESHOLD,
+    energy_threshold,
     FireConfig,
     fire_relax,
     lbfgs_relax as _lbfgs,
@@ -216,11 +216,12 @@ def make_state_energy_fn(
             def e_of(p):
                 return potential.energy(p, type_idx, alive, d.shifts)
 
+        e_bound = jnp.asarray(energy_threshold(pos0.shape[0]), pos0.dtype)
         if fire_cfg is None:
             e_pot = e_of(pos0)
             nan = jnp.isnan(e_pot)
-            oob = (jnp.abs(e_pot) > ENERGY_THRESHOLD) | nan
-            e_pot = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, pos0.dtype), e_pot)
+            oob = (jnp.abs(e_pot) > e_bound) | nan
+            e_pot = jnp.where(oob, e_bound, e_pot)
             pos = pos0
         else:
             free = realize_free_mask(d, site_state)
@@ -229,7 +230,7 @@ def make_state_energy_fn(
             e_pot, pos, oob = res.energy, res.positions, res.oob
 
         se = surface_energy_fn(e_pot, counts)
-        se = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, pos0.dtype), se)
+        se = jnp.where(oob, e_bound, se)
         return StateEnergy(surface_energy=se, potential_energy=e_pot, positions=pos, oob=oob)
 
     return state_energy

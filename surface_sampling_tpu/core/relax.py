@@ -22,6 +22,17 @@ import jax.numpy as jnp
 
 ENERGY_THRESHOLD = 1000.0  # eV (mcmc/dynamics.py:17)
 MAX_FORCE_THRESHOLD = 1000.0  # eV/A (mcmc/dynamics.py:18)
+# The reference's |E| > 1000 eV guard is an ABSOLUTE bound (dynamics.py:159)
+# that any slab beyond ~230 atoms trips on its legitimate cohesive energy
+# (-4.3 eV/atom x 288 Si atoms = -1249 eV -> clamped!). Scale it with system
+# size: no physical cohesive energy approaches 20 eV/atom, while blow-up
+# states (overlaps) reach 1e4+ eV, so over-rejection is preserved.
+ENERGY_THRESHOLD_PER_ATOM = 20.0  # eV/atom added to the absolute bound
+
+
+def energy_threshold(n_atoms) -> jnp.ndarray:
+    """Size-aware OOB energy bound: 1000 eV + 20 eV/atom."""
+    return ENERGY_THRESHOLD + ENERGY_THRESHOLD_PER_ATOM * n_atoms
 
 
 class FireConfig(NamedTuple):
@@ -119,10 +130,11 @@ def fire_relax(
 
 def _finish(pos, e, mf, positions0, i, cfg: FireConfig) -> "RelaxResult":
     dtype = pos.dtype
-    oob = (jnp.abs(e) > ENERGY_THRESHOLD) | (mf > MAX_FORCE_THRESHOLD)
-    e_out = jnp.where(oob, jnp.asarray(ENERGY_THRESHOLD, dtype), e)
+    e_bound = jnp.asarray(energy_threshold(pos.shape[0]), dtype)
+    oob = (jnp.abs(e) > e_bound) | (mf > MAX_FORCE_THRESHOLD)
+    e_out = jnp.where(oob, e_bound, e)
     nan_guard = jnp.isnan(e_out) | jnp.any(jnp.isnan(pos))
-    e_out = jnp.where(nan_guard, jnp.asarray(ENERGY_THRESHOLD, dtype), e_out)
+    e_out = jnp.where(nan_guard, e_bound, e_out)
     pos = jnp.where(nan_guard, positions0, pos)
     return RelaxResult(
         positions=pos,

@@ -86,11 +86,16 @@ def load_sw(path: str | Path, elements=None) -> SWTables:
     return parse_sw(Path(path).read_text(), elements)
 
 
-def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32) -> Potential:
-    """Build the jittable Stillinger-Weber Potential."""
+def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32,
+            static_nbr=None) -> Potential:
+    """Build the jittable Stillinger-Weber Potential. ``static_nbr`` ranks
+    only the spec's candidate pairs (MC hot paths, see make_tersoff)."""
+    from surface_sampling_tpu.potentials.tersoff import _make_edge_fn
+
     T = len(tables.elements)
     cutoff = tables.cutoff
     p3 = {f: jnp.asarray(tables.params[f].reshape(-1), dtype) for f in _FIELDS}
+    edge_fn = _make_edge_fn(static_nbr, cutoff, max_neighbors)
 
     def flat3(ti, tj, tk):
         return (ti * T + tj) * T + tk
@@ -102,9 +107,7 @@ def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32) -> Pot
         return jnp.where(inside, jnp.exp(sig / safe), 0.0)
 
     def per_atom(positions, type_idx, alive, shifts):
-        disp, r, nbr_j, nbr_mask, _ = neighbor_list(
-            positions, shifts, alive, cutoff, max_neighbors
-        )
+        disp, r, nbr_j, nbr_mask, _ = edge_fn(positions, alive, shifts)
         ti = type_idx[:, None]
         tj = type_idx[nbr_j]
         # ---- two-body (i, j, j) -------------------------------------------

@@ -95,6 +95,28 @@ def builtin_tersoff(name: str) -> TersoffTables:
     return load_tersoff_npz(Path(__file__).parent / "data" / f"{name}.tersoff.npz")
 
 
+def _make_edge_fn(static_nbr, cutoff: float, max_neighbors: int):
+    """Edge builder: static candidate ranking when a table is given, else
+    the all-image top_k search (shared by Tersoff and SW)."""
+    if static_nbr is None:
+        def edge_fn(positions, alive, shifts):
+            return neighbor_list(positions, shifts, alive, cutoff, max_neighbors)
+
+        return edge_fn
+    from surface_sampling_tpu.ops.neighbors import neighbor_list_from_table
+
+    tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
+    tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
+    tbl_valid = jnp.asarray(static_nbr.valid)
+
+    def edge_fn(positions, alive, shifts):
+        return neighbor_list_from_table(
+            positions, alive, tbl_j, tbl_shift, tbl_valid, cutoff, max_neighbors
+        )
+
+    return edge_fn
+
+
 def _fc(r, R, D):
     """Tersoff cutoff function."""
     inner = r < (R - D)
@@ -103,19 +125,24 @@ def _fc(r, R, D):
     return jnp.where(inner, 1.0, jnp.where(outer, 0.0, mid))
 
 
-def make_tersoff(tables: TersoffTables, max_neighbors: int = 16, dtype=jnp.float32) -> Potential:
-    """Build the jittable Tersoff Potential."""
+def make_tersoff(tables: TersoffTables, max_neighbors: int = 16, dtype=jnp.float32,
+                 static_nbr=None) -> Potential:
+    """Build the jittable Tersoff Potential.
+
+    ``static_nbr`` (a core.static_neighbors.StaticNeighborTable) ranks only
+    the spec's candidate pairs instead of searching all image pairs — use
+    for MC hot paths over slot-realized geometries.
+    """
     T = len(tables.elements)
     cutoff = tables.cutoff
     p3 = {f: jnp.asarray(tables.params[f].reshape(-1), dtype) for f in _FIELDS}
+    edge_fn = _make_edge_fn(static_nbr, cutoff, max_neighbors)
 
     def flat3(ti, tj, tk):
         return (ti * T + tj) * T + tk
 
     def per_atom(positions, type_idx, alive, shifts):
-        disp, r, nbr_j, nbr_mask, _ = neighbor_list(
-            positions, shifts, alive, cutoff, max_neighbors
-        )
+        disp, r, nbr_j, nbr_mask, _ = edge_fn(positions, alive, shifts)
         fmask = nbr_mask.astype(r.dtype)
         ti = type_idx[:, None]                       # (N, 1)
         tj = type_idx[nbr_j]                         # (N, M)

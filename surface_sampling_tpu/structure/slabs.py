@@ -163,6 +163,11 @@ def surface_from_bulk(
     """
     surf_cell = cut_surface_cell(bulk_st, miller)
     slab = surf_cell.repeat((size[0], size[1], layers))
+    # wrap FIRST, while the cell is still the true periodic cell of the
+    # crystal — wrapping after the c-shear below maps atoms through a
+    # non-lattice vector and overlaps them whenever the cut's c-vector has
+    # a large in-plane component (e.g. diamond (111))
+    slab = slab.wrap()
     if orthogonalize_c:
         # shear the c-vector so it is perpendicular to the surface plane:
         # valid for a slab with vacuum (atoms keep cartesian positions)
@@ -175,7 +180,6 @@ def surface_from_bulk(
             slab.cell[2] = -slab.cell[2]
         # rotate so the normal is +z
         slab = _rotate_to_z(slab)
-    slab = slab.wrap()
     slab = slab.center_z(vacuum).sorted_by_z()
     z = slab.positions[:, 2]
     surface_mask = (z.max() - z) < 1.2

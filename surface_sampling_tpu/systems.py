@@ -109,7 +109,13 @@ def gan0001_tersoff(
         surface_depth=surface_depth,
         surface_name="GaN_0001",
     )
-    pot = make_tersoff(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32)
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+    nbr = build_static_neighbor_table(
+        spec, tables.cutoff, relax_slack=0.6 if relax is not None else 0.1
+    )
+    pot = make_tersoff(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32,
+                       static_nbr=nbr)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 
@@ -141,7 +147,13 @@ def si111_sw(
         surface_depth=surface_depth,
         surface_name="Si_111",
     )
-    pot = make_sw(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32)
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+    nbr = build_static_neighbor_table(
+        spec, tables.cutoff, relax_slack=0.6 if relax is not None else 0.1
+    )
+    pot = make_sw(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32,
+                  static_nbr=nbr)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 

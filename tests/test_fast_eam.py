@@ -60,7 +60,8 @@ def test_fast_spline_mode_matches_exact():
         ss = jax.random.randint(k, (S,), 0, 2)
         e1 = float(sys_exact.run.state_energy_fn(ss).surface_energy)
         e2 = float(run2.state_energy_fn(ss).surface_energy)
-        assert abs(e1 - e2) < 2e-4, (e1, e2)
+        # relative term covers f32 rounding on huge (overlap-state) energies
+        assert abs(e1 - e2) < 2e-4 + 1e-6 * abs(e1), (e1, e2)
 
 
 def test_fast_full_run_finds_same_physics():

@@ -124,3 +124,26 @@ def test_si_system_relaxed_smoke():
     temps = geometric_schedule(0.5, 2, 0.9)
     state, rec = sys.run.run(jax.random.PRNGKey(0), temps, cfg=EngineConfig(sweep_size=3))
     assert np.all(np.isfinite(np.asarray(rec.energy)))
+
+
+def test_si111_pristine_energy_physical():
+    """Regression for two stacked bugs: (1) surface_from_bulk wrapped AFTER
+    shearing the c-vector, overlapping diamond-(111) atoms at 0.78 A;
+    (2) the reference's absolute |E| > 1000 eV OOB bound falsely clamped
+    any slab beyond ~230 atoms. The 288-atom Si(111) slab must now report
+    its real SW energy (~ -3.5 eV/atom: 4-bonded bulk at -4.34, 1-bonded
+    termination layers higher), not the clamp value."""
+    sys_ = si111_sw()
+    out = sys_.run.state_energy_fn(jnp.zeros(sys_.spec.n_sites, jnp.int32))
+    n = sys_.spec.n_pristine
+    epa = float(out.potential_energy) / n
+    assert not bool(out.oob)
+    assert -4.34 < epa < -3.0, epa
+    # geometry: diamond NN distance preserved in the slab
+    from surface_sampling_tpu.structure import bulk, surface_from_bulk
+
+    slab, _ = surface_from_bulk(bulk("Si", "diamond", a=5.431), (1, 1, 1),
+                                size=(2, 2), layers=3, vacuum=10.0)
+    d = slab.all_distances(mic=True)
+    np.fill_diagonal(d, np.inf)
+    assert abs(d.min() - 2.3517) < 1e-3
