@@ -162,6 +162,21 @@ def surface_from_bulk(
     Returns (slab, surface_atom_mask).
     """
     surf_cell = cut_surface_cell(bulk_st, miller)
+    # choose the termination: shift the fractional origin along c so the
+    # cell boundary falls in the middle of the LARGEST interlayer gap —
+    # the cut then severs the fewest bonds (diamond (111): the single-bond
+    # plane, not the triple-bond plane; CatKit/pymatgen pick terminations
+    # the same way). For uniform layer spacings (fcc) this is a no-op
+    # gauge shift.
+    frac = surf_cell.scaled_positions
+    zf = np.sort(np.unique(np.round(frac[:, 2] - np.floor(frac[:, 2]), 8)))
+    if len(zf) > 1:
+        gaps = np.diff(np.concatenate([zf, [zf[0] + 1.0]]))
+        g = int(np.argmax(gaps))
+        boundary = (zf[g] + 0.5 * gaps[g]) % 1.0
+        frac[:, 2] = frac[:, 2] - boundary
+        surf_cell = surf_cell.copy()
+        surf_cell.set_scaled_positions(frac)
     slab = surf_cell.repeat((size[0], size[1], layers))
     # wrap FIRST, while the cell is still the true periodic cell of the
     # crystal — wrapping after the c-shear below maps atoms through a
