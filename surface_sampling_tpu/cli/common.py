@@ -331,6 +331,10 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         record_positions=bool(samp.get("record_positions", True)),
         require_per_atom_energies=bool(samp.get("require_per_atom_energies", False)),
         require_distance_decay=bool(samp.get("require_distance_decay", False)),
+        prep_max_steps=(
+            int(samp["prep_max_steps"]) if samp.get("prep_max_steps") else None
+        ),
+        prep_force_fill=bool(samp.get("prep_force_fill", False)),
     )
     dwm = None
     if cfg.require_distance_decay:
@@ -356,7 +360,12 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             states = chain_states(d, jax.random.PRNGKey(seed), n_chains, site_state=ss0)
         else:
             prep = jax.jit(jax.vmap(
-                prepare_canonical_fn(d, se_fn, cfg.num_ads_atoms, cfg), in_axes=(0, None)
+                prepare_canonical_fn(
+                    d, se_fn, cfg.num_ads_atoms, cfg,
+                    max_steps=cfg.prep_max_steps,
+                    force_fill=cfg.prep_force_fill,
+                ),
+                in_axes=(0, None),
             ))
             states = prep(states, jnp.asarray(float(temps[0])))
         e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)

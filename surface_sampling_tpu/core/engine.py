@@ -54,6 +54,8 @@ class EngineConfig:
     require_per_atom_energies: bool = False
     require_distance_decay: bool = False
     record_positions: bool = True
+    prep_max_steps: int | None = None    # bound canonical prep (None = reference-faithful)
+    prep_force_fill: bool = False        # deterministic fill if the bound is hit
 
 
 def make_sweep_fn(step_fn: Callable, sweep_size: int) -> Callable:
@@ -126,11 +128,26 @@ def make_run_fn(
 
 
 def prepare_canonical_fn(
-    d: DeviceSpec, state_energy_fn: Callable, num_ads_atoms: int, cfg: EngineConfig
+    d: DeviceSpec,
+    state_energy_fn: Callable,
+    num_ads_atoms: int,
+    cfg: EngineConfig,
+    max_steps: int | None = None,
+    force_fill: bool = False,
 ) -> Callable:
     """Semigrand-adsorb until ``num_ads_atoms`` sites are occupied
     (reference MCMC.prepare_canonical, mcmc.py:148-188): jittable
-    while_loop, vmap-safe."""
+    while_loop, vmap-safe.
+
+    The reference's loop (and the default here) is unbounded — if every
+    adsorption is strongly uphill at the prep temperature the Metropolis
+    acceptance can be ~exp(-dE/T) ~ 0 and the loop effectively never
+    terminates. ``max_steps`` bounds it; with ``force_fill`` the remaining
+    occupancy is then filled deterministically (lowest-index empty sites,
+    uniform random codes) so the canonical run always starts feasible —
+    prep only builds a start state, the sampling distribution comes from
+    the subsequent canonical chain.
+    """
     step_fn = make_semigrand_step(
         d,
         state_energy_fn,
@@ -138,16 +155,44 @@ def prepare_canonical_fn(
         filter_distance=cfg.filter_distance,
         always_accept=cfg.always_accept,
     )
+    n_sites = d.site_coords.shape[0]
+    n_codes = d.n_codes
 
     def prepare(state: MCState, temp):
-        def cond(s):
-            return num_occupied_sites(s.site_state) < num_ads_atoms
+        if max_steps is None:
 
-        def body(s):
+            def cond(s):
+                return num_occupied_sites(s.site_state) < num_ads_atoms
+
+            def body(s):
+                s, _ = step_fn(s, temp)
+                return s
+
+            return jax.lax.while_loop(cond, body, state)
+
+        def cond(carry):
+            s, it = carry
+            return (num_occupied_sites(s.site_state) < num_ads_atoms) & (it < max_steps)
+
+        def body(carry):
+            s, it = carry
             s, _ = step_fn(s, temp)
-            return s
+            return s, it + 1
 
-        return jax.lax.while_loop(cond, body, state)
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+        if not force_fill:
+            return state
+
+        key, k_codes = jax.random.split(state.key)
+        ss = state.site_state
+        missing = num_ads_atoms - num_occupied_sites(ss)
+        # rank empty sites first (stable by index), occupy the first `missing`
+        empty = ss == 0
+        order = jnp.argsort(jnp.where(empty, jnp.arange(n_sites), n_sites + jnp.arange(n_sites)))
+        take = jnp.arange(n_sites) < missing
+        codes = jax.random.randint(k_codes, (n_sites,), 1, n_codes)
+        ss = ss.at[order].set(jnp.where(take, codes, ss[order]))
+        return state._replace(site_state=ss, key=key)
 
     return prepare
 
@@ -236,7 +281,14 @@ class MCMCRun:
         state = self.init_state(key, site_state)
         if cfg.canonical and cfg.num_ads_atoms > 0:
             prep = jax.jit(
-                prepare_canonical_fn(self.d, self.state_energy_fn, cfg.num_ads_atoms, cfg)
+                prepare_canonical_fn(
+                    self.d,
+                    self.state_energy_fn,
+                    cfg.num_ads_atoms,
+                    cfg,
+                    max_steps=cfg.prep_max_steps,
+                    force_fill=cfg.prep_force_fill,
+                )
             )
             state = prep(state, jnp.asarray(float(temps[0])))
             e = self.state_energy_fn(state.site_state)

@@ -24,8 +24,30 @@ Per layer t, with per-channel atomic bases (k = channel):
 Energy = sum_t sum_i E_i^t (+ per-element reference energies).
 
 All contractions are exact rotation invariants (verified by the
-equivariance tests); higher L and explicit equivariant message passing
-between layers remain out of scope (no reference weights exist to match).
+equivariance tests).
+
+With ``equivariant_messages=True`` the model carries equivariant node
+features across layers the way full MACE does: each node keeps vector
+features V (N, F, 3) and (for l_max=2) symmetric-traceless tensor
+features T (N, F, 3, 3), and the one-particle basis of layer t+1 includes
+every parity-even Clebsch-Gordan path from the neighbors' (h, V, T):
+
+    A0 += sum_j R0v (W0v V_j) . rhat                 (1 x 1 -> 0)
+    A1 += sum_j R1v (W1v V_j)                        (1 x 0 -> 1)
+        + sum_j R1t (W1t T_j) rhat                   (2 x 1 -> 1)
+    A2 += sum_j R2v ST((W2v V_j) o rhat)             (1 x 1 -> 2)
+        + sum_j R2t (W2t T_j)                        (2 x 0 -> 2)
+
+with node updates (residual, scalar-gated — gating by invariants keeps
+exact equivariance):
+
+    V' = W_vu A1 + g_v(h') V
+    T' = W_tu A2 + W_tp ST(A1 o A1) + g_t(h') T      (1 x 1 -> 2 product)
+
+All paths are proper-tensor (parity-even), so the energy stays exactly
+O(3)-invariant — the rotation AND mirror invariance tests cover both
+modes. The flag defaults to False (layer-local invariant model), which
+keeps previously saved npz checkpoints loading bit-identically.
 """
 
 from __future__ import annotations
@@ -51,6 +73,7 @@ class MACEConfig:
     readout_hidden: int = 16
     envelope_p: int = 6
     l_max: int = 2               # 1 or 2
+    equivariant_messages: bool = False   # carry V/T node features across layers
 
 
 def _lin(key, n_in, n_out, bias=True):
@@ -69,7 +92,7 @@ def init_mace(key, cfg: MACEConfig):
     if cfg.l_max not in (1, 2):
         raise ValueError(f"l_max must be 1 or 2, got {cfg.l_max}")
     F, R = cfg.feat_dim, cfg.n_rbf
-    keys = jax.random.split(key, 2 + 9 * cfg.n_layers)
+    keys = jax.random.split(key, 2 + 26 * cfg.n_layers)
     ki = iter(range(len(keys)))
     params = {
         "atom_embed": jax.random.normal(keys[next(ki)], (cfg.max_z, F)) * 0.2,
@@ -89,6 +112,23 @@ def init_mace(key, cfg: MACEConfig):
         if cfg.l_max >= 2:
             layer["w2"] = _lin(keys[next(ki)], F, F, bias=False)
             layer["rad2"] = _lin(keys[next(ki)], R, F)
+        if cfg.equivariant_messages:
+            layer["w0v"] = _lin(keys[next(ki)], F, F, bias=False)
+            layer["rad0v"] = _lin(keys[next(ki)], R, F)
+            layer["w1v"] = _lin(keys[next(ki)], F, F, bias=False)
+            layer["rad1v"] = _lin(keys[next(ki)], R, F)
+            layer["v_upd"] = _lin(keys[next(ki)], F, F, bias=False)
+            layer["v_gate"] = _lin(keys[next(ki)], F, F)
+            if cfg.l_max >= 2:
+                layer["w1t"] = _lin(keys[next(ki)], F, F, bias=False)
+                layer["rad1t"] = _lin(keys[next(ki)], R, F)
+                layer["w2v"] = _lin(keys[next(ki)], F, F, bias=False)
+                layer["rad2v"] = _lin(keys[next(ki)], R, F)
+                layer["w2t"] = _lin(keys[next(ki)], F, F, bias=False)
+                layer["rad2t"] = _lin(keys[next(ki)], R, F)
+                layer["t_upd"] = _lin(keys[next(ki)], F, F, bias=False)
+                layer["t_prod"] = _lin(keys[next(ki)], F, F, bias=False)
+                layer["t_gate"] = _lin(keys[next(ki)], F, F)
         params["layers"].append(layer)
     return params
 
@@ -130,6 +170,11 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
 
     e_atom = params["atom_ref"][z_idx] * alive.astype(dtype)
     y2 = _y2_matrix(unit) if cfg.l_max >= 2 else None                # (N, M, 3, 3)
+    eq = cfg.equivariant_messages
+    N, F = h.shape
+    eye3 = jnp.eye(3, dtype=dtype)
+    v_feat = jnp.zeros((N, F, 3), dtype) if eq else None
+    t_feat = jnp.zeros((N, F, 3, 3), dtype) if (eq and cfg.l_max >= 2) else None
     for lp in params["layers"]:
         r0 = _apply(lp["rad0"], rbf)                                  # (N, M, F)
         r1 = _apply(lp["rad1"], rbf)
@@ -137,13 +182,42 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
         hj1 = _apply(lp["w1"], h)[nbr_j]
         a0 = jnp.sum(r0 * hj0 * fmask, axis=1)                        # (N, F)
         a1 = jnp.sum((r1 * hj1 * fmask)[..., None] * unit[:, :, None, :], axis=1)
+        if eq:
+            # CG paths from the neighbors' vector features (mix channels at
+            # the node, then gather — avoids (N, M, F, F) intermediates)
+            v0 = jnp.einsum("nfx,fg->ngx", v_feat, lp["w0v"]["w"])[nbr_j]   # (N,M,F,3)
+            v1 = jnp.einsum("nfx,fg->ngx", v_feat, lp["w1v"]["w"])[nbr_j]
+            r0v = _apply(lp["rad0v"], rbf) * fmask                    # (N, M, F)
+            r1v = (_apply(lp["rad1v"], rbf) * fmask)[..., None]
+            a0 = a0 + jnp.sum(r0v * jnp.sum(v0 * unit[:, :, None, :], -1), axis=1)
+            a1 = a1 + jnp.sum(r1v * v1, axis=1)
+            if t_feat is not None:
+                t1 = jnp.einsum("nfab,fg->ngab", t_feat, lp["w1t"]["w"])[nbr_j]
+                r1t = (_apply(lp["rad1t"], rbf) * fmask)[..., None]
+                a1 = a1 + jnp.sum(r1t * jnp.einsum("nmfab,nmb->nmfa", t1, unit), axis=1)
         a1n2 = jnp.sum(a1 * a1, axis=-1)                              # (N, F) |A1|^2
         feats = [a0, a0 * a0, a0**3, a1n2, a0 * a1n2]
+        t2 = None
         if cfg.l_max >= 2:
             r2 = _apply(lp["rad2"], rbf)
             hj2 = _apply(lp["w2"], h)[nbr_j]
             w2 = (r2 * hj2 * fmask)[..., None, None]                  # (N, M, F, 1, 1)
             t2 = jnp.sum(w2 * y2[:, :, None, :, :], axis=1)           # (N, F, 3, 3)
+            if eq:
+                # 1 x 1 -> 2: symmetric-traceless (V_j o rhat)
+                v2 = jnp.einsum("nfx,fg->ngx", v_feat, lp["w2v"]["w"])[nbr_j]
+                r2v = (_apply(lp["rad2v"], rbf) * fmask)[..., None, None]
+                outer = 0.5 * (
+                    v2[..., :, None] * unit[:, :, None, None, :]
+                    + v2[..., None, :] * unit[:, :, None, :, None]
+                )
+                trce = jnp.sum(v2 * unit[:, :, None, :], -1)          # (N, M, F)
+                outer = outer - (trce[..., None, None] / 3.0) * eye3
+                t2 = t2 + jnp.sum(r2v * outer, axis=1)
+                # 2 x 0 -> 2: neighbor tensor features carried through
+                tjm = jnp.einsum("nfab,fg->ngab", t_feat, lp["w2t"]["w"])[nbr_j]
+                r2t = (_apply(lp["rad2t"], rbf) * fmask)[..., None, None]
+                t2 = t2 + jnp.sum(r2t * tjm, axis=1)
             # nu=2: tr(T^2); nu=3: A0 tr(T^2), A1.T.A1, tr(T^3)
             t2n2 = jnp.sum(t2 * t2, axis=(-2, -1))                    # (N, F)
             v_t_v = jnp.einsum("nfa,nfab,nfb->nf", a1, t2, a1)
@@ -152,6 +226,24 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
         b = jnp.concatenate(feats, axis=-1)
         h = h + _apply(lp["update1"], jax.nn.silu(_apply(lp["update0"], b)))
         h = jnp.where(alive[:, None], h, 0.0)
+        if eq:
+            # residual equivariant node updates, gated by (invariant) h
+            gate_v = jax.nn.sigmoid(_apply(lp["v_gate"], h))
+            v_feat = (
+                jnp.einsum("nfx,fg->ngx", a1, lp["v_upd"]["w"])
+                + gate_v[..., None] * v_feat
+            )
+            v_feat = jnp.where(alive[:, None, None], v_feat, 0.0)
+            if t_feat is not None:
+                gate_t = jax.nn.sigmoid(_apply(lp["t_gate"], h))
+                prod = a1[..., :, None] * a1[..., None, :]
+                prod = prod - (a1n2[..., None, None] / 3.0) * eye3
+                t_feat = (
+                    jnp.einsum("nfab,fg->ngab", t2, lp["t_upd"]["w"])
+                    + jnp.einsum("nfab,fg->ngab", prod, lp["t_prod"]["w"])
+                    + gate_t[..., None, None] * t_feat
+                )
+                t_feat = jnp.where(alive[:, None, None, None], t_feat, 0.0)
         e_atom = e_atom + jnp.where(alive, _apply(lp["readout"], jax.nn.silu(h))[..., 0], 0.0)
 
     total = jnp.sum(e_atom) + jnp.where(overflow, 1e6, 0.0).astype(dtype)

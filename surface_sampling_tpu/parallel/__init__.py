@@ -12,15 +12,20 @@ citizens:
     replica exchange (a new capability the per-chain design gives for
     free);
   * ensemble parallelism — the NN-ensemble weight axis vmapped and
-    shardable over a second mesh axis (models/ensemble.py).
+    shardable over a second mesh axis (models/ensemble.py);
+  * multi-pod scaling    — hierarchical (pod x chip) meshes where the
+    inner axis rides ICI and only scheduled, infrequent exchanges cross
+    DCN (mesh.pod_mesh, chains.make_hierarchical_chain_run,
+    tempering.make_tempered_run(pod_size=...)).
 """
 
 from surface_sampling_tpu.parallel.chains import (
     chain_states,
     make_chain_run,
+    make_hierarchical_chain_run,
     make_sharded_chain_run,
 )
-from surface_sampling_tpu.parallel.mesh import chain_mesh
+from surface_sampling_tpu.parallel.mesh import chain_mesh, pod_mesh
 from surface_sampling_tpu.parallel.tempering import (
     make_tempered_run,
     temperature_ladder,
@@ -30,7 +35,9 @@ __all__ = [
     "chain_states",
     "chain_mesh",
     "make_chain_run",
+    "make_hierarchical_chain_run",
     "make_sharded_chain_run",
     "make_tempered_run",
+    "pod_mesh",
     "temperature_ladder",
 ]

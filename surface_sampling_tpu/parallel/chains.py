@@ -82,6 +82,35 @@ def shard_chain_states(states: MCState, mesh: Mesh, axis: str = "chains") -> MCS
     return jax.tree.map(lambda x: jax.device_put(x, sharding), states)
 
 
+def make_hierarchical_chain_run(
+    run_fn: Callable,
+    mesh: Mesh,
+    axes: tuple[str, str] = ("pod", "chains"),
+    share_temps: bool = True,
+) -> Callable:
+    """Shard the chain batch over a 2-D (pod x chip) mesh (parallel.mesh
+    .pod_mesh): the leading chain axis is split over the flattened device
+    grid, pod-major, so each pod owns a contiguous chain block.
+
+    Chains are independent — the hot loop still runs with zero collectives
+    on either fabric; the pod split only matters for the pieces that DO
+    communicate (metric gathers, tempering swaps), which become two-stage:
+    ICI within the pod row, DCN across rows only when a schedule asks
+    for it. Use with shard_chain_states(states, mesh, axis=axes).
+    """
+    vrun = jax.vmap(run_fn, in_axes=(0, None) if share_temps else (0, 0))
+    state_spec = P(axes)
+    temp_spec = P() if share_temps else P(axes)
+    sharded = shard_map(
+        vrun,
+        mesh=mesh,
+        in_specs=(state_spec, temp_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_ensemble_sharded_energy(
     batched_member_energy: Callable,
     mesh: Mesh,

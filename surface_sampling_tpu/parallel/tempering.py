@@ -30,8 +30,12 @@ class TemperRecord(NamedTuple):
     site_state: jnp.ndarray    # (rounds, C, S)
 
 
-def _swap_phase(states: MCState, temps, key, parity):
-    """Attempt swaps between pairs (i, i+1) with i of given parity."""
+def _swap_phase(states: MCState, temps, key, parity, pair_ok=None):
+    """Attempt swaps between pairs (i, i+1) with i of given parity.
+
+    ``pair_ok`` (optional, shape (C,), bool) gates pair (i, i+1) — used by
+    the DCN-aware schedule to confine swaps to ICI pods on most rounds.
+    """
     C = temps.shape[0]
     idx = jnp.arange(C)
     is_left = (idx % 2) == parity
@@ -39,6 +43,9 @@ def _swap_phase(states: MCState, temps, key, parity):
     partner = jnp.clip(partner, 0, C - 1)
     valid = partner != idx
     valid &= jnp.where(is_left, partner < C, True)
+    if pair_ok is not None:
+        left_of = jnp.where(is_left, idx, partner)
+        valid &= pair_ok[left_of]
 
     e = states.energy
     beta = 1.0 / jnp.maximum(temps, 1e-12)
@@ -61,21 +68,45 @@ def _swap_phase(states: MCState, temps, key, parity):
     return swapped, rate
 
 
-def make_tempered_run(sweep_fn: Callable, n_rounds: int) -> Callable:
+def make_tempered_run(
+    sweep_fn: Callable,
+    n_rounds: int,
+    pod_size: int | None = None,
+    dcn_every: int = 4,
+) -> Callable:
     """Build ``run(states, temps, key) -> (states, TemperRecord)``.
 
     ``sweep_fn(state, temp) -> (state, infos)`` is the single-chain sweep
     (core.engine.make_sweep_fn); it is vmapped here over the replica axis.
     One round = a sweep per replica + one alternating-parity swap phase.
+
+    Multi-pod (DCN-aware) schedule: with ``pod_size`` set, the replica axis
+    is laid out pod-major over a parallel.mesh.pod_mesh, so replicas
+    [k*pod_size, (k+1)*pod_size) live on one ICI domain. Swap pairs that
+    cross a pod boundary are then only attempted every ``dcn_every``-th
+    round — on the other rounds the swap permutation is block-diagonal in
+    pods and GSPMD lowers it with zero DCN traffic. The temperature ladder
+    is contiguous across the boundary, so ergodicity is preserved (boundary
+    pairs still exchange, just at a coarser cadence — DCN latency is paid
+    O(1/dcn_every) of the time).
     """
     vsweep = jax.vmap(sweep_fn, in_axes=(0, 0))
 
     def run(states: MCState, temps, key):
+        C = temps.shape[0]
+        idx = jnp.arange(C)
+        if pod_size is not None:
+            crosses_pod = ((idx + 1) % pod_size == 0) & (idx + 1 < C)
+        else:
+            crosses_pod = jnp.zeros(C, bool)
+
         def body(carry, r):
             states, key = carry
             states, _ = vsweep(states, temps)
             key, k_swap = jax.random.split(key)
-            states, rate = _swap_phase(states, temps, k_swap, r % 2)
+            dcn_round = (r % dcn_every) == (dcn_every - 1)
+            pair_ok = jnp.where(dcn_round, True, ~crosses_pod)
+            states, rate = _swap_phase(states, temps, k_swap, r % 2, pair_ok=pair_ok)
             rec = TemperRecord(
                 energy=states.energy, swap_rate=rate, site_state=states.site_state
             )

@@ -111,12 +111,43 @@ def test_neighbor_list_overflow_flag():
 
 
 def test_gan_system_canonical_smoke():
+    """Canonical GaN sampling from an even prefill (the reference's
+    prepare_canonical(even_adsorption_sites=True) path, mcmc.py:163-179).
+    Adsorption on this Tersoff surface is ~+7 eV uphill, so Metropolis
+    prep at T=0.5 would take ~exp(14)/ads steps — prefill is the mode the
+    reference tutorial uses, and it keeps the smoke test O(seconds)."""
+    from surface_sampling_tpu.core.engine import even_site_prefill
+
     sys = gan0001_tersoff(size=(2, 2), layers=3)
     temps = geometric_schedule(0.5, 3, 0.9)
     cfg = EngineConfig(sweep_size=4, canonical=True, num_ads_atoms=4, record_positions=False)
-    state, rec = sys.run.run(jax.random.PRNGKey(0), temps, cfg=cfg)
+    ss0 = even_site_prefill(sys.spec, 4, rng=np.random.default_rng(0))
+    state, rec = sys.run.run(jax.random.PRNGKey(0), temps, site_state=ss0, cfg=cfg)
     assert np.all(np.asarray(rec.n_ads) == 4)
     assert np.all(np.isfinite(np.asarray(rec.energy)))
+
+
+def test_prepare_canonical_bounded_force_fill():
+    """prepare_canonical with max_steps + force_fill always reaches the
+    target occupancy, even when every adsorption is strongly uphill and
+    Metropolis alone would (like the reference's unbounded loop,
+    mcmc.py:183-185) effectively never terminate."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core.engine import prepare_canonical_fn
+
+    sys = gan0001_tersoff(size=(2, 2), layers=3)
+    cfg = EngineConfig(sweep_size=2, canonical=True, num_ads_atoms=5)
+    prep = jax.jit(
+        prepare_canonical_fn(
+            sys.run.d, sys.run.state_energy_fn, 5, cfg, max_steps=8, force_fill=True
+        )
+    )
+    state = sys.run.init_state(jax.random.PRNGKey(2))
+    out = prep(state, jnp.asarray(0.2))
+    ss = np.asarray(out.site_state)
+    assert int((ss > 0).sum()) == 5
+    assert ss.min() >= 0 and ss.max() < sys.run.d.n_codes
 
 
 def test_si_system_relaxed_smoke():

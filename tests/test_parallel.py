@@ -132,3 +132,89 @@ def test_ensemble_sharded_energy_matches_vmap():
     ref = jax.vmap(lambda p: member_energy(p, pos, numbers, alive, shifts))(params)
     np.testing.assert_allclose(np.asarray(member_e), np.asarray(ref), rtol=1e-5)
     assert np.isclose(float(mean_e), float(ref.mean()), rtol=1e-5)
+
+
+def test_pod_mesh_hierarchical_chain_run():
+    """2x4 pod mesh (outer axis = DCN, inner = ICI): chains sharded over
+    both axes reproduce the plain vmapped run chain-for-chain."""
+    from surface_sampling_tpu.parallel import pod_mesh
+    from surface_sampling_tpu.parallel.chains import (
+        make_hierarchical_chain_run,
+        shard_chain_states,
+    )
+
+    assert jax.device_count() >= 8
+    sys, run_fn, cfg = _run_pieces()
+    mesh = pod_mesh(2, 4)
+    assert mesh.axis_names == ("pod", "chains")
+    n_chains = 16
+    states = chain_states(sys.run.d, jax.random.PRNGKey(5), n_chains)
+    e0 = jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+    temps = jnp.asarray(geometric_schedule(1.0, 2, 0.9), jnp.float32)
+
+    hrun = make_hierarchical_chain_run(run_fn, mesh)
+    sharded = shard_chain_states(states, mesh, axis=("pod", "chains"))
+    out_h, recs_h = hrun(sharded, temps)
+
+    crun = make_chain_run(run_fn)
+    out_v, recs_v = crun(states, temps)
+    np.testing.assert_allclose(
+        np.asarray(recs_h.energy), np.asarray(recs_v.energy), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_h.site_state), np.asarray(out_v.site_state)
+    )
+
+
+def test_dcn_aware_tempering_schedule():
+    """pod_size-gated tempering: on non-DCN rounds no configuration may
+    cross a pod boundary; on DCN rounds boundary pairs exchange; the
+    energy multiset is preserved throughout."""
+    from surface_sampling_tpu.core.state import MCState
+    from surface_sampling_tpu.parallel.tempering import _swap_phase
+
+    C, S, pod = 8, 4, 4
+    key = jax.random.PRNGKey(9)
+    # tag each chain's site_state with its origin index so crossings are visible
+    ss = jnp.tile(jnp.arange(C, dtype=jnp.int32)[:, None], (1, S))
+    e = jnp.asarray(np.linspace(-3.0, 3.0, C), jnp.float32)
+    states = MCState(
+        site_state=ss,
+        energy=e,
+        relaxed_positions=jnp.zeros((C, 2, 3)),
+        key=jax.random.split(key, C),
+    )
+    temps = jnp.asarray(temperature_ladder(0.05, 2.0, C), jnp.float32)
+    crosses = ((jnp.arange(C) + 1) % pod == 0) & (jnp.arange(C) + 1 < C)
+
+    # ICI-only phase: forbid boundary pairs
+    out, _ = _swap_phase(states, temps, jax.random.PRNGKey(1), 1, pair_ok=~crosses)
+    origin = np.asarray(out.site_state)[:, 0]
+    assert all((o // pod) == (i // pod) for i, o in enumerate(origin)), origin
+    assert sorted(np.asarray(out.energy).tolist()) == sorted(np.asarray(e).tolist())
+
+    # DCN phase: boundary pair (3, 4) is attemptable — force acceptance by
+    # choosing parity 1 (pairs (1,2),(3,4),(5,6)) with all pairs allowed
+    out2, _ = _swap_phase(states, temps, jax.random.PRNGKey(2), 1, pair_ok=None)
+    assert sorted(np.asarray(out2.energy).tolist()) == sorted(np.asarray(e).tolist())
+
+
+def test_tempered_run_with_pod_schedule():
+    """make_tempered_run(pod_size=...) runs end-to-end and keeps sampling
+    correct (finite energies, swaps happening)."""
+    from surface_sampling_tpu.core import EngineConfig, make_sweep_fn
+    from surface_sampling_tpu.core.events import make_semigrand_step
+
+    sys = cu100_eam()
+    step = make_semigrand_step(sys.run.d, sys.run.state_energy_fn)
+    sweep = make_sweep_fn(step, 2)
+    C = 8
+    states = chain_states(sys.run.d, jax.random.PRNGKey(11), C)
+    e0 = jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+    temps = jnp.asarray(temperature_ladder(0.2, 2.0, C), jnp.float32)
+    trun = make_tempered_run(sweep, n_rounds=6, pod_size=4, dcn_every=3)
+    out, recs = trun(states, temps, jax.random.PRNGKey(12))
+    assert recs.energy.shape == (6, C)
+    assert np.all(np.isfinite(np.asarray(recs.energy)))

@@ -232,3 +232,81 @@ def test_mace_npz_roundtrip_and_cli(tmp_path):
 
     main(["--settings", str(sp), "--slab", str(slab_path)])
     assert (tmp_path / "run" / "stats.csv").exists()
+
+
+def test_mace_equivariant_messages(lj_dataset):
+    """equivariant_messages=True: vector/tensor node features are carried
+    across layers through parity-even CG paths. The energy must stay exactly
+    O(3)-invariant, forces must rotate covariantly, the new paths must be
+    live (zeroing them changes the output), and the npz roundtrip must
+    preserve the flag."""
+    import dataclasses as _dc
+
+    from surface_sampling_tpu.models.mace import (
+        MACEConfig,
+        init_mace,
+        load_mace_npz,
+        mace_apply,
+        save_mace_npz,
+    )
+
+    structures, _, _ = lj_dataset
+    cfg = MACEConfig(feat_dim=12, n_rbf=5, cutoff=6.0, n_layers=2,
+                     max_neighbors=6, readout_hidden=8, l_max=2,
+                     equivariant_messages=True)
+    params = init_mace(jax.random.PRNGKey(7), cfg)
+    pos = jnp.asarray(structures[0].positions, jnp.float32)
+    nums = jnp.asarray(structures[0].numbers)
+    alive = jnp.ones(len(nums), bool)
+    shifts = jnp.zeros((1, 3))
+
+    def energy(p):
+        return mace_apply(params, cfg, p, nums, alive, shifts)["energy"]
+
+    e0 = float(energy(pos))
+    a, b = 0.7, 1.1
+    rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    rx = np.array([[1.0, 0, 0], [0, np.cos(b), -np.sin(b)], [0, np.sin(b), np.cos(b)]])
+    rot = jnp.asarray(rx @ rz, jnp.float32)
+    e_r = float(energy(pos @ rot.T))
+    assert np.isclose(e0, e_r, atol=2e-3), (e0, e_r)
+    # parity: every CG path is a proper tensor, so mirrors are exact too
+    e_m = float(energy(pos * jnp.asarray([-1.0, 1.0, 1.0])))
+    assert np.isclose(e0, e_m, atol=2e-3), (e0, e_m)
+
+    # force covariance: F(R x) == F(x) R^T
+    f = jax.grad(energy)
+    f0 = np.asarray(f(pos))
+    f_r = np.asarray(f(pos @ rot.T))
+    np.testing.assert_allclose(f_r, f0 @ np.asarray(rot).T, atol=5e-3)
+
+    # liveness: the second layer must actually read the carried V features
+    dead = jax.tree.map(lambda x: x, params)
+    dead["layers"][1] = dict(dead["layers"][1])
+    for k in ("w0v", "w1v", "w1t", "w2v", "w2t"):
+        dead["layers"][1][k] = {"w": jnp.zeros_like(jnp.asarray(params["layers"][1][k]["w"]))}
+    e_dead = float(mace_apply(dead, cfg, pos, nums, alive, shifts)["energy"])
+    assert abs(e0 - e_dead) > 5e-7, "equivariant paths are dead"
+
+    # roundtrip keeps the flag and the values
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/mace_eq.npz"
+        save_mace_npz(p, params, cfg)
+        params2, cfg2 = load_mace_npz(p)
+        assert cfg2.equivariant_messages is True
+        assert cfg2 == cfg
+        e2 = float(mace_apply(params2, cfg2, pos, nums, alive, shifts)["energy"])
+        assert np.isclose(e0, e2, atol=1e-6)
+
+    # trainability of the full equivariant stack
+    from surface_sampling_tpu.models.train import train_painn
+
+    structures, energies, forces = lj_dataset
+    batch = pad_structures(structures, energies, forces, cfg.cutoff)
+    params, hist = train_painn(
+        params, cfg, [batch], TrainConfig(epochs=40, learning_rate=3e-3),
+        apply_fn=mace_apply,
+    )
+    assert hist[-1] < 0.8 * hist[0]
