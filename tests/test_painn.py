@@ -174,3 +174,33 @@ def test_static_table_edges_match_full_search():
     e_full = float(pot_full.energy(pos, ti, alive, d.shifts))
     e_static = float(sys_.potential.energy(pos, ti, alive, d.shifts))
     assert np.isclose(e_full, e_static, rtol=0, atol=5e-3), (e_full, e_static)
+
+
+def test_dense_message_mode_matches_gather(tiny_model):
+    """message_mode="dense" (one-hot MXU matmuls, the TPU hot path) must
+    reproduce the per-edge gather formulation bit-closely, including
+    forces, on the same backend."""
+    import dataclasses as dc
+
+    params, cfg = tiny_model
+    pos, numbers, alive, shifts = _random_cluster(jax.random.PRNGKey(42))
+    cfg_g = dc.replace(cfg, message_mode="gather")
+    cfg_d = dc.replace(cfg, message_mode="dense")
+    out_g = painn_apply(params, cfg_g, pos, numbers, alive, shifts)
+    out_d = painn_apply(params, cfg_d, pos, numbers, alive, shifts)
+    np.testing.assert_allclose(
+        float(out_g["energy"]), float(out_d["energy"]), rtol=1e-6, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_g["per_atom_energy"]), np.asarray(out_d["per_atom_energy"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    f_g = jax.grad(lambda p: painn_apply(params, cfg_g, p, numbers, alive, shifts)["energy"])(pos)
+    f_d = jax.grad(lambda p: painn_apply(params, cfg_d, p, numbers, alive, shifts)["energy"])(pos)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_d), rtol=1e-4, atol=1e-5)
+
+    # dead-slot masking: dense mode must also zero dead-atom contributions
+    alive2 = alive.at[2].set(False)
+    e_g = float(painn_apply(params, cfg_g, pos, numbers, alive2, shifts)["energy"])
+    e_d = float(painn_apply(params, cfg_d, pos, numbers, alive2, shifts)["energy"])
+    np.testing.assert_allclose(e_g, e_d, rtol=1e-6, atol=1e-5)
