@@ -26,6 +26,12 @@ Energy = sum_t sum_i E_i^t (+ per-element reference energies).
 All contractions are exact rotation invariants (verified by the
 equivariance tests).
 
+``l_max=3`` adds a rank-3 symmetric-traceless atomic basis
+A^3 = sum_j R^3 Y3(rhat) (W3 h_j) with the exact parity-even invariants
+|A3|^2, A0 |A3|^2, A3:A1:T (3 x 1 x 2 -> 0) and A3:A3:T; the l=3
+features are layer-local (equivariant inter-layer carrying covers
+l <= 2).
+
 With ``equivariant_messages=True`` the model carries equivariant node
 features across layers the way full MACE does: each node keeps vector
 features V (N, F, 3) and (for l_max=2) symmetric-traceless tensor
@@ -85,12 +91,12 @@ def _lin(key, n_in, n_out, bias=True):
 
 
 def _n_invariants(l_max: int) -> int:
-    return 5 if l_max == 1 else 9
+    return {1: 5, 2: 9, 3: 13}[l_max]
 
 
 def init_mace(key, cfg: MACEConfig):
-    if cfg.l_max not in (1, 2):
-        raise ValueError(f"l_max must be 1 or 2, got {cfg.l_max}")
+    if cfg.l_max not in (1, 2, 3):
+        raise ValueError(f"l_max must be 1, 2 or 3, got {cfg.l_max}")
     F, R = cfg.feat_dim, cfg.n_rbf
     keys = jax.random.split(key, 2 + 26 * cfg.n_layers)
     ki = iter(range(len(keys)))
@@ -112,6 +118,9 @@ def init_mace(key, cfg: MACEConfig):
         if cfg.l_max >= 2:
             layer["w2"] = _lin(keys[next(ki)], F, F, bias=False)
             layer["rad2"] = _lin(keys[next(ki)], R, F)
+        if cfg.l_max >= 3:
+            layer["w3"] = _lin(keys[next(ki)], F, F, bias=False)
+            layer["rad3"] = _lin(keys[next(ki)], R, F)
         if cfg.equivariant_messages:
             layer["w0v"] = _lin(keys[next(ki)], F, F, bias=False)
             layer["rad0v"] = _lin(keys[next(ki)], R, F)
@@ -154,6 +163,21 @@ def _y2_matrix(unit):
     return unit[..., :, None] * unit[..., None, :] - eye
 
 
+def _y3_tensor(unit):
+    """Rank-3 spherical tensor of a unit vector: the symmetric traceless
+    part of u o u o u, i.e. u_a u_b u_c - (d_ab u_c + d_ac u_b + d_bc u_a)/5
+    (transforms as l=3; traceless on every index pair since |u| = 1)."""
+    u = unit
+    eye = jnp.eye(3, dtype=u.dtype)
+    uuu = u[..., :, None, None] * u[..., None, :, None] * u[..., None, None, :]
+    tr = (
+        eye[:, :, None] * u[..., None, None, :]
+        + eye[:, None, :] * u[..., None, :, None]
+        + eye[None, :, :] * u[..., :, None, None]
+    ) / 5.0
+    return uuu - tr
+
+
 def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
     """Forward; returns per-atom energies, total energy, embeddings."""
     params = jax.tree.map(jnp.asarray, params)
@@ -170,6 +194,7 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
 
     e_atom = params["atom_ref"][z_idx] * alive.astype(dtype)
     y2 = _y2_matrix(unit) if cfg.l_max >= 2 else None                # (N, M, 3, 3)
+    y3 = _y3_tensor(unit) if cfg.l_max >= 3 else None                # (N, M, 3, 3, 3)
     eq = cfg.equivariant_messages
     N, F = h.shape
     eye3 = jnp.eye(3, dtype=dtype)
@@ -223,6 +248,19 @@ def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
             v_t_v = jnp.einsum("nfa,nfab,nfb->nf", a1, t2, a1)
             t3 = jnp.einsum("nfab,nfbc,nfca->nf", t2, t2, t2)         # tr(T^3)
             feats += [t2n2, a0 * t2n2, v_t_v, t3]
+        if cfg.l_max >= 3:
+            # l=3 atomic basis (layer-local; equivariant carrying stops
+            # at l=2) and its exact invariants up to nu=3:
+            #   |A3|^2, A0 |A3|^2, A3:A1:T (3x1x2 -> 0), A3:A3:T
+            r3 = _apply(lp["rad3"], rbf)
+            hj3 = _apply(lp["w3"], h)[nbr_j]
+            w3 = (r3 * hj3 * fmask)[..., None, None, None]            # (N,M,F,1,1,1)
+            a3 = jnp.sum(w3 * y3[:, :, None, :, :, :], axis=1)        # (N,F,3,3,3)
+            a3n2 = jnp.sum(a3 * a3, axis=(-3, -2, -1))                # (N, F)
+            feats += [a3n2, a0 * a3n2]
+            a3_a1_t = jnp.einsum("nfabc,nfa,nfbc->nf", a3, a1, t2)
+            a3_a3_t = jnp.einsum("nfabc,nfabd,nfcd->nf", a3, a3, t2)
+            feats += [a3_a1_t, a3_a3_t]
         b = jnp.concatenate(feats, axis=-1)
         h = h + _apply(lp["update1"], jax.nn.silu(_apply(lp["update0"], b)))
         h = jnp.where(alive[:, None], h, 0.0)
