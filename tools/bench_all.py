@@ -1,0 +1,145 @@
+"""Measure MC energy-evaluation throughput for every model family on the
+current device (TPU by default; the CI/driver headline stays bench.py).
+
+Each row: one prebuilt system (systems.py), vmapped over a chain batch
+sized to the family's memory footprint, timing steady-state jitted
+surface-energy evaluations (the unit cost of the MC hot loop — SURVEY §6
+cost model). Writes JSON lines; docs/BENCHMARKS.md holds the curated
+table.
+
+Usage:  python tools/bench_all.py [--families cu100_rigid,painn,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def _throughput(run, n_chains: int, iters: int = 3) -> dict:
+    from surface_sampling_tpu.parallel import chain_states
+
+    f = jax.jit(jax.vmap(lambda ss: run.state_energy_fn(ss).surface_energy))
+    states = chain_states(run.d, jax.random.PRNGKey(0), n_chains)
+    ss = states.site_state
+    t0 = time.perf_counter()
+    r = f(ss)
+    r.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(ss)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "chains": n_chains,
+        "evals_per_sec": round(n_chains / dt, 1),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_cu100_rigid():
+    from surface_sampling_tpu.core import MCMCRun
+    from surface_sampling_tpu.potentials import builtin_eam
+    from surface_sampling_tpu.potentials.eam import make_eam_rigid
+    from surface_sampling_tpu.systems import cu100_eam
+
+    sys = cu100_eam(fast=True)
+    run = MCMCRun(sys.spec, make_eam_rigid(builtin_eam("Cu_u3"), sys.spec))
+    return _throughput(run, 16384, iters=10)
+
+
+def bench_cu100_pallas():
+    from surface_sampling_tpu.core import MCMCRun
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+    from surface_sampling_tpu.ops.pallas_eam import make_eam_pallas_potential
+    from surface_sampling_tpu.potentials import builtin_eam
+    from surface_sampling_tpu.systems import cu100_eam
+
+    sys = cu100_eam(fast=True)
+    tables = builtin_eam("Cu_u3")
+    nbr = build_static_neighbor_table(sys.spec, tables.cutoff, relax_slack=0.05)
+    run = MCMCRun(sys.spec, make_eam_pallas_potential(tables, nbr))
+    return _throughput(run, 8192, iters=10)
+
+
+def bench_au110_canonical():
+    from surface_sampling_tpu.systems import au110_eam
+
+    # exact-spline EAM path (the Au regression physics); modest chain count
+    # because the spline-gather program compiles slowly at large batches
+    return _throughput(au110_eam().run, 1024, iters=10)
+
+
+def bench_gan_tersoff():
+    from surface_sampling_tpu.systems import gan0001_tersoff
+
+    return _throughput(gan0001_tersoff(size=(2, 2), layers=3).run, 512)
+
+
+def bench_si_sw():
+    from surface_sampling_tpu.systems import si111_sw
+
+    return _throughput(si111_sw().run, 512)
+
+
+def bench_painn():
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    return _throughput(srtio3_001_painn().run, 128)
+
+
+def bench_painn_relaxed():
+    from surface_sampling_tpu.core import RelaxConfig
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    sys = srtio3_001_painn(relax=RelaxConfig(steps=20, fmax=0.01))
+    return _throughput(sys.run, 16)
+
+
+def bench_chgnet():
+    from surface_sampling_tpu.systems import lamno3_001_chgnet
+
+    return _throughput(lamno3_001_chgnet().run, 64)
+
+
+FAMILIES = {
+    "cu100_rigid": bench_cu100_rigid,
+    "cu100_pallas": bench_cu100_pallas,
+    "au110_canonical": bench_au110_canonical,
+    "gan_tersoff": bench_gan_tersoff,
+    "si_sw": bench_si_sw,
+    "painn": bench_painn,
+    "painn_relaxed": bench_painn_relaxed,
+    "chgnet": bench_chgnet,
+}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    args = ap.parse_args(argv)
+    for name in args.families.split(","):
+        name = name.strip()
+        if not name:
+            continue
+        try:
+            row = FAMILIES[name]()
+            row["family"] = name
+            row["platform"] = jax.devices()[0].platform
+        except Exception as e:  # noqa: BLE001 - report and continue
+            row = {"family": name, "error": str(e)[:200]}
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
