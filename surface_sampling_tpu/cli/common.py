@@ -335,6 +335,7 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             int(samp["prep_max_steps"]) if samp.get("prep_max_steps") else None
         ),
         prep_force_fill=bool(samp.get("prep_force_fill", False)),
+        mtm_trials=int(samp.get("mtm_trials", 0)),
     )
     dwm = None
     if cfg.require_distance_decay:

@@ -56,6 +56,7 @@ class EngineConfig:
     record_positions: bool = True
     prep_max_steps: int | None = None    # bound canonical prep (None = reference-faithful)
     prep_force_fill: bool = False        # deterministic fill if the bound is hit
+    mtm_trials: int = 0                  # >1: multiple-try Metropolis (semigrand only)
 
 
 def make_sweep_fn(step_fn: Callable, sweep_size: int) -> Callable:
@@ -97,6 +98,12 @@ def make_run_fn(
             potential=potential,
             distance_weight_matrix=distance_weight_matrix,
         )
+    elif cfg.mtm_trials > 1:
+        from surface_sampling_tpu.core.events import make_semigrand_step_mtm
+
+        if cfg.criterion != "metropolis":
+            raise ValueError("mtm_trials requires the metropolis criterion")
+        step_fn = make_semigrand_step_mtm(d, state_energy_fn, k_trials=cfg.mtm_trials)
     else:
         step_fn = make_semigrand_step(
             d,

@@ -135,6 +135,101 @@ def make_semigrand_step(
 
 
 # ----------------------------------------------------------------------
+# Multiple-try Metropolis semigrand step (TPU-native extension)
+# ----------------------------------------------------------------------
+def make_semigrand_step_mtm(
+    d: DeviceSpec,
+    state_energy_fn: Callable,
+    k_trials: int = 8,
+) -> Callable:
+    """Multiple-try Metropolis (Liu, Liang & Wong, JASA 2000) over the
+    semigrand move family — a capability the batch hardware makes natural:
+    every step evaluates 2K-1 candidate states in ONE vmapped forward
+    (trials and reference points batch through the same MXU pass), which
+    multiplies per-step mixing at nearly the per-eval price when the
+    device is not yet batch-saturated.
+
+    The single-site change proposal is symmetric (any site/code change is
+    reversible with the same draw probability), so the MTM weight is the
+    Boltzmann factor: w(y) = exp(-E(y)/T).
+
+      1. draw K i.i.d. trials y_1..y_K from x; select y = y_J with
+         probability proportional to w(y_j);
+      2. draw K-1 reference points x*_1..x*_{K-1} from y; set x*_K = x;
+      3. accept y with probability min(1, sum_j w(y_j) / sum_j w(x*_j)).
+
+    Satisfies detailed balance for the Boltzmann target (validated against
+    exact enumeration in tests/test_distribution.py). Not a reference
+    feature — the reference's serial loop (mcmc.py:233) cannot amortize
+    trial batches; cite mcmc/events/proposal.py:74 for the shared proposal
+    semantics.
+
+    When to use: MTM multiplies acceptance (~K x at low temperature) at
+    2K-1 evals per step, so it wins wall-clock mixing when the chain batch
+    alone does not saturate the chip — few chains, relax-mode evaluations,
+    or small site spaces. At batch-saturating chain counts plain
+    single-try at K x the chains mixes equally fast; measured numbers in
+    docs/BENCHMARKS.md.
+    """
+    n_sites = d.site_coords.shape[0]
+    n_codes = d.n_codes
+
+    def propose(key, ss):
+        """One symmetric single-site change of ``ss``."""
+        k_site, k_code = jax.random.split(key)
+        site = jax.random.randint(k_site, (), 0, n_sites)
+        cur = ss[site]
+        u = jax.random.randint(k_code, (), 0, n_codes - 1)
+        end = u + (u >= cur).astype(u.dtype)
+        return change_site(ss, site, end)
+
+    v_energy = jax.vmap(state_energy_fn)
+
+    def step(state: MCState, temp):
+        key, k_trials_key, k_sel, k_ref, k_acc = jax.random.split(state.key, 5)
+        beta = 1.0 / jnp.maximum(temp, 1e-12)
+
+        trial_keys = jax.random.split(k_trials_key, k_trials)
+        trial_ss = jax.vmap(propose, in_axes=(0, None))(trial_keys, state.site_state)
+        trials = v_energy(trial_ss)                              # (K,) energies
+        logw_y = -beta * trials.surface_energy
+        sel = jnp.argmax(logw_y + jax.random.gumbel(k_sel, (k_trials,)))
+        y_ss = trial_ss[sel]
+
+        ref_keys = jax.random.split(k_ref, k_trials - 1)
+        ref_ss = jax.vmap(propose, in_axes=(0, None))(ref_keys, y_ss)
+        refs = v_energy(ref_ss)
+        logw_x = jnp.concatenate(
+            [-beta * refs.surface_energy, (-beta * state.energy)[None]]
+        )
+        log_ratio = jax.scipy.special.logsumexp(logw_y) - jax.scipy.special.logsumexp(
+            logw_x
+        )
+        accept = (
+            jnp.log(jax.random.uniform(key=k_acc, dtype=logw_y.dtype) + 1e-38)
+            < log_ratio
+        )
+
+        new_state = MCState(
+            site_state=jnp.where(accept, y_ss, state.site_state),
+            energy=jnp.where(accept, trials.surface_energy[sel], state.energy),
+            relaxed_positions=jnp.where(
+                accept, trials.positions[sel], state.relaxed_positions
+            ),
+            key=key,
+        )
+        info = StepInfo(
+            accepted=accept,
+            energy=new_state.energy,
+            n_ads=num_occupied_sites(new_state.site_state),
+            oob=trials.oob[sel],
+        )
+        return new_state, info
+
+    return step
+
+
+# ----------------------------------------------------------------------
 # Canonical step (SwitchProposal + Exchange event + criterion)
 # ----------------------------------------------------------------------
 def make_canonical_step(

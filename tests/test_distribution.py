@@ -108,3 +108,38 @@ def test_canonical_chain_samples_exact_boltzmann_in_sector(enumerable_system):
     p_emp = counts / counts.sum()
     l1 = np.abs(p_emp - p_exact_sector).sum()
     assert l1 < 0.05, f"L1 = {l1:.4f}"
+
+
+def test_mtm_chain_samples_exact_boltzmann(enumerable_system):
+    """Multiple-try Metropolis (EngineConfig.mtm_trials) must sample the
+    same exact Boltzmann distribution — MTM's select/reference construction
+    satisfies detailed balance for symmetric proposals, and any bias in
+    the weight or acceptance formula would show up immediately on a fully
+    enumerable state space."""
+    run, S, E = enumerable_system
+    temp = 1.5
+    cfg = EngineConfig(sweep_size=4, record_positions=False, mtm_trials=4)
+    crun = make_chain_run(make_run_fn(run.d, run.state_energy_fn, cfg))
+    n_chains, sweeps, burn = 512, 60, 20
+    cs = chain_states(run.d, jax.random.PRNGKey(7), n_chains)
+    e0 = jax.jit(jax.vmap(lambda s: run.state_energy_fn(s).surface_energy))(
+        cs.site_state)
+    cs = cs._replace(energy=e0)
+    _, recs = crun(cs, jnp.full(sweeps, temp))
+    ss = np.asarray(recs.site_state)[:, burn:, :].reshape(-1, S)
+    idx = ss.dot(1 << np.arange(S)[::-1])
+    counts = np.bincount(idx, minlength=2**S)
+    p_emp = counts / counts.sum()
+    l1 = np.abs(p_emp - _exact(E, temp)).sum()
+    assert l1 < 0.05, f"L1(MTM empirical, Boltzmann) = {l1:.4f}"
+    # discriminating power: must not match a wrong temperature
+    assert np.abs(p_emp - _exact(E, 0.6)).sum() > 0.15
+
+    # MTM must also mix at least as fast as single-try per step: acceptance
+    # of a 4-trial chain at this temperature should be substantial
+    cfg1 = EngineConfig(sweep_size=4, record_positions=False)
+    crun1 = make_chain_run(make_run_fn(run.d, run.state_energy_fn, cfg1))
+    _, recs1 = crun1(cs, jnp.full(sweeps, temp))
+    acc_mtm = float(np.mean(np.asarray(recs.accept_rate)))
+    acc_std = float(np.mean(np.asarray(recs1.accept_rate)))
+    assert acc_mtm > acc_std, (acc_mtm, acc_std)
