@@ -197,7 +197,13 @@ def _apply_gated(p, x, single: bool = False):
 # ----------------------------------------------------------------------
 def chgnet_apply(params, cfg: CHGNetConfig, positions, numbers, alive, shifts):
     """Forward pass; returns per-atom energies (eV/atom scale), total
-    energy, per-atom magmom-like site values, and embeddings."""
+    energy, per-atom magmom-like site values, and embeddings. Matmuls run
+    at true f32 precision (see painn_apply for the measured rationale)."""
+    with jax.default_matmul_precision("float32"):
+        return _chgnet_apply_impl(params, cfg, positions, numbers, alive, shifts)
+
+
+def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shifts):
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.atom_fea_dim
     N = positions.shape[0]

@@ -179,7 +179,13 @@ def _y3_tensor(unit):
 
 
 def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
-    """Forward; returns per-atom energies, total energy, embeddings."""
+    """Forward; returns per-atom energies, total energy, embeddings.
+    Matmuls run at true f32 precision (see painn_apply's rationale)."""
+    with jax.default_matmul_precision("float32"):
+        return _mace_apply_impl(params, cfg, positions, numbers, alive, shifts)
+
+
+def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts):
     params = jax.tree.map(jnp.asarray, params)
     dtype = positions.dtype
     disp, r, nbr_j, nbr_mask, overflow = neighbor_list(
