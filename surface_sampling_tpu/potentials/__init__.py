@@ -15,6 +15,7 @@ from surface_sampling_tpu.potentials.eam import (
     tables_from_funcfl,
 )
 from surface_sampling_tpu.potentials.pair import make_lennard_jones, make_morse
+from surface_sampling_tpu.potentials.rigid_manybody import make_sw_rigid, make_tersoff_rigid
 from surface_sampling_tpu.potentials.sw import SW_SI_1985, make_sw, parse_sw, sw_tables
 from surface_sampling_tpu.potentials.tersoff import (
     builtin_tersoff,
@@ -28,7 +29,9 @@ __all__ = [
     "builtin_tersoff",
     "load_tersoff",
     "make_sw",
+    "make_sw_rigid",
     "make_tersoff",
+    "make_tersoff_rigid",
     "parse_sw",
     "parse_tersoff",
     "sw_tables",

@@ -178,3 +178,90 @@ def test_si111_pristine_energy_physical():
     d = slab.all_distances(mic=True)
     np.fill_diagonal(d, np.inf)
     assert abs(d.min() - 2.3517) < 1e-3
+
+
+def test_tersoff_rigid_matches_dynamic():
+    """make_tersoff_rigid (occupancy algebra over f64-precomputed static
+    factors) must reproduce the dynamic Tersoff path on random multi-type
+    occupancies of the GaN system — including empty, full, and mixed
+    Ga/N states."""
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.potentials import builtin_tersoff, make_tersoff
+    from surface_sampling_tpu.potentials.rigid_manybody import make_tersoff_rigid
+
+    sys = gan0001_tersoff(size=(2, 2), layers=3)
+    spec, d = sys.spec, sys.run.d
+    tables = builtin_tersoff("GaN_nord2003")
+    dyn = make_tersoff(tables, max_neighbors=48)
+    rig = make_tersoff_rigid(tables, spec)
+
+    rng = np.random.default_rng(3)
+    S = spec.n_sites
+    states = [np.zeros(S, np.int32), np.full(S, 1, np.int32), np.full(S, 2, np.int32)]
+    for _ in range(5):
+        states.append(rng.integers(0, d.n_codes, S).astype(np.int32))
+
+    e_dyn_fn = jax.jit(lambda ss: dyn.energy(
+        realize_positions(d, ss), realize_type_idx(d, ss), realize_alive(d, ss), d.shifts))
+    e_rig_fn = jax.jit(lambda ss: rig.energy(
+        realize_positions(d, ss), realize_type_idx(d, ss), realize_alive(d, ss), d.shifts))
+    for ss in states:
+        ssj = jnp.asarray(ss)
+        e_d, e_r = float(e_dyn_fn(ssj)), float(e_rig_fn(ssj))
+        assert np.isclose(e_d, e_r, rtol=1e-5, atol=2e-3), (ss[:8], e_d, e_r)
+
+    # per-atom energies agree too (canonical boltzmann weighting uses them)
+    ss = jnp.asarray(states[-1])
+    pa_d = np.asarray(jax.jit(lambda s: dyn.per_atom_energy(
+        realize_positions(d, s), realize_type_idx(d, s), realize_alive(d, s), d.shifts))(ss))
+    pa_r = np.asarray(jax.jit(lambda s: rig.per_atom_energy(
+        realize_positions(d, s), realize_type_idx(d, s), realize_alive(d, s), d.shifts))(ss))
+    np.testing.assert_allclose(pa_d, pa_r, rtol=1e-4, atol=2e-3)
+
+
+def test_sw_rigid_matches_dynamic():
+    """make_sw_rigid must reproduce the dynamic SW path on random Si(111)
+    occupancies."""
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.potentials import make_sw, sw_tables
+    from surface_sampling_tpu.potentials.rigid_manybody import make_sw_rigid
+    from surface_sampling_tpu.systems import si111_sw
+
+    sys = si111_sw()
+    spec, d = sys.spec, sys.run.d
+    tables = sw_tables()
+    dyn = make_sw(tables, max_neighbors=32)
+    rig = make_sw_rigid(tables, spec)
+
+    rng = np.random.default_rng(4)
+    S = spec.n_sites
+    # moderate occupancies: the padded dynamic list must not overflow, so
+    # both formulations see the identical pair/triple sets
+    states = [np.zeros(S, np.int32)]
+    for _ in range(4):
+        ss = np.zeros(S, np.int32)
+        pick = rng.choice(S, size=S // 4, replace=False)
+        ss[pick] = 1
+        states.append(ss)
+    e_dyn_fn = jax.jit(lambda ss: dyn.energy(
+        realize_positions(d, ss), realize_type_idx(d, ss), realize_alive(d, ss), d.shifts))
+    e_rig_fn = jax.jit(lambda ss: rig.energy(
+        realize_positions(d, ss), realize_type_idx(d, ss), realize_alive(d, ss), d.shifts))
+    for ss in states:
+        ssj = jnp.asarray(ss)
+        e_d, e_r = float(e_dyn_fn(ssj)), float(e_rig_fn(ssj))
+        assert np.isclose(e_d, e_r, rtol=1e-5, atol=2e-3), (ss[:8], e_d, e_r)
+
+    # over-crowded state: the dynamic top_k list truncates (silently fewer
+    # pairs) while the rigid tables enumerate everything — rigid must be
+    # the larger (exact) repulsive energy
+    full = jnp.asarray(np.ones(S, np.int32))
+    assert float(e_rig_fn(full)) >= float(e_dyn_fn(full)) - 1e-3

@@ -86,10 +86,30 @@ def bench_gan_tersoff():
     return _throughput(gan0001_tersoff(size=(2, 2), layers=3).run, 512)
 
 
+def bench_gan_tersoff_rigid():
+    from surface_sampling_tpu.core import MCMCRun
+    from surface_sampling_tpu.potentials import builtin_tersoff, make_tersoff_rigid
+    from surface_sampling_tpu.systems import gan0001_tersoff
+
+    sys = gan0001_tersoff(size=(2, 2), layers=3)
+    run = MCMCRun(sys.spec, make_tersoff_rigid(builtin_tersoff("GaN_nord2003"), sys.spec))
+    return _throughput(run, 8192, iters=10)
+
+
 def bench_si_sw():
     from surface_sampling_tpu.systems import si111_sw
 
     return _throughput(si111_sw().run, 512)
+
+
+def bench_si_sw_rigid():
+    from surface_sampling_tpu.core import MCMCRun
+    from surface_sampling_tpu.potentials import make_sw_rigid, sw_tables
+    from surface_sampling_tpu.systems import si111_sw
+
+    sys = si111_sw()
+    run = MCMCRun(sys.spec, make_sw_rigid(sw_tables(), sys.spec))
+    return _throughput(run, 2048, iters=10)
 
 
 def bench_painn():
@@ -117,7 +137,9 @@ FAMILIES = {
     "cu100_pallas": bench_cu100_pallas,
     "au110_canonical": bench_au110_canonical,
     "gan_tersoff": bench_gan_tersoff,
+    "gan_tersoff_rigid": bench_gan_tersoff_rigid,
     "si_sw": bench_si_sw,
+    "si_sw_rigid": bench_si_sw_rigid,
     "painn": bench_painn,
     "painn_relaxed": bench_painn_relaxed,
     "chgnet": bench_chgnet,
