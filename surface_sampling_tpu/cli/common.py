@@ -105,7 +105,9 @@ def build_potential(calc_settings: dict, system_settings: dict):
         f = calc_settings["potential_file"]
         tables = load_tersoff_npz(f) if str(f).endswith(".npz") else load_tersoff(f)
         numbers = [Z_FROM_SYMBOL[e] for e in tables.elements]
-        return make_tersoff(tables), numbers, tables.cutoff
+        pot = make_tersoff(tables)
+        pot.__dict__["manybody_tables"] = ("tersoff", tables)
+        return pot, numbers, tables.cutoff
     if name == "sw":
         from surface_sampling_tpu.potentials import make_sw, sw_tables
         from surface_sampling_tpu.potentials.sw import load_sw
@@ -113,7 +115,9 @@ def build_potential(calc_settings: dict, system_settings: dict):
         f = calc_settings.get("potential_file")
         tables = load_sw(f) if f else sw_tables()
         numbers = [Z_FROM_SYMBOL[e] for e in tables.elements]
-        return make_sw(tables), numbers, tables.cutoff
+        pot = make_sw(tables)
+        pot.__dict__["manybody_tables"] = ("sw", tables)
+        return pot, numbers, tables.cutoff
     if name in ("nff", "painn"):
         from surface_sampling_tpu.models.convert_nff import load_params_npz
         from surface_sampling_tpu.models.ensemble import stack_params
@@ -251,6 +255,27 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
                     spec, sys_s.get("cutoff", pot_cutoff), relax_slack=0.05
                 )
                 potential = make_eam_static(tables, nbr, mode="cheb")
+
+    # rigid (non-relaxed) Tersoff/SW MC runs onto the precomputed occupancy-
+    # algebra path (105x / 66x measured; potentials/rigid_manybody.py);
+    # group vocabularies or relax mode keep the dynamic geometry path
+    manybody = getattr(potential, "__dict__", {}).get("manybody_tables")
+    if (
+        manybody is not None
+        and calc_s.get("fast", True)
+        and not calc_s.get("relax_atoms", False)
+    ):
+        kind, mb_tables = manybody
+        from surface_sampling_tpu.potentials import make_sw_rigid, make_tersoff_rigid
+
+        try:
+            potential = (
+                make_tersoff_rigid(mb_tables, spec)
+                if kind == "tersoff"
+                else make_sw_rigid(mb_tables, spec)
+            )
+        except ValueError:
+            pass  # group vocabulary: keep the dynamic path
 
     # PaiNN runs onto the static-candidate edge path (skips the all-image
     # top_k neighbor search; ~2x faster MC evals); opt out with

@@ -228,3 +228,33 @@ def test_sample_surface_cli_distance_decay(cu_setup):
 
     main(["--settings", str(p2), "--slab", str(slab_path)])
     assert (tmp_path / "run_dd" / "stats.csv").exists()
+
+
+def test_sample_surface_cli_sw_rigid(tmp_path):
+    """calc_name 'sw' with default SW85 tables drives the CLI end-to-end;
+    assemble_system must upgrade the non-relaxed run onto the rigid
+    occupancy-algebra path (potentials/rigid_manybody.make_sw_rigid)."""
+    from surface_sampling_tpu.cli.common import assemble_system, load_settings
+    from surface_sampling_tpu.cli.sample_surface import main
+    from surface_sampling_tpu.structure.slabs import bulk, surface_from_bulk
+
+    slab, _ = surface_from_bulk(bulk("Si", "diamond", a=5.431), (1, 1, 1),
+                                size=(2, 2), layers=2, vacuum=10.0)
+    slab_path = tmp_path / "si.cif"
+    write_cif(slab_path, slab)
+    settings = {
+        "system_settings": {"surface_name": "Si_sw", "planar_distance": 1.6},
+        "sampling_settings": {"total_sweeps": 2, "sweep_size": 2,
+                              "start_temp": 1.0, "adsorbates": ["Si"],
+                              "n_chains": 2,
+                              "run_folder": str(tmp_path / "run_sw")},
+        "calc_settings": {"calc_name": "sw"},
+    }
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps(settings))
+
+    asys = assemble_system(load_settings(sp), slab)
+    assert asys.potential.name == "sw-rigid"
+
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+    assert (tmp_path / "run_sw" / "stats.csv").exists()
