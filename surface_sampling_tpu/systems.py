@@ -88,12 +88,16 @@ def gan0001_tersoff(
     surface_depth: int = 2,
     relax: RelaxConfig | None = None,
     max_neighbors: int = 16,
+    fast: bool = False,
     dtype=None,
 ) -> ExampleSystem:
     """GaN(0001) wurtzite slab with the Nord-2003 Tersoff potential —
     the reference's GaN tutorial system (tutorials/GaN_0001.ipynb:
     canonical Ga/N sampling with LAMMPS Tersoff, bulk atoms frozen via
-    ``setforce 0`` in lammps_opt_template.txt)."""
+    ``setforce 0`` in lammps_opt_template.txt).
+
+    ``fast=True`` (rigid runs only) swaps in the precomputed occupancy-
+    algebra Tersoff (potentials/rigid_manybody.py; ~105x on TPU)."""
     import jax.numpy as jnp
 
     gan = bulk(["Ga", "N"], "wurtzite", a=3.19, c=5.19)
@@ -109,13 +113,18 @@ def gan0001_tersoff(
         surface_depth=surface_depth,
         surface_name="GaN_0001",
     )
-    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+    if fast and relax is None:
+        from surface_sampling_tpu.potentials import make_tersoff_rigid
 
-    nbr = build_static_neighbor_table(
-        spec, tables.cutoff, relax_slack=0.6 if relax is not None else 0.1
-    )
-    pot = make_tersoff(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32,
-                       static_nbr=nbr)
+        pot = make_tersoff_rigid(tables, spec, dtype=dtype or jnp.float32)
+    else:
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+        nbr = build_static_neighbor_table(
+            spec, tables.cutoff, relax_slack=0.6 if relax is not None else 0.1
+        )
+        pot = make_tersoff(tables, max_neighbors=max_neighbors,
+                           dtype=dtype or jnp.float32, static_nbr=nbr)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 
@@ -127,11 +136,15 @@ def si111_sw(
     surface_depth: int = 2,
     relax: RelaxConfig | None = None,
     max_neighbors: int = 16,
+    fast: bool = False,
     dtype=None,
 ) -> ExampleSystem:
     """Si(111) slab with Stillinger-Weber — the reference's Si(111) 5x5
     tutorial family (tutorials/Si_111_5x5, KIM SW model); ships the original
-    SW85 parameterization with custom tables accepted via potentials.sw."""
+    SW85 parameterization with custom tables accepted via potentials.sw.
+
+    ``fast=True`` (rigid runs only) swaps in the precomputed occupancy-
+    algebra SW (potentials/rigid_manybody.py; ~66x on TPU)."""
     import jax.numpy as jnp
 
     si = bulk("Si", "diamond", a=5.431)
@@ -147,13 +160,18 @@ def si111_sw(
         surface_depth=surface_depth,
         surface_name="Si_111",
     )
-    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+    if fast and relax is None:
+        from surface_sampling_tpu.potentials import make_sw_rigid
 
-    nbr = build_static_neighbor_table(
-        spec, tables.cutoff, relax_slack=0.6 if relax is not None else 0.1
-    )
-    pot = make_sw(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32,
-                  static_nbr=nbr)
+        pot = make_sw_rigid(tables, spec, dtype=dtype or jnp.float32)
+    else:
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+        nbr = build_static_neighbor_table(
+            spec, tables.cutoff, relax_slack=0.6 if relax is not None else 0.1
+        )
+        pot = make_sw(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32,
+                      static_nbr=nbr)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 
