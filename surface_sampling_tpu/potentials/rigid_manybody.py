@@ -68,12 +68,10 @@ def _static_pairs(spec, cutoff: float):
         yield i, js, r, unit
 
 
-def _fc_np(r: float, R: float, D: float) -> float:
-    if r < R - D:
-        return 1.0
-    if r > R + D:
-        return 0.0
-    return 0.5 - 0.5 * np.sin(0.5 * np.pi * (r - R) / max(D, 1e-12))
+def _fc_np(r, R, D):
+    """Vectorized Tersoff cutoff (broadcasts r against R/D tables)."""
+    mid = 0.5 - 0.5 * np.sin(0.5 * np.pi * (r - R) / np.maximum(D, 1e-12))
+    return np.where(r < R - D, 1.0, np.where(r > R + D, 0.0, mid))
 
 
 def make_tersoff_rigid(tables: TersoffTables, spec, dtype=jnp.float32) -> Potential:
@@ -84,55 +82,52 @@ def make_tersoff_rigid(tables: TersoffTables, spec, dtype=jnp.float32) -> Potent
     N = spec.n_slots
     P = tables.params
     cutoff = tables.cutoff
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+
+    # diagonal (ti, tj, tj) two-body tables, shape (T, T)
+    idx = np.arange(T)
+    R2, D2 = P["R"][:, idx, idx], P["D"][:, idx, idx]
+    A2, lam1 = P["A"][:, idx, idx], P["lam1"][:, idx, idx]
+    B2, lam2 = P["B"][:, idx, idx], P["lam2"][:, idx, idx]
 
     pair_i, pair_j = [], []
     fc2_l, fr2_l, fa2_l, C_l = [], [], [], []
     for i, js, r, unit in _static_pairs(spec, cutoff):
         M = len(js)
         cos = unit @ unit.T                                   # (M, M)
-        for a in range(M):
-            fc_ab = np.zeros((T, T))
-            fr_ab = np.zeros((T, T))
-            fa_ab = np.zeros((T, T))
-            for ti in range(T):
-                for tj in range(T):
-                    R2, D2 = P["R"][ti, tj, tj], P["D"][ti, tj, tj]
-                    fc_ab[ti, tj] = _fc_np(r[a], R2, D2)
-                    fr_ab[ti, tj] = P["A"][ti, tj, tj] * np.exp(-P["lam1"][ti, tj, tj] * r[a])
-                    fa_ab[ti, tj] = -P["B"][ti, tj, tj] * np.exp(-P["lam2"][ti, tj, tj] * r[a])
-            row = np.zeros((T, T, N, T))
-            for b in range(M):
-                if b == a:
-                    continue
-                for ti in range(T):
-                    for tj in range(T):
-                        for tk in range(T):
-                            fc_ik = _fc_np(r[b], P["R"][ti, tj, tk], P["D"][ti, tj, tk])
-                            if fc_ik == 0.0:
-                                continue
-                            c2 = P["c"][ti, tj, tk] ** 2
-                            d2 = P["d"][ti, tj, tk] ** 2
-                            hh = P["h"][ti, tj, tk]
-                            g = P["gamma"][ti, tj, tk] * (
-                                1.0 + c2 / d2 - c2 / (d2 + (hh - cos[a, b]) ** 2)
-                            )
-                            base = P["lam3"][ti, tj, tk] * (r[a] - r[b])
-                            arg = base**3 if P["m"][ti, tj, tk] > 2.0 else base
-                            row[ti, tj, js[b], tk] += fc_ik * g * np.exp(
-                                np.clip(arg, -60.0, 60.0)
-                            )
-            pair_i.append(i)
-            pair_j.append(int(js[a]))
-            fc2_l.append(fc_ab)
-            fr2_l.append(fr_ab)
-            fa2_l.append(fa_ab)
-            C_l.append(row.reshape(T, T, N * T))
+        ra = r[:, None, None]                                 # (M, 1, 1)
+        fc_ab = _fc_np(ra, R2, D2)                            # (M, T, T)
+        fr_ab = A2 * np.exp(-lam1 * ra)
+        fa_ab = -B2 * np.exp(-lam2 * ra)
+        # triple factors, broadcast over (b, ti, tj, tk)
+        rb = r[:, None, None, None]                           # (M, 1, 1, 1)
+        fc3 = _fc_np(rb, P["R"], P["D"])                      # (M, T, T, T)
+        c2 = P["c"] ** 2
+        d2 = P["d"] ** 2
+        dcos = P["h"] - cos[:, :, None, None, None]           # (M, M, T, T, T)
+        g = P["gamma"] * (1.0 + c2 / d2 - c2 / (d2 + dcos**2))
+        base = P["lam3"] * (r[:, None] - r[None, :])[:, :, None, None, None]
+        arg = np.where(P["m"] > 2.0, base**3, base)
+        contrib = fc3[None, :] * g * np.exp(np.clip(arg, -60.0, 60.0))  # (M,M,T,T,T)
+        contrib[np.arange(M), np.arange(M)] = 0.0             # k != j (same entry)
+        rows = np.zeros((M, T, T, N, T))
+        np.add.at(
+            rows.transpose(3, 0, 1, 2, 4), js, np.transpose(contrib, (1, 0, 2, 3, 4))
+        )
+        pair_i.extend([i] * M)
+        pair_j.extend(int(j) for j in js)
+        fc2_l.append(fc_ab.astype(np_dtype))
+        fr2_l.append(fr_ab.astype(np_dtype))
+        fa2_l.append(fa_ab.astype(np_dtype))
+        C_l.append(rows.reshape(M, T, T, N * T).astype(np_dtype))
 
     n_pairs = len(pair_i)
-    C_j = jnp.asarray(np.stack(C_l) if n_pairs else np.zeros((0, T, T, N * T)), dtype)
-    fc2_j = jnp.asarray(np.stack(fc2_l) if n_pairs else np.zeros((0, T, T)), dtype)
-    fr2_j = jnp.asarray(np.stack(fr2_l) if n_pairs else np.zeros((0, T, T)), dtype)
-    fa2_j = jnp.asarray(np.stack(fa2_l) if n_pairs else np.zeros((0, T, T)), dtype)
+    zero3 = np.zeros((0, T, T, N * T), np_dtype)
+    zero2 = np.zeros((0, T, T), np_dtype)
+    C_j = jnp.asarray(np.concatenate(C_l) if n_pairs else zero3, dtype)
+    fc2_j = jnp.asarray(np.concatenate(fc2_l) if n_pairs else zero2, dtype)
+    fr2_j = jnp.asarray(np.concatenate(fr2_l) if n_pairs else zero2, dtype)
+    fa2_j = jnp.asarray(np.concatenate(fa2_l) if n_pairs else zero2, dtype)
     pi_j = jnp.asarray(np.asarray(pair_i, np.int32))
     pj_j = jnp.asarray(np.asarray(pair_j, np.int32))
     beta2 = jnp.asarray(
@@ -174,69 +169,57 @@ def make_sw_rigid(tables: SWTables, spec, dtype=jnp.float32) -> Potential:
     N = spec.n_slots
     P = tables.params
     cutoff = tables.cutoff
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
 
     pair_i, pair_j, phi2_l, C3_l = [], [], [], []
 
-    def _radial_np(r, sig, a):
-        gap = r - a * sig
-        if gap >= -1e-9:
-            return 0.0
-        return np.exp(sig / gap)
+    idx = np.arange(T)
+    sig2, a2 = P["sig"][:, idx, idx], P["a"][:, idx, idx]       # (T, T)
+    A2, eps2 = P["A"][:, idx, idx], P["eps"][:, idx, idx]
+    B2, p2, q2 = P["B"][:, idx, idx], P["p"][:, idx, idx], P["q"][:, idx, idx]
 
     for i, js, r, unit in _static_pairs(spec, cutoff):
         M = len(js)
         cos = unit @ unit.T
-        for a in range(M):
-            tab2 = np.zeros((T, T))
-            for ti in range(T):
-                for tj in range(T):
-                    sig = P["sig"][ti, tj, tj]
-                    aa = P["a"][ti, tj, tj]
-                    if r[a] >= aa * sig - 1e-9:
-                        continue
-                    sr = sig / r[a]
-                    tab2[ti, tj] = 0.5 * (
-                        P["A"][ti, tj, tj]
-                        * P["eps"][ti, tj, tj]
-                        * (P["B"][ti, tj, tj] * sr ** P["p"][ti, tj, tj] - sr ** P["q"][ti, tj, tj])
-                        * _radial_np(r[a], sig, aa)
-                    )
-            row3 = np.zeros((T, T, N, T))
-            any3 = False
-            for b in range(M):
-                if b == a:
-                    continue
-                for ti in range(T):
-                    for tj in range(T):
-                        for tk in range(T):
-                            sig3 = P["sig"][ti, tj, tk]
-                            a3 = P["a"][ti, tj, tk]
-                            gap_ij = r[a] - a3 * sig3
-                            gap_ik = r[b] - a3 * sig3
-                            if gap_ij >= -1e-9 or gap_ik >= -1e-9:
-                                continue
-                            gam = P["gam"][ti, tj, tk]
-                            dcos = cos[a, b] - P["cos0"][ti, tj, tk]
-                            val = (
-                                P["lam"][ti, tj, tk]
-                                * P["eps"][ti, tj, tk]
-                                * dcos
-                                * dcos
-                                * np.exp(gam * sig3 / gap_ij)
-                                * np.exp(gam * sig3 / gap_ik)
-                            )
-                            if val != 0.0:
-                                row3[ti, tj, js[b], tk] += 0.5 * val
-                                any3 = True
-            if np.any(tab2) or any3:
-                pair_i.append(i)
-                pair_j.append(int(js[a]))
-                phi2_l.append(tab2)
-                C3_l.append(row3.reshape(T, T, N * T))
+        ra = r[:, None, None]                                   # (M, 1, 1)
+        gap2 = ra - a2 * sig2
+        in2 = gap2 < -1e-9
+        sr = sig2 / np.maximum(ra, 1e-12)
+        rad2 = np.where(in2, np.exp(sig2 / np.where(in2, gap2, -1.0)), 0.0)
+        with np.errstate(invalid="ignore"):
+            tab2 = np.where(
+                in2, 0.5 * A2 * eps2 * (B2 * sr**p2 - sr**q2) * rad2, 0.0
+            )                                                   # (M, T, T)
+        # per-leg gamma-scaled radial factor of the (ti,tj,tk) entry
+        rb = r[:, None, None, None]                             # (M, 1, 1, 1)
+        gap3 = rb - P["a"] * P["sig"]
+        in3 = gap3 < -1e-9
+        hrad = np.where(in3, np.exp(P["gam"] * P["sig"] / np.where(in3, gap3, -1.0)), 0.0)
+        dcos = cos[:, :, None, None, None] - P["cos0"]          # (M, M, T, T, T)
+        # leg ij uses r[a] (axis 0), leg ik uses r[b] (axis 1)
+        contrib = 0.5 * P["lam"] * P["eps"] * dcos * dcos * hrad[:, None] * hrad[None, :]
+        contrib[np.arange(M), np.arange(M)] = 0.0
+        rows = np.zeros((M, T, T, N, T))
+        np.add.at(
+            rows.transpose(3, 0, 1, 2, 4), js, np.transpose(contrib, (1, 0, 2, 3, 4))
+        )
+        keep = (np.abs(tab2).sum(axis=(1, 2)) > 0) | (
+            np.abs(rows).sum(axis=(1, 2, 3, 4)) > 0
+        )
+        kept = np.where(keep)[0]
+        pair_i.extend([i] * len(kept))
+        pair_j.extend(int(js[a]) for a in kept)
+        phi2_l.append(tab2[kept].astype(np_dtype))
+        C3_l.append(rows[kept].reshape(len(kept), T, T, N * T).astype(np_dtype))
 
     n_pairs = len(pair_i)
-    phi2_j = jnp.asarray(np.stack(phi2_l) if n_pairs else np.zeros((0, T, T)), dtype)
-    C3_j = jnp.asarray(np.stack(C3_l) if n_pairs else np.zeros((0, T, T, N * T)), dtype)
+    phi2_j = jnp.asarray(
+        np.concatenate(phi2_l) if n_pairs else np.zeros((0, T, T), np_dtype), dtype
+    )
+    C3_j = jnp.asarray(
+        np.concatenate(C3_l) if n_pairs else np.zeros((0, T, T, N * T), np_dtype),
+        dtype,
+    )
     p2i = jnp.asarray(np.asarray(pair_i, np.int32))
     p2j = jnp.asarray(np.asarray(pair_j, np.int32))
 
