@@ -86,7 +86,17 @@ def make_run_fn(
     utils/sampling.py analog). vmap over a leading chain axis of ``state``
     (and optionally of ``temps`` for per-chain schedules / tempering).
     """
-    if cfg.canonical:
+    if cfg.canonical and cfg.mtm_trials > 1:
+        from surface_sampling_tpu.core.events import make_canonical_step_mtm
+
+        if cfg.criterion != "metropolis":
+            raise ValueError("mtm_trials requires the metropolis criterion")
+        if cfg.require_per_atom_energies or cfg.require_distance_decay:
+            raise ValueError(
+                "mtm_trials needs the symmetric (unweighted) switch proposal"
+            )
+        step_fn = make_canonical_step_mtm(d, state_energy_fn, k_trials=cfg.mtm_trials)
+    elif cfg.canonical:
         step_fn = make_canonical_step(
             d,
             state_energy_fn,

@@ -185,6 +185,13 @@ def make_semigrand_step_mtm(
 
     v_energy = jax.vmap(state_energy_fn)
 
+    return _make_mtm_step(propose, state_energy_fn, k_trials)
+
+
+def _make_mtm_step(propose: Callable, state_energy_fn: Callable, k_trials: int):
+    """Shared MTM machinery for any symmetric proposal ``propose(key, ss)``."""
+    v_energy = jax.vmap(state_energy_fn)
+
     def step(state: MCState, temp):
         key, k_trials_key, k_sel, k_ref, k_acc = jax.random.split(state.key, 5)
         beta = 1.0 / jnp.maximum(temp, 1e-12)
@@ -227,6 +234,40 @@ def make_semigrand_step_mtm(
         return new_state, info
 
     return step
+
+
+def make_canonical_step_mtm(
+    d: DeviceSpec,
+    state_energy_fn: Callable,
+    k_trials: int = 8,
+) -> Callable:
+    """Multiple-try Metropolis over the canonical exchange family.
+
+    The unweighted switch proposal is symmetric: an exchange preserves the
+    multiset of species present, so the reverse draw (same two types, the
+    swapped sites) has identical probability — the MTM weights are again
+    plain Boltzmann factors. Exactness validated in the canonical sector
+    (tests/test_distribution.py). Weighted variants (per-atom-energy or
+    distance-decay site selection) are NOT symmetric and stay single-try.
+    """
+    n_sites = d.site_coords.shape[0]
+    n_codes = d.n_codes
+
+    def propose(key, ss):
+        """One symmetric exchange of ``ss`` (Gumbel type pair + site per type)."""
+        k_types, k_s1, k_s2 = jax.random.split(key, 3)
+        onehot = jax.nn.one_hot(ss, n_codes, dtype=jnp.float32)
+        present = jnp.sum(onehot, axis=0) > 0
+        g = jax.random.gumbel(k_types, (n_codes,))
+        _, top2 = jax.lax.top_k(jnp.where(present, g, -jnp.inf), 2)
+        type1, type2 = top2[0], top2[1]
+        w1 = (ss == type1).astype(jnp.float32)
+        site1 = jnp.argmax(jnp.log(w1 + 1e-38) + jax.random.gumbel(k_s1, (n_sites,)))
+        w2 = (ss == type2).astype(jnp.float32)
+        site2 = jnp.argmax(jnp.log(w2 + 1e-38) + jax.random.gumbel(k_s2, (n_sites,)))
+        return exchange_sites(ss, site1, site2)
+
+    return _make_mtm_step(propose, state_energy_fn, k_trials)
 
 
 # ----------------------------------------------------------------------

@@ -143,3 +143,44 @@ def test_mtm_chain_samples_exact_boltzmann(enumerable_system):
     acc_mtm = float(np.mean(np.asarray(recs.accept_rate)))
     acc_std = float(np.mean(np.asarray(recs1.accept_rate)))
     assert acc_mtm > acc_std, (acc_mtm, acc_std)
+
+
+def test_canonical_mtm_samples_exact_boltzmann_in_sector(enumerable_system):
+    """MTM over the exchange family: swaps preserve the species multiset
+    and the unweighted switch proposal is symmetric, so the MTM chain must
+    sample the Boltzmann distribution restricted to its sector."""
+    from surface_sampling_tpu.core.events import make_canonical_step_mtm
+    from surface_sampling_tpu.core.state import MCState
+
+    run, S, E = enumerable_system
+    temp = 1.5
+    states = np.array([[int(b) for b in np.binary_repr(i, S)] for i in range(2**S)],
+                      np.int32)
+    sector = np.where(states.sum(axis=1) == 2)[0]
+    p_exact_sector = _exact(E[sector], temp)
+
+    step = make_canonical_step_mtm(run.d, run.state_energy_fn, k_trials=3)
+    n_chains, steps, burn = 256, 120, 40
+
+    def chain(key):
+        ss0 = jnp.asarray([1, 1, 0, 0], jnp.int32)
+        se0 = run.state_energy_fn(ss0)
+        st = MCState(site_state=ss0, energy=se0.surface_energy,
+                     relaxed_positions=se0.positions, key=key)
+
+        def body(s, _):
+            s, info = step(s, jnp.asarray(temp))
+            return s, s.site_state
+
+        _, hist = jax.lax.scan(body, st, None, length=steps)
+        return hist
+
+    keys = jax.random.split(jax.random.PRNGKey(13), n_chains)
+    hist = jax.jit(jax.vmap(chain))(keys)
+    samp = np.asarray(hist)[:, burn:, :].reshape(-1, S)
+    assert set(samp.sum(axis=1)) == {2}, "MTM exchange changed the count"
+    idx = samp.dot(1 << np.arange(S)[::-1])
+    counts = np.bincount(idx, minlength=2**S)[sector]
+    p_emp = counts / counts.sum()
+    l1 = np.abs(p_emp - p_exact_sector).sum()
+    assert l1 < 0.05, f"L1 = {l1:.4f}"
