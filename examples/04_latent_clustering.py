@@ -23,15 +23,19 @@ def main():
     d = sys.run.d
     outputs = sys.potential.__dict__["outputs"]
 
-    embeddings, energies = [], []
-    for ss in np.asarray(rec.site_state):
-        ssj = jnp.asarray(ss)
-        out = outputs(
+    @jax.jit
+    def embed(ssj):
+        return outputs(
             realize_positions(d, ssj),
             realize_type_idx(d, ssj),
             realize_alive(d, ssj),
             d.shifts,
         )
+
+    embeddings, energies = [], []
+    for ss in np.asarray(rec.site_state):
+        ssj = jnp.asarray(ss)
+        out = embed(ssj)
         alive = np.asarray(realize_alive(d, ssj))
         emb = np.asarray(out["embedding"])[alive].mean(axis=0)
         embeddings.append(emb)

@@ -18,10 +18,13 @@ from surface_sampling_tpu.structure import Structure, find_adsorption_sites
 
 
 def main():
+    from pathlib import Path
+
+    data = Path(__file__).resolve().parents[1] / "tests" / "data" / "pourbaix"
     pH, phi = 7.0, 0.5
     pbx_atoms = generate_pourbaix_atoms(
-        "tests/data/pourbaix/pd_dict.json",
-        "tests/data/pourbaix/pbx_dict.json",
+        str(data / "pd_dict.json"),
+        str(data / "pbx_dict.json"),
         phi, pH, ("Sr", "Ir", "O"),
     )
     for atom in pbx_atoms.values():

@@ -88,15 +88,22 @@ def main():
         _, rec = run.run(jax.random.PRNGKey(al_round + 1), temps,
                          cfg=EngineConfig(sweep_size=6, record_positions=False))
 
-        # embed + uncertainty per sampled structure
+        # embed + uncertainty per sampled structure (params passed as an
+        # argument so the jit cache survives across AL rounds)
         d = run.d
+        shifts_j = jnp.asarray(spec.shifts, jnp.float32)
+
+        @jax.jit
+        def embed(p, ssj):
+            return ensemble_apply(
+                p, cfg, realize_positions(d, ssj),
+                jnp.where(realize_alive(d, ssj), 29, 0).astype(jnp.int32),
+                realize_alive(d, ssj), shifts_j)
+
         embs, uncs, sss = [], [], []
         for ss in np.asarray(rec.site_state):
             ssj = jnp.asarray(ss)
-            out = ensemble_apply(
-                params, cfg, realize_positions(d, ssj),
-                jnp.where(realize_alive(d, ssj), 29, 0).astype(jnp.int32),
-                realize_alive(d, ssj), jnp.asarray(spec.shifts, jnp.float32))
+            out = embed(params, ssj)
             alive = np.asarray(realize_alive(d, ssj))
             embs.append(np.asarray(out["embedding"])[alive].mean(axis=0))
             uncs.append(float(out["energy_std"]))
