@@ -183,8 +183,6 @@ def make_semigrand_step_mtm(
         end = u + (u >= cur).astype(u.dtype)
         return change_site(ss, site, end)
 
-    v_energy = jax.vmap(state_energy_fn)
-
     return _make_mtm_step(propose, state_energy_fn, k_trials)
 
 
