@@ -357,7 +357,9 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         require_per_atom_energies=bool(samp.get("require_per_atom_energies", False)),
         require_distance_decay=bool(samp.get("require_distance_decay", False)),
         prep_max_steps=(
-            int(samp["prep_max_steps"]) if samp.get("prep_max_steps") else None
+            int(samp["prep_max_steps"])
+            if samp.get("prep_max_steps") is not None
+            else None
         ),
         prep_force_fill=bool(samp.get("prep_force_fill", False)),
         mtm_trials=int(samp.get("mtm_trials", 0)),
@@ -398,6 +400,12 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         states = states._replace(energy=e0)
 
     if samp.get("tempering", False):
+        if cfg.mtm_trials > 1:
+            raise ValueError(
+                "mtm_trials is not supported with tempering=true: the "
+                "replica-exchange runner builds single-try steps — drop one "
+                "of the two settings"
+            )
         return _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed)
 
     run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential,

@@ -53,6 +53,18 @@ def metropolis_accept(key, e_old, e_new, temp):
     return jnp.log(jax.random.uniform(key, dtype=e_new.dtype) + 1e-38) < logp
 
 
+def _propose_change(key, ss, n_sites: int, n_codes: int):
+    """The reference's ChangeProposal draw (proposal.py:74-107): a uniform
+    site, then a uniform new code != the current one. Shared by the
+    single-try and MTM semigrand steps so the two stay the same family."""
+    k_site, k_code = jax.random.split(key)
+    site = jax.random.randint(k_site, (), 0, n_sites)
+    cur = ss[site]
+    u = jax.random.randint(k_code, (), 0, n_codes - 1)
+    end = u + (u >= cur).astype(u.dtype)       # uniform over codes != cur
+    return change_site(ss, site, end)
+
+
 def make_distance_accept(d: DeviceSpec, filter_distance: float):
     """Geometric filter: accept iff no two adsorbate atoms are closer than
     ``filter_distance`` (criterion.py:74-116 + utils/misc.py:118-135).
@@ -175,19 +187,24 @@ def make_semigrand_step_mtm(
     n_codes = d.n_codes
 
     def propose(key, ss):
-        """One symmetric single-site change of ``ss``."""
-        k_site, k_code = jax.random.split(key)
-        site = jax.random.randint(k_site, (), 0, n_sites)
-        cur = ss[site]
-        u = jax.random.randint(k_code, (), 0, n_codes - 1)
-        end = u + (u >= cur).astype(u.dtype)
-        return change_site(ss, site, end)
+        return _propose_change(key, ss, n_sites, n_codes)
 
     return _make_mtm_step(propose, state_energy_fn, k_trials)
 
 
-def _make_mtm_step(propose: Callable, state_energy_fn: Callable, k_trials: int):
-    """Shared MTM machinery for any symmetric proposal ``propose(key, ss)``."""
+def _make_mtm_step(
+    propose: Callable,
+    state_energy_fn: Callable,
+    k_trials: int,
+    valid_fn: Callable | None = None,
+):
+    """Shared MTM machinery for any symmetric proposal ``propose(key, ss)``.
+
+    ``valid_fn(ss) -> bool`` gates acceptance for states where the proposal
+    family is degenerate (canonical exchange with < 2 species present) —
+    mirroring make_canonical_step's ``valid`` mask so accept_rate does not
+    read ~1.0 on no-op swaps.
+    """
     v_energy = jax.vmap(state_energy_fn)
 
     def step(state: MCState, temp):
@@ -214,6 +231,8 @@ def _make_mtm_step(propose: Callable, state_energy_fn: Callable, k_trials: int):
             jnp.log(jax.random.uniform(key=k_acc, dtype=logw_y.dtype) + 1e-38)
             < log_ratio
         )
+        if valid_fn is not None:
+            accept = accept & valid_fn(state.site_state)
 
         new_state = MCState(
             site_state=jnp.where(accept, y_ss, state.site_state),
@@ -227,7 +246,11 @@ def _make_mtm_step(propose: Callable, state_energy_fn: Callable, k_trials: int):
             accepted=accept,
             energy=new_state.energy,
             n_ads=num_occupied_sites(new_state.site_state),
-            oob=trials.oob[sel],
+            # oob over EVERY evaluation this step paid for (2K-1 of them) —
+            # the clamp makes OOB trials ~unselectable, so reporting only
+            # the selected trial would hide the clamping the oob_rate
+            # diagnostic exists to surface
+            oob=jnp.any(trials.oob) | jnp.any(refs.oob),
         )
         return new_state, info
 
@@ -265,7 +288,11 @@ def make_canonical_step_mtm(
         site2 = jnp.argmax(jnp.log(w2 + 1e-38) + jax.random.gumbel(k_s2, (n_sites,)))
         return exchange_sites(ss, site1, site2)
 
-    return _make_mtm_step(propose, state_energy_fn, k_trials)
+    def valid_fn(ss):
+        onehot = jax.nn.one_hot(ss, n_codes, dtype=jnp.float32)
+        return jnp.sum((jnp.sum(onehot, axis=0) > 0).astype(jnp.int32)) >= 2
+
+    return _make_mtm_step(propose, state_energy_fn, k_trials, valid_fn=valid_fn)
 
 
 # ----------------------------------------------------------------------

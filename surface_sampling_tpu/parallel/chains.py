@@ -97,18 +97,11 @@ def make_hierarchical_chain_run(
     communicate (metric gathers, tempering swaps), which become two-stage:
     ICI within the pod row, DCN across rows only when a schedule asks
     for it. Use with shard_chain_states(states, mesh, axis=axes).
+
+    PartitionSpec accepts a tuple axis, so this is exactly
+    make_sharded_chain_run over both mesh dimensions.
     """
-    vrun = jax.vmap(run_fn, in_axes=(0, None) if share_temps else (0, 0))
-    state_spec = P(axes)
-    temp_spec = P() if share_temps else P(axes)
-    sharded = shard_map(
-        vrun,
-        mesh=mesh,
-        in_specs=(state_spec, temp_spec),
-        out_specs=state_spec,
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+    return make_sharded_chain_run(run_fn, mesh, axis=axes, share_temps=share_temps)
 
 
 def make_ensemble_sharded_energy(

@@ -106,7 +106,13 @@ def make_tempered_run(
             key, k_swap = jax.random.split(key)
             dcn_round = (r % dcn_every) == (dcn_every - 1)
             pair_ok = jnp.where(dcn_round, True, ~crosses_pod)
-            states, rate = _swap_phase(states, temps, k_swap, r % 2, pair_ok=pair_ok)
+            # parity must alternate WITHIN each round class: with an even
+            # dcn_every, r % 2 is constant over DCN rounds and a boundary
+            # pair of the other parity would never be attempted (the two
+            # pod sub-ladders would decouple) — so DCN rounds alternate on
+            # their own counter instead
+            parity = jnp.where(dcn_round, (r // dcn_every) % 2, r % 2)
+            states, rate = _swap_phase(states, temps, k_swap, parity, pair_ok=pair_ok)
             rec = TemperRecord(
                 energy=states.energy, swap_rate=rate, site_state=states.site_state
             )
