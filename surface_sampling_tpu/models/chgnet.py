@@ -195,22 +195,30 @@ def _apply_gated(p, x, single: bool = False):
 # ----------------------------------------------------------------------
 # forward
 # ----------------------------------------------------------------------
-def chgnet_apply(params, cfg: CHGNetConfig, positions, numbers, alive, shifts):
+def chgnet_apply(params, cfg: CHGNetConfig, positions, numbers, alive, shifts,
+                 edges=None):
     """Forward pass; returns per-atom energies (eV/atom scale), total
     energy, per-atom magmom-like site values, and embeddings. Matmuls run
-    at true f32 precision (see painn_apply for the measured rationale)."""
+    at true f32 precision (see painn_apply for the measured rationale).
+    ``edges`` lets MC hot paths reuse a static-candidate edge set."""
     with jax.default_matmul_precision("float32"):
-        return _chgnet_apply_impl(params, cfg, positions, numbers, alive, shifts)
+        return _chgnet_apply_impl(params, cfg, positions, numbers, alive, shifts,
+                                  edges=edges)
 
 
-def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shifts):
+def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shifts,
+                       edges=None):
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.atom_fea_dim
     N = positions.shape[0]
     dtype = positions.dtype
 
-    disp, r, nbr_j, nbr_mask, overflow = neighbor_list(
-        positions, shifts, alive, cfg.atom_graph_cutoff, cfg.max_neighbors
+    disp, r, nbr_j, nbr_mask, overflow = (
+        edges
+        if edges is not None
+        else neighbor_list(
+            positions, shifts, alive, cfg.atom_graph_cutoff, cfg.max_neighbors
+        )
     )
     fmask = nbr_mask.astype(dtype)
 

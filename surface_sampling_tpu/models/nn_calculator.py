@@ -116,18 +116,37 @@ def make_painn_potential(
     return pot
 
 
-def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV") -> Potential:
+def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
+                          static_nbr=None) -> Potential:
     """Wrap the JAX CHGNet (models/chgnet.py) as a framework Potential —
     the counterpart of nff's CHGNetNFF calculator. CHGNet checkpoints
-    predict energies in eV directly (intensive per-atom readout summed)."""
+    predict energies in eV directly (intensive per-atom readout summed).
+    ``static_nbr`` ranks the spec's candidate pairs instead of searching
+    all image pairs (MC hot paths; see make_painn_potential)."""
     from surface_sampling_tpu.models.chgnet import chgnet_apply
 
     factor = UNIT_FACTORS[units]
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
+    if static_nbr is not None:
+        from surface_sampling_tpu.ops.neighbors import neighbor_list_from_table
+
+        tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
+        tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
+        tbl_valid = jnp.asarray(static_nbr.valid)
+
+        def edge_fn(positions, alive):
+            return neighbor_list_from_table(
+                positions, alive, tbl_j, tbl_shift, tbl_valid,
+                cfg.atom_graph_cutoff, cfg.max_neighbors,
+            )
+    else:
+        edge_fn = None
 
     def outputs(positions, type_idx, alive, shifts):
         numbers = znums[type_idx] * alive.astype(jnp.int32)
-        return chgnet_apply(params, cfg, positions, numbers, alive, shifts)
+        edges = edge_fn(positions, alive) if edge_fn is not None else None
+        return chgnet_apply(params, cfg, positions, numbers, alive, shifts,
+                            edges=edges)
 
     def energy(positions, type_idx, alive, shifts):
         return outputs(positions, type_idx, alive, shifts)["energy"] * factor

@@ -294,7 +294,13 @@ def lamno3_001_chgnet(
         surface_depth=surface_depth,
         surface_name="LaMnO3_001",
     )
-    pot = make_chgnet_potential(params, cfg, type_numbers, units="eV")
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+    static_nbr = build_static_neighbor_table(
+        spec, cfg.atom_graph_cutoff, relax_slack=0.6 if relax is not None else 0.1
+    )
+    pot = make_chgnet_potential(params, cfg, type_numbers, units="eV",
+                                static_nbr=static_nbr)
     chem_pots = chem_pots or {"O": -5.0, "H": -3.0}
     se_fn = make_chem_pot_surface_energy(spec, chem_pots)
     run = MCMCRun(spec, pot, surface_energy_fn=se_fn, relax=relax, dtype=dtype or jnp.float32)
