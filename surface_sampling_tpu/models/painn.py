@@ -50,10 +50,11 @@ class PaiNNConfig:
     sigma: float = 1.5
     readout_hidden: int = 64
     max_neighbors: int = 64
-    # neighbor-feature routing: "gather" indexes per-edge (best on CPU),
-    # "dense" reformulates the gathers as one-hot matmuls on the MXU
-    # (f32-precision dot_generals; ~1.6x faster end-to-end on TPU v5e and
-    # smaller peak HBM), "auto" picks dense on TPU backends.
+    # neighbor-feature routing: "gather" indexes per-edge (best on CPU and
+    # for large cells), "dense" reformulates the gathers as one-hot
+    # matmuls on the MXU (f32-precision dot_generals; ~1.7x faster on TPU
+    # v5e up to ~300 slots, then the O(N^2 M) term loses to the gather's
+    # O(N M)), "auto" picks per backend and system size.
     message_mode: str = "auto"
 
 
@@ -146,7 +147,13 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
 
     mode = cfg.message_mode
     if mode == "auto":
-        mode = "gather" if jax.default_backend() == "cpu" else "dense"
+        # dense replaces O(N*M) gathers with O(N^2*M) one-hot matmuls —
+        # a large win while the MXU has headroom, a loss once the N^2
+        # term dominates. Measured on v5e (3-member SrTiO3 ensemble,
+        # atom-evals/s dense vs gather): 124 slots 81k vs 48k, 248 slots
+        # 58k vs 49k, 496 slots 33k vs 47k -> crossover ~300 slots.
+        on_cpu = jax.default_backend() == "cpu"
+        mode = "gather" if (on_cpu or N > 320) else "dense"
     hp = jax.lax.Precision.HIGHEST   # keep the one-hot matmuls true-f32
     onehot = (
         jax.nn.one_hot(nbr_j, N, dtype=positions.dtype) * fmask  # (N, M, N)
