@@ -291,6 +291,18 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         )
         potential = make_painn_potential(static_nbr=nbr, **painn_args)
 
+    # CHGNet gets the same static-candidate upgrade
+    chgnet_args = getattr(potential, "__dict__", {}).get("chgnet_args")
+    if chgnet_args is not None and calc_s.get("fast", True):
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+        from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
+
+        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
+        nbr = build_static_neighbor_table(
+            spec, chgnet_args["cfg"].atom_graph_cutoff, relax_slack=slack
+        )
+        potential = make_chgnet_potential(static_nbr=nbr, **chgnet_args)
+
     if surface_energy_fn is None and calc_s.get("offset", False):
         offset_data = calc_s["offset_data"]
         if isinstance(offset_data, str):

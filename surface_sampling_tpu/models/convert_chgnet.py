@@ -139,6 +139,18 @@ def convert(path_in, path_out) -> None:
     save_params_npz(path_out, params, cfg)
 
 
+def save_chgnet_npz(path, params, cfg) -> None:
+    """Serialize CHGNet params + config to one npz (inverse of
+    :func:`load_chgnet_npz`; same flat scheme as convert_nff)."""
+    import jax
+
+    from surface_sampling_tpu.models.convert_nff import _flatten
+
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    meta = {f"__cfg__{k}": np.asarray(v) for k, v in cfg.__dict__.items()}
+    np.savez_compressed(path, **flat, **meta)
+
+
 def load_chgnet_npz(path):
     from surface_sampling_tpu.models.chgnet import CHGNetConfig
     from surface_sampling_tpu.models.convert_nff import _unflatten

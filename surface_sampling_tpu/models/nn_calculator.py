@@ -54,17 +54,9 @@ def make_painn_potential(
     """
     factor = UNIT_FACTORS[units]
     if static_nbr is not None:
-        from surface_sampling_tpu.ops.neighbors import neighbor_list_from_table
+        from surface_sampling_tpu.ops.neighbors import make_table_edge_fn
 
-        tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
-        tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
-        tbl_valid = jnp.asarray(static_nbr.valid)
-
-        def edge_fn(positions, alive):
-            return neighbor_list_from_table(
-                positions, alive, tbl_j, tbl_shift, tbl_valid,
-                cfg.cutoff, cfg.max_neighbors,
-            )
+        edge_fn = make_table_edge_fn(static_nbr, cfg.cutoff, cfg.max_neighbors)
     else:
         edge_fn = None
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
@@ -128,17 +120,11 @@ def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
     factor = UNIT_FACTORS[units]
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
     if static_nbr is not None:
-        from surface_sampling_tpu.ops.neighbors import neighbor_list_from_table
+        from surface_sampling_tpu.ops.neighbors import make_table_edge_fn
 
-        tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
-        tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
-        tbl_valid = jnp.asarray(static_nbr.valid)
-
-        def edge_fn(positions, alive):
-            return neighbor_list_from_table(
-                positions, alive, tbl_j, tbl_shift, tbl_valid,
-                cfg.atom_graph_cutoff, cfg.max_neighbors,
-            )
+        edge_fn = make_table_edge_fn(
+            static_nbr, cfg.atom_graph_cutoff, cfg.max_neighbors
+        )
     else:
         edge_fn = None
 
@@ -161,4 +147,11 @@ def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
         name="chgnet",
     )
     pot.__dict__["outputs"] = outputs
+    if static_nbr is None:
+        # rebuild hook: cli.common.assemble_system re-invokes with the
+        # spec's static candidate table once the spec exists (same
+        # mechanism as painn_args above)
+        pot.__dict__["chgnet_args"] = dict(
+            params=params, cfg=cfg, type_numbers=type_numbers, units=units
+        )
     return pot

@@ -183,6 +183,22 @@ def neighbor_list_from_table(
     return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
 
 
+def make_table_edge_fn(static_nbr, cutoff: float, max_neighbors: int):
+    """Close :func:`neighbor_list_from_table` over a staged
+    core.static_neighbors.StaticNeighborTable — the shared MC-hot-path
+    edge builder for the NN potentials (PaiNN/CHGNet calculators)."""
+    tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
+    tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
+    tbl_valid = jnp.asarray(static_nbr.valid)
+
+    def edge_fn(positions, alive):
+        return neighbor_list_from_table(
+            positions, alive, tbl_j, tbl_shift, tbl_valid, cutoff, max_neighbors
+        )
+
+    return edge_fn
+
+
 # ---------------------------------------------------------------------
 # Plain minimum-image helpers (geometry predicates, site distances)
 # ---------------------------------------------------------------------

@@ -151,3 +151,70 @@ def test_lamno3_prebuilt_system():
     d_e = float(out1.potential_energy - out0.potential_energy)
     assert np.isclose(d_se, d_e + 5.0, atol=1e-4)
     assert np.isfinite(d_e)
+
+
+def test_chgnet_static_table_edges_match_full_search():
+    """The CHGNet static-candidate edge path (make_chgnet_potential
+    static_nbr) must reproduce the all-image search energies on
+    slot-realized geometries — identical edge sets, identical physics
+    (mirror of the PaiNN test)."""
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
+    from surface_sampling_tpu.systems import lamno3_001_chgnet
+
+    sys_ = lamno3_001_chgnet()       # builds with static_nbr
+    d = sys_.run.d
+    params, cfg = load_chgnet_npz(DATA / "models/data/lamno3_chgnet.npz")
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, max_neighbors=96)
+    pot_full = make_chgnet_potential(params, cfg, [57, 25, 8, 1], units="eV")
+
+    for seed in (3, 11):
+        ss = jax.random.randint(jax.random.PRNGKey(seed), (sys_.spec.n_sites,), 0, d.n_codes)
+        pos = realize_positions(d, ss)
+        alive = realize_alive(d, ss)
+        ti = realize_type_idx(d, ss)
+        e_full = float(pot_full.energy(pos, ti, alive, d.shifts))
+        e_static = float(sys_.potential.energy(pos, ti, alive, d.shifts))
+        assert np.isclose(e_full, e_static, rtol=1e-6, atol=1e-4), (seed, e_full, e_static)
+
+
+def test_chgnet_cli_static_upgrade(tmp_path):
+    """assemble_system must rebuild a settings-driven CHGNet calculator
+    onto the static-candidate edge path (the chgnet_args hook)."""
+    import json
+
+    from surface_sampling_tpu.cli.common import assemble_system
+    from surface_sampling_tpu.models.chgnet import CHGNetConfig, init_chgnet
+    from surface_sampling_tpu.models.convert_chgnet import save_chgnet_npz
+    from surface_sampling_tpu.structure import Structure
+
+    cfg = CHGNetConfig(atom_fea_dim=8, bond_fea_dim=8, angle_fea_dim=8,
+                       num_radial=5, num_angular=5, n_conv=2,
+                       max_neighbors=96, max_bond_neighbors=6,
+                       mlp_hidden_dims=(8, 8, 8))
+    params = init_chgnet(jax.random.PRNGKey(0), cfg)
+    mp = tmp_path / "chg.npz"
+    save_chgnet_npz(mp, params, cfg)
+
+    slab = Structure.from_symbols(
+        ["Cu"] * 4,
+        [[0, 0, 5], [1.8, 1.8, 5], [0, 1.8, 6.8], [1.8, 0, 6.8]],
+        np.diag([3.6, 3.6, 20.0]),
+    )
+    settings = {
+        "system_settings": {"surface_name": "t", "planar_distance": 1.5},
+        "sampling_settings": {"total_sweeps": 1, "sweep_size": 1,
+                              "start_temp": 1.0, "adsorbates": ["Cu"],
+                              "run_folder": str(tmp_path / "r")},
+        "calc_settings": {"calc_name": "chgnet", "model_path": str(mp),
+                          "elements": ["Cu"]},
+    }
+    asys = assemble_system(settings, slab)
+    # the rebuilt potential carries no rebuild hook (already static)
+    assert "chgnet_args" not in asys.potential.__dict__
