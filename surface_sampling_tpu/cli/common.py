@@ -451,6 +451,24 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         )
     (run_folder / "stats.csv").write_text("\n".join(lines) + "\n")
 
+    # sampling-quality summary: per-chain integrated autocorrelation time
+    # of the energy series + pooled effective sample size (the diagnostics
+    # analysis/statistics.py provides; the reference reports neither)
+    if sweeps >= 8:
+        from surface_sampling_tpu.analysis.statistics import (
+            effective_sample_size,
+            integrated_autocorrelation_time,
+        )
+
+        probe = range(min(n_chains, 16))
+        tau = float(np.mean([integrated_autocorrelation_time(energy[c]) for c in probe]))
+        ess = float(sum(effective_sample_size(energy[c]) for c in range(n_chains)))
+        logger.info("sampling quality: tau_int=%.2f sweeps, pooled ESS=%.0f", tau, ess)
+        (run_folder / "sampling_quality.json").write_text(
+            json.dumps({"tau_int_sweeps": tau, "pooled_ess": ess,
+                        "n_chains": n_chains, "sweeps": sweeps})
+        )
+
     plot_summary_stats(
         energy.mean(axis=0), accept.mean(axis=0), n_ads.mean(axis=0), sweeps,
         save_folder=run_folder,

@@ -258,3 +258,21 @@ def test_sample_surface_cli_sw_rigid(tmp_path):
 
     main(["--settings", str(sp), "--slab", str(slab_path)])
     assert (tmp_path / "run_sw" / "stats.csv").exists()
+
+
+def test_sampling_quality_artifact(cu_setup):
+    """Runs with >=8 sweeps must write sampling_quality.json (tau_int +
+    pooled ESS from analysis/statistics)."""
+    tmp_path, slab_path, settings_path = cu_setup
+    settings = json.loads(settings_path.read_text())
+    settings["sampling_settings"]["total_sweeps"] = 10
+    settings["sampling_settings"]["run_folder"] = str(tmp_path / "run_q")
+    sp = tmp_path / "settings_q.json"
+    sp.write_text(json.dumps(settings))
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+    q = json.loads((tmp_path / "run_q" / "sampling_quality.json").read_text())
+    assert q["tau_int_sweeps"] >= 0.0
+    assert q["pooled_ess"] > 0.0
+    assert q["sweeps"] == 10
