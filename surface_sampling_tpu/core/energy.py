@@ -170,6 +170,7 @@ def make_state_energy_fn(
     surface_energy_fn: Callable = identity_surface_energy,
     relax: RelaxConfig | None = None,
     symmetric: SymmetricSlabConfig | None = None,
+    relax_potential: Potential | None = None,
 ) -> Callable:
     """Build ``fn(site_state) -> StateEnergy`` — the inner evaluation of
     every MC step. Pure; jit/vmap/scan-safe.
@@ -179,6 +180,15 @@ def make_state_energy_fn(
     moves the top half with the mirror positions re-derived per force
     evaluation so the slab stays exactly symmetric (the reference relaxes
     the symmetrized copy, system.py:355-357).
+
+    ``relax_potential`` relaxes the geometry under a DIFFERENT model than
+    the one producing the acceptance energy — the reference's Si(111) 5x5
+    tutorial mechanism, where ``minimize`` runs under the SRS modified
+    Stillinger-Weber (tutorials/Si_111_5x5/lammps_opt_template.txt:18)
+    while the MC acceptance energy is the SW85 potential energy of the
+    relaxed geometry (lammps_energy_template.txt:18, ``run 0``). Only
+    meaningful with ``relax`` set; the final energy is always evaluated
+    with ``potential`` and re-checked against the OOB clamp.
     """
 
     fire_cfg = None
@@ -206,16 +216,23 @@ def make_state_energy_fn(
             type_idx_full = d.type_of_z[numbers_full]
             n_base, base_z = symmetric.n_base, symmetric.base_z
 
-            def e_of(p_top):
-                refl = p_top.at[:, 2].set(2.0 * base_z - p_top[:, 2])
-                p_full = jnp.concatenate([p_top, refl[n_base:]])
-                return potential.energy(p_full, type_idx_full, alive_full, d.shifts)
+            def make_e_of(pot):
+                def e_of(p_top):
+                    refl = p_top.at[:, 2].set(2.0 * base_z - p_top[:, 2])
+                    p_full = jnp.concatenate([p_top, refl[n_base:]])
+                    return pot.energy(p_full, type_idx_full, alive_full, d.shifts)
+
+                return e_of
 
         else:
 
-            def e_of(p):
-                return potential.energy(p, type_idx, alive, d.shifts)
+            def make_e_of(pot):
+                def e_of(p):
+                    return pot.energy(p, type_idx, alive, d.shifts)
 
+                return e_of
+
+        e_of = make_e_of(potential)
         e_bound = jnp.asarray(energy_threshold(pos0.shape[0]), pos0.dtype)
         if fire_cfg is None:
             e_pot = e_of(pos0)
@@ -226,8 +243,15 @@ def make_state_energy_fn(
         else:
             free = realize_free_mask(d, site_state)
             relaxer = fire_relax if relax.method == "fire" else _lbfgs
-            res = relaxer(e_of, pos0, free, fire_cfg)
-            e_pot, pos, oob = res.energy, res.positions, res.oob
+            relax_e_of = e_of if relax_potential is None else make_e_of(relax_potential)
+            res = relaxer(relax_e_of, pos0, free, fire_cfg)
+            pos, oob = res.positions, res.oob
+            if relax_potential is None:
+                e_pot = res.energy
+            else:
+                e_pot = e_of(pos)
+                oob = oob | (jnp.abs(e_pot) > e_bound) | jnp.isnan(e_pot)
+                e_pot = jnp.where(oob, e_bound, e_pot)
 
         se = surface_energy_fn(e_pot, counts)
         se = jnp.where(oob, e_bound, se)

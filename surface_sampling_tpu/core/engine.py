@@ -272,6 +272,8 @@ class MCMCRun:
     relax: object | None = None
     symmetric: object | None = None
     dtype: object = jnp.float32
+    relax_potential: object | None = None   # relax under a different model
+    # (reference Si(111) 5x5: minimize with SRS, accept on SW85 energies)
 
     def __post_init__(self):
         self.d = device_spec(self.spec, dtype=self.dtype)
@@ -279,7 +281,8 @@ class MCMCRun:
 
         se_fn = self.surface_energy_fn or identity_surface_energy
         self.state_energy_fn = make_state_energy_fn(
-            self.d, self.potential, se_fn, relax=self.relax, symmetric=self.symmetric
+            self.d, self.potential, se_fn, relax=self.relax, symmetric=self.symmetric,
+            relax_potential=self.relax_potential,
         )
 
     def init_state(self, key, site_state=None) -> MCState:

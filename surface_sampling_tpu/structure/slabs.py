@@ -273,6 +273,45 @@ def fcc111(symbol: str, size: tuple[int, int, int], a: float, vacuum: float = 15
     return st.center_z(vacuum)
 
 
+def diamond111(
+    symbol: str, size: tuple[int, int], bilayers: int, a: float, vacuum: float = 12.0
+) -> Structure:
+    """Diamond-structure (111) slab in the PRIMITIVE hexagonal surface cell.
+
+    Reproduces the reference's Si(111) 5x5 tutorial slab
+    (tutorials/data/Si_111_5x5/Si_111_5x5_pristine_slab.pkl: 100 atoms =
+    5x5 x 2 bilayers, hexagonal cell |a1| = 5 * a/sqrt(2), planes at
+    z = b*a/sqrt(3) + m*a/(4*sqrt(3))). The generic ``surface_from_bulk``
+    cut yields a 2x2-primitive cell for diamond(111), so odd supercells
+    like 5x5 need this direct builder.
+
+    Stacking (verified against the reference pickle): plane p = 2b + m
+    (b = bilayer, m = 0 lower / 1 upper member) sits at in-plane site
+    (b + m + 1) mod 3 of the cycle [(0,0), (1/3,1/3), (2/3,2/3)] — bilayer
+    members occupy different sites; atoms across the wide gap (the [111]
+    vertical bond) are vertically aligned.
+    """
+    d = a / np.sqrt(2.0)                 # surface lattice constant
+    dz_bl = a / np.sqrt(3.0)             # bilayer repeat
+    dz_split = a / (4.0 * np.sqrt(3.0))  # intra-bilayer split
+    nx, ny = size
+    a1 = np.array([d, 0.0, 0.0])
+    a2 = np.array([d / 2.0, d * np.sqrt(3.0) / 2.0, 0.0])
+    site = [np.zeros(3), (a1 + a2) / 3.0, 2.0 * (a1 + a2) / 3.0]
+    pos, nums = [], []
+    for p in range(2 * bilayers):
+        b, m = divmod(p, 2)
+        base = site[(b + m + 1) % 3] + np.array([0.0, 0.0, b * dz_bl + m * dz_split])
+        for iy in range(ny):
+            for ix in range(nx):
+                pos.append(base + ix * a1 + iy * a2)
+                nums.append(Z_FROM_SYMBOL[symbol])
+    height = (bilayers - 1) * dz_bl + dz_split
+    cell = np.array([nx * a1, ny * a2, [0.0, 0.0, height + 2.0 * vacuum]])
+    st = Structure(np.array(nums), np.array(pos), cell, pbc=np.array([True, True, False]))
+    return st.center_z(vacuum).sorted_by_z()
+
+
 class SupercellSurfaceGenerator:
     """Rotated/odd-sized supercell slabs from a bulk structure.
 

@@ -128,27 +128,52 @@ def gan0001_tersoff(
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
 
 
+# Bulk lattice constant implied by the reference's Si(111) 5x5 pristine
+# slab (tutorials/data/Si_111_5x5/Si_111_5x5_pristine_slab.pkl: surface
+# cell |a1| = 19.2463943 A for 5x1x1 -> a = sqrt(2)*|a1|/5). The tutorial
+# slab was built at this constant, not the experimental 5.431 A.
+SI111_TUTORIAL_A = 19.2463943 / 5.0 * float(np.sqrt(2.0))
+
+
 def si111_sw(
-    size=(3, 3),
-    layers: int = 4,
+    size=(5, 5),
+    bilayers: int = 2,
+    a: float = SI111_TUTORIAL_A,
     vacuum: float = 12.0,
     planar_distance: float = 1.2,
-    surface_depth: int = 2,
+    surface_depth: int = 1,
     relax: RelaxConfig | None = None,
+    relax_model: object = None,
     max_neighbors: int = 16,
     fast: bool = False,
     dtype=None,
 ) -> ExampleSystem:
-    """Si(111) slab with Stillinger-Weber — the reference's Si(111) 5x5
-    tutorial family (tutorials/Si_111_5x5, KIM SW model); ships the original
-    SW85 parameterization with custom tables accepted via potentials.sw.
+    """Si(111) 5x5 slab with Stillinger-Weber — the reference's Si(111)
+    5x5 tutorial system (tutorials/Si_111_5x5). Defaults reproduce the
+    tutorial exactly: the 100-atom 5x5 x 2-bilayer primitive-cell slab
+    (verified atom-for-atom against Si_111_5x5_pristine_slab.pkl to
+    <1e-8 A modulo a rigid translation) with the bottom 75 atoms frozen
+    (lammps_config.json ``bulk_index: 75`` / opt template ``group bulk
+    id <= 75`` + ``setforce 0``).
+
+    Acceptance energies are SW85 (Stillinger & Weber 1985) — exactly the
+    tutorial's energy model (lammps_energy_template.txt:18 runs
+    SW_StillingerWeber_1985, ``run 0``). The tutorial RELAXES under a
+    different model, the SRS-1996 modified SW (lammps_opt_template.txt:18,
+    KIM ThreeBodyCluster_SRS_StephensonRadnySmith_1996_Si); pass
+    ``relax_model=`` an ``SWTables`` (e.g. ``load_sw(path)`` on the KIM /
+    LAMMPS parameter file — the SRS constants are not redistributable
+    here) to enable that dual-potential split; relaxation then minimizes
+    the relax model while acceptance stays on SW85 energies of the
+    relaxed geometry.
 
     ``fast=True`` (rigid runs only) swaps in the precomputed occupancy-
     algebra SW (potentials/rigid_manybody.py; ~66x on TPU)."""
     import jax.numpy as jnp
 
-    si = bulk("Si", "diamond", a=5.431)
-    slab, _ = surface_from_bulk(si, (1, 1, 1), size=size, layers=layers, vacuum=vacuum)
+    from surface_sampling_tpu.structure.slabs import diamond111
+
+    slab = diamond111("Si", size=size, bilayers=bilayers, a=a, vacuum=vacuum)
     sites = find_adsorption_sites(slab, planar_distance=planar_distance)["all"]
     tables = sw_tables()
     spec = make_spec(
@@ -172,7 +197,21 @@ def si111_sw(
         )
         pot = make_sw(tables, max_neighbors=max_neighbors, dtype=dtype or jnp.float32,
                       static_nbr=nbr)
-    return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))
+    relax_pot = None
+    if relax_model is not None:
+        from surface_sampling_tpu.potentials.sw import SWTables, load_sw
+
+        rt = relax_model if isinstance(relax_model, SWTables) else load_sw(relax_model)
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+        rnbr = build_static_neighbor_table(spec, rt.cutoff, relax_slack=0.6)
+        relax_pot = make_sw(rt, max_neighbors=max_neighbors,
+                            dtype=dtype or jnp.float32, static_nbr=rnbr)
+    return ExampleSystem(
+        spec, pot,
+        MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32,
+                relax_potential=relax_pot),
+    )
 
 
 def srtio3_001_painn(

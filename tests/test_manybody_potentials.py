@@ -151,25 +151,49 @@ def test_prepare_canonical_bounded_force_fill():
 
 
 def test_si_system_relaxed_smoke():
-    sys = si111_sw(size=(2, 2), layers=3, relax=RelaxConfig(steps=5, fmax=0.05))
+    sys = si111_sw(size=(2, 2), relax=RelaxConfig(steps=5, fmax=0.05))
     temps = geometric_schedule(0.5, 2, 0.9)
     state, rec = sys.run.run(jax.random.PRNGKey(0), temps, cfg=EngineConfig(sweep_size=3))
     assert np.all(np.isfinite(np.asarray(rec.energy)))
+
+
+def test_si111_5x5_tutorial_geometry():
+    """The default si111_sw() is the reference tutorial's exact system:
+    100 atoms (5x5 x 2 bilayers, primitive hexagonal cell, verified
+    atom-for-atom against Si_111_5x5_pristine_slab.pkl), bottom 75 frozen
+    (lammps_config.json bulk_index: 75)."""
+    sys_ = si111_sw()
+    spec = sys_.spec
+    assert spec.n_pristine == 100
+    assert int(spec.frozen_pristine.sum()) == 75
+    # frozen = the 75 LOWEST atoms (reference: group bulk id <= 75 on a
+    # z-sorted slab)
+    z = spec.pristine_positions[:, 2]
+    assert z[spec.frozen_pristine].max() < z[~spec.frozen_pristine].min()
+    np.testing.assert_allclose(spec.cell[0, 0], 19.2463943, atol=1e-6)
+    np.testing.assert_allclose(spec.cell[1, 1], 16.6678664, atol=1e-6)
+    # bilayer geometry: planes at 0, 0.786, 3.143, 3.929 (+offset)
+    uz = np.unique(np.round(z - z.min(), 3))
+    np.testing.assert_allclose(uz, [0.0, 0.786, 3.143, 3.929], atol=2e-3)
 
 
 def test_si111_pristine_energy_physical():
     """Regression for two stacked bugs: (1) surface_from_bulk wrapped AFTER
     shearing the c-vector, overlapping diamond-(111) atoms at 0.78 A;
     (2) the reference's absolute |E| > 1000 eV OOB bound falsely clamped
-    any slab beyond ~230 atoms. The 288-atom Si(111) slab must now report
-    its real SW energy (~ -3.5 eV/atom: 4-bonded bulk at -4.34, 1-bonded
-    termination layers higher), not the clamp value."""
+    large slabs. The 100-atom tutorial slab must report its real SW85
+    energy (~ -3.6 eV/atom: 4-bonded bulk at -4.336, under-coordinated
+    termination layers higher), not the clamp value. The exact value is
+    pinned as a golden (f32 path)."""
     sys_ = si111_sw()
     out = sys_.run.state_energy_fn(jnp.zeros(sys_.spec.n_sites, jnp.int32))
     n = sys_.spec.n_pristine
     epa = float(out.potential_energy) / n
     assert not bool(out.oob)
     assert -4.34 < epa < -3.0, epa
+    # golden pin: SW85 energy of the reference's exact pristine 5x5 slab
+    # (the tutorial's energy model; lammps_energy_template.txt:18)
+    np.testing.assert_allclose(float(out.potential_energy), -379.42511, atol=5e-3)
     # geometry: diamond NN distance preserved in the slab
     from surface_sampling_tpu.structure import bulk, surface_from_bulk
 
@@ -178,6 +202,37 @@ def test_si111_pristine_energy_physical():
     d = slab.all_distances(mic=True)
     np.fill_diagonal(d, np.inf)
     assert abs(d.min() - 2.3517) < 1e-3
+
+
+def test_si111_dual_potential_relax():
+    """relax_model= relaxes under a DIFFERENT SW parameterization while
+    acceptance energies stay on SW85 — the reference's SRS/SW85 split
+    (lammps_opt_template.txt:18 vs lammps_energy_template.txt:18).
+
+    Variational check: relaxing under perturbed tables then evaluating
+    with SW85 can never beat relaxing under SW85 itself."""
+    from surface_sampling_tpu.potentials.sw import SW_SI_1985, sw_tables
+
+    # a 'modified SW': three-body term strengthened 30%
+    mod = {"elements": ("Si",),
+           "entries": {("Si", "Si", "Si"): dict(SW_SI_1985["entries"][("Si", "Si", "Si")])}}
+    mod["entries"][("Si", "Si", "Si")]["lam"] *= 1.3
+    rt = sw_tables(mod)
+
+    relax = RelaxConfig(steps=15, fmax=0.02)
+    sys_a = si111_sw(size=(2, 2), relax=relax)
+    sys_b = si111_sw(size=(2, 2), relax=relax, relax_model=rt)
+    # perturb the adsorbate-free slab indirectly: use one adsorbate so the
+    # free layer has something to relax against
+    ss = jnp.zeros(sys_a.spec.n_sites, jnp.int32).at[0].set(1)
+    out_a = sys_a.run.state_energy_fn(ss)
+    out_b = sys_b.run.state_energy_fn(ss)
+    assert np.isfinite(float(out_a.potential_energy))
+    assert np.isfinite(float(out_b.potential_energy))
+    # both energies are SW85 energies; relaxing under the true model wins
+    assert float(out_a.potential_energy) <= float(out_b.potential_energy) + 1e-4
+    # and the relaxed geometries actually differ (the split is live)
+    assert float(jnp.abs(out_a.positions - out_b.positions).max()) > 1e-5
 
 
 def test_tersoff_rigid_matches_dynamic():
