@@ -325,15 +325,25 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
 
 
 def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
-                 site_state0=None) -> dict:
+                 site_state0=None, resume=None) -> dict:
     """Execute the batched MCMC run + write the reference's artifacts:
-    stats.csv, summary plot, per-chain best structures (CIF), checkpoint."""
+    stats.csv, summary plot, per-chain best structures (CIF), checkpoint.
+
+    ``resume``: path to a prior run's checkpoint.npz (or its run folder).
+    Chain states — site occupancies, energies, relaxed positions, PRNG
+    keys — and the sweep index are restored exactly, so the continued run
+    is bitwise identical to the tail of an uninterrupted run over the
+    same total schedule (the reference's ``starting_iteration``,
+    mcmc/mcmc.py:313, made exact: JAX keys are part of the state).
+    ``total_sweeps`` in the settings is the FULL target; only the
+    remaining sweeps execute. When the run folder already holds a
+    stats.csv (in-place resume), new rows are appended."""
     import jax
     import jax.numpy as jnp
 
     from surface_sampling_tpu.core import make_run_fn, prepare_canonical_fn
     from surface_sampling_tpu.core.state import realize_numbers
-    from surface_sampling_tpu.io import save_checkpoint
+    from surface_sampling_tpu.io import load_checkpoint, save_checkpoint
     from surface_sampling_tpu.parallel import chain_states, make_chain_run
     from surface_sampling_tpu.structure.io import write_cif
     from surface_sampling_tpu.utils.plot import plot_summary_stats
@@ -387,10 +397,42 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     d = asys.run.d
     se_fn = asys.run.state_energy_fn
 
-    states = chain_states(d, jax.random.PRNGKey(seed), n_chains, site_state=site_state0)
-    e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
-    states = states._replace(energy=e0)
-    if cfg.canonical and cfg.num_ads_atoms > 0:
+    start_sweep = 0
+    if resume is not None:
+        ckpt_path = Path(resume)
+        if ckpt_path.is_dir():
+            ckpt_path = ckpt_path / "checkpoint.npz"
+        if samp.get("tempering", False):
+            raise ValueError(
+                "--resume is not supported with tempering=true: the "
+                "replica-exchange swap key is not part of the checkpoint"
+            )
+        states, start_sweep, temps_prev, _ = load_checkpoint(ckpt_path)
+        got_chains = int(np.asarray(states.site_state).shape[0])
+        if got_chains != n_chains:
+            raise ValueError(
+                f"checkpoint has {got_chains} chains but settings ask for "
+                f"{n_chains}; set sampling_settings.n_chains={got_chains}"
+            )
+        n_prev = min(start_sweep, len(temps_prev), len(temps))
+        if not np.allclose(temps[:n_prev], temps_prev[:n_prev], rtol=1e-9, atol=1e-12):
+            raise ValueError(
+                "temperature schedule mismatch: the first "
+                f"{n_prev} sweeps of the new schedule differ from the "
+                "checkpointed run — resume requires the same settings"
+            )
+        if start_sweep >= sweeps:
+            raise ValueError(
+                f"checkpoint already completed {start_sweep} sweeps; "
+                f"raise total_sweeps (currently {sweeps}) to continue"
+            )
+        logger.info("Resuming from %s at sweep %d/%d", ckpt_path, start_sweep, sweeps)
+    else:
+        states = chain_states(d, jax.random.PRNGKey(seed), n_chains,
+                              site_state=site_state0)
+        e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
+        states = states._replace(energy=e0)
+    if resume is None and cfg.canonical and cfg.num_ads_atoms > 0:
         if samp.get("even_adsorption_sites", False):
             from surface_sampling_tpu.core.engine import even_site_prefill
 
@@ -420,21 +462,23 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             )
         return _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed)
 
+    temps_seg = np.asarray(temps)[start_sweep:sweeps]
+    n_seg = len(temps_seg)
     run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential,
                          distance_weight_matrix=dwm)
     crun = make_chain_run(run_fn)
     logger.info(
         "Running %d chains x %d sweeps x %d steps on %s",
-        n_chains, sweeps, cfg.sweep_size, jax.devices()[0].platform,
+        n_chains, n_seg, cfg.sweep_size, jax.devices()[0].platform,
     )
     from surface_sampling_tpu.utils.tracing import PhaseTimer, block_and_time
 
     timer = PhaseTimer()
     with timer.phase("compile+first_run"):
-        out_states, recs = crun(states, jnp.asarray(temps, jnp.float32))
+        out_states, recs = crun(states, jnp.asarray(temps_seg, jnp.float32))
         jax.block_until_ready(recs.energy)
 
-    energy = np.asarray(recs.energy)              # (chains, sweeps)
+    energy = np.asarray(recs.energy)              # (chains, n_seg)
     accept = np.asarray(recs.accept_rate)
     n_ads = np.asarray(recs.n_ads)
     oob = np.asarray(recs.oob_rate)
@@ -442,19 +486,29 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         logger.warning("%.2f%% of trial moves hit the OOB energy clamp",
                        100 * oob.mean())
 
-    # stats.csv: per-sweep aggregates (reference stats.csv analog)
-    lines = ["sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean,oob_rate"]
-    for i in range(sweeps):
+    # stats.csv: per-sweep aggregates (reference stats.csv analog);
+    # in-place resume appends to the previous run's rows
+    header = "sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean,oob_rate"
+    stats_path = run_folder / "stats.csv"
+    appending = start_sweep > 0 and stats_path.exists()
+    lines = [] if appending else [header]
+    for i in range(n_seg):
         lines.append(
-            f"{i+1},{temps[i]:.6f},{energy[:, i].mean():.6f},{energy[:, i].min():.6f},"
+            f"{start_sweep + i + 1},{temps_seg[i]:.6f},"
+            f"{energy[:, i].mean():.6f},{energy[:, i].min():.6f},"
             f"{accept[:, i].mean():.4f},{n_ads[:, i].mean():.3f},{oob[:, i].mean():.4f}"
         )
-    (run_folder / "stats.csv").write_text("\n".join(lines) + "\n")
+    body = "\n".join(lines) + "\n"
+    if appending:
+        with stats_path.open("a") as f:
+            f.write(body)
+    else:
+        stats_path.write_text(body)
 
     # sampling-quality summary: per-chain integrated autocorrelation time
     # of the energy series + pooled effective sample size (the diagnostics
     # analysis/statistics.py provides; the reference reports neither)
-    if sweeps >= 8:
+    if n_seg >= 8:
         from surface_sampling_tpu.analysis.statistics import (
             effective_sample_size,
             integrated_autocorrelation_time,
@@ -466,18 +520,18 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         logger.info("sampling quality: tau_int=%.2f sweeps, pooled ESS=%.0f", tau, ess)
         (run_folder / "sampling_quality.json").write_text(
             json.dumps({"tau_int_sweeps": tau, "pooled_ess": ess,
-                        "n_chains": n_chains, "sweeps": sweeps})
+                        "n_chains": n_chains, "sweeps": n_seg})
         )
 
     plot_summary_stats(
-        energy.mean(axis=0), accept.mean(axis=0), n_ads.mean(axis=0), sweeps,
+        energy.mean(axis=0), accept.mean(axis=0), n_ads.mean(axis=0), n_seg,
         save_folder=run_folder,
     )
 
-    # best structure over all chains/sweeps
+    # best structure over all chains/sweeps of this segment
     flat = energy.reshape(-1)
     best = int(np.argmin(flat))
-    bc, bs = divmod(best, sweeps)
+    bc, bs = divmod(best, n_seg)
     ss_best = np.asarray(recs.site_state)[bc, bs]
     numbers = np.asarray(realize_numbers(d, jnp.asarray(ss_best)))
     if cfg.record_positions:
@@ -490,16 +544,19 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     best_st = Structure(numbers[keep], pos[keep], asys.spec.cell)
     write_cif(run_folder / f"best_energy_{flat[best]:.3f}.cif", best_st)
 
-    save_checkpoint(run_folder / "checkpoint.npz", out_states, sweeps, temps)
+    save_checkpoint(run_folder / "checkpoint.npz", out_states, sweeps,
+                    np.asarray(temps))
     np.savez_compressed(
         run_folder / "history.npz",
         site_state=np.asarray(recs.site_state),
         energy=energy,
         accept_rate=accept,
         n_ads=n_ads,
-        temps=temps,
+        temps=temps_seg,
+        start_sweep=np.asarray(start_sweep),
     )
-    logger.info("Best surface energy %.4f eV (chain %d sweep %d)", flat[best], bc, bs + 1)
+    logger.info("Best surface energy %.4f eV (chain %d sweep %d)",
+                flat[best], bc, start_sweep + bs + 1)
     logger.info("Timing: %s", timer.report().replace("\n", " | "))
     return {
         "energy_hist": energy,

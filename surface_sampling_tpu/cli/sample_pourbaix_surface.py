@@ -26,6 +26,8 @@ def main(argv=None) -> None:
     ap.add_argument("--slab", required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--base-dir", default=None)
+    ap.add_argument("--resume", default=None, metavar="CKPT",
+                    help="checkpoint.npz (or run folder) to resume from")
     args = ap.parse_args(argv)
 
     from surface_sampling_tpu.cli.common import (
@@ -114,7 +116,8 @@ def main(argv=None) -> None:
     asys = AssembledSystem(spec, potential, run, settings)
 
     t0 = time.perf_counter()
-    results = run_sampling(asys, run_folder, seed=args.seed, site_state0=site_state0)
+    results = run_sampling(asys, run_folder, seed=args.seed, site_state0=site_state0,
+                           resume=args.resume)
     print(f"Time taken = {time.perf_counter() - t0:.3f} seconds")
     print(f"Best Pourbaix potential: {results['best_energy']:.4f} eV")
     print(f"Run folder: {results['run_folder']}")

@@ -22,6 +22,10 @@ def main(argv=None) -> None:
     ap.add_argument("--slab", required=True, help="pristine slab (.cif/.xyz/.npz)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--base-dir", default=None, help="base directory for run folders")
+    ap.add_argument("--resume", default=None, metavar="CKPT",
+                    help="checkpoint.npz (or run folder) to resume from; "
+                         "total_sweeps is the full target, only the remaining "
+                         "sweeps run (exact continuation incl. PRNG keys)")
     args = ap.parse_args(argv)
 
     from surface_sampling_tpu.cli.common import (
@@ -41,7 +45,7 @@ def main(argv=None) -> None:
 
     asys = assemble_system(settings, slab)
     t0 = time.perf_counter()
-    results = run_sampling(asys, run_folder, seed=args.seed)
+    results = run_sampling(asys, run_folder, seed=args.seed, resume=args.resume)
     print(f"Time taken = {time.perf_counter() - t0:.3f} seconds")
     print(f"Best surface energy: {results['best_energy']:.4f} eV")
     print(f"Run folder: {results['run_folder']}")

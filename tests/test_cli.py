@@ -276,3 +276,61 @@ def test_sampling_quality_artifact(cu_setup):
     assert q["tau_int_sweeps"] >= 0.0
     assert q["pooled_ess"] > 0.0
     assert q["sweeps"] == 10
+
+
+def test_resume_bitwise(cu_setup):
+    """--resume continues a killed run EXACTLY: a 3-sweep run resumed to 6
+    sweeps reproduces the tail of an uninterrupted 6-sweep run bitwise
+    (chain states carry the PRNG keys, so the continuation consumes the
+    identical key stream; reference analog: starting_iteration,
+    mcmc/mcmc.py:313)."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    base = json.loads(settings_path.read_text())
+
+    # uninterrupted 6-sweep run
+    full = dict(base); full["sampling_settings"] = dict(base["sampling_settings"])
+    full["sampling_settings"]["total_sweeps"] = 6
+    full["sampling_settings"]["run_folder"] = str(tmp_path / "run_full")
+    sp_full = tmp_path / "settings_full.json"
+    sp_full.write_text(json.dumps(full))
+    main(["--settings", str(sp_full), "--slab", str(slab_path)])
+    e_full = np.load(tmp_path / "run_full" / "history.npz")["energy"]
+
+    # "killed" after 3 sweeps
+    part = dict(base); part["sampling_settings"] = dict(base["sampling_settings"])
+    part["sampling_settings"]["total_sweeps"] = 3
+    part["sampling_settings"]["run_folder"] = str(tmp_path / "run_part")
+    sp_part = tmp_path / "settings_part.json"
+    sp_part.write_text(json.dumps(part))
+    main(["--settings", str(sp_part), "--slab", str(slab_path)])
+    e_part = np.load(tmp_path / "run_part" / "history.npz")["energy"]
+    np.testing.assert_array_equal(e_part, e_full[:, :3])
+
+    # resume in place to the full 6-sweep target
+    res = dict(base); res["sampling_settings"] = dict(base["sampling_settings"])
+    res["sampling_settings"]["total_sweeps"] = 6
+    res["sampling_settings"]["run_folder"] = str(tmp_path / "run_part")
+    sp_res = tmp_path / "settings_res.json"
+    sp_res.write_text(json.dumps(res))
+    main(["--settings", str(sp_res), "--slab", str(slab_path),
+          "--resume", str(tmp_path / "run_part")])
+
+    hist = np.load(tmp_path / "run_part" / "history.npz")
+    assert int(hist["start_sweep"]) == 3
+    np.testing.assert_array_equal(hist["energy"], e_full[:, 3:])
+
+    # stats.csv appended: 1 header + 6 rows, sweep numbers 1..6
+    rows = (tmp_path / "run_part" / "stats.csv").read_text().strip().splitlines()
+    assert len(rows) == 7
+    assert [r.split(",")[0] for r in rows[1:]] == [str(i) for i in range(1, 7)]
+
+    # resumed checkpoint records completion; resuming again refuses
+    from surface_sampling_tpu.io import load_checkpoint
+
+    _, idx, temps, _ = load_checkpoint(tmp_path / "run_part" / "checkpoint.npz")
+    assert idx == 6 and len(temps) == 6
+    with pytest.raises(ValueError, match="already completed"):
+        main(["--settings", str(sp_res), "--slab", str(slab_path),
+              "--resume", str(tmp_path / "run_part")])
