@@ -1,69 +1,50 @@
-"""Headline benchmark: MC energy-evaluation throughput on real hardware.
+"""Headline benchmark: flagship MC energy-evaluation throughput on real TPU.
 
-Workload: the Cu(100) EAM toy system (reference tutorials/example.ipynb /
-tests/test_Cu.py — 8-atom slab, 24 virtual sites, semigrand Metropolis,
-annealed), run as a batch of vmapped chains. Each MC step costs one
-force-field (surface-energy) evaluation without relaxation, so
-steps/sec == energy evaluations/sec — the cost unit of the reference's
-hot loop (SURVEY §6: 1 MC step ~ (1 + relax_steps) evals, serial).
+Workload (the BASELINE.json north star): the SrTiO3(001) semigrand MC
+sweep driven by the reference's trained 3-member PaiNN ensemble
+(tutorials/SrTiO3_001.ipynb / scripts/configs/sample_config_painn.json),
+run as a batch of vmapped chains inside the scan engine. Each MC step
+costs one ensemble surface-energy evaluation, so steps/sec == NN energy
+evaluations/sec — the cost unit of the reference's hot loop (SURVEY §6:
+1 MC step ~ (1 + relax_steps) evals, serial).
 
-Baseline: the reference runs ONE chain with LAMMPS EAM at ~40 MC steps/s
-on a 4-core CPU (README.md:73 "a few seconds" for 20x2 steps + setup; we
-use a measured-equivalent 40 evals/s as the denominator, documented in
-BASELINE.md — the reference publishes no number).
+Baseline denominator: 5.8 ensemble evals/s for the reference's torch
+path on its published RTX 2080 Ti — derivation in BASELINE.md
+("Denominator derivations": 1050 ensemble evaluations per tutorial run,
+'a few minutes' read as 3 minutes; the reference publishes no number, so
+the figure is reconstructed from the tutorial's own runtime statement
+and held at the generous-to-the-reference end to keep vs_baseline
+conservative).
 
-The fast path uses the static candidate-pair table + piecewise-polynomial
-EAM (gather-free; table deviation ~1e-6 eV, see tests/test_fast_eam.py).
-
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+If the PaiNN path fails (e.g. model fixtures unavailable), the bench
+falls back to the Cu(100) EAM rigid path (denominator 40 evals/s, also
+derived in BASELINE.md) and SAYS SO on stderr. The executed path is
+always logged to stderr; stdout carries exactly one JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_EVALS_PER_SEC = 40.0
+# BASELINE.md "Denominator derivations"
+BASELINE_PAINN_EVALS_PER_SEC = 5.8    # reference torch ensemble, RTX 2080 Ti
+BASELINE_EAM_EVALS_PER_SEC = 40.0     # reference LAMMPS EAM loop, 4-core CPU
 
 
-def main() -> None:
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _run_mc(run, n_chains: int, sweeps: int, sweep_size: int):
+    """Time the jitted chain-batched MC scan; returns evals/sec."""
     from surface_sampling_tpu.core import EngineConfig, geometric_schedule, make_run_fn
     from surface_sampling_tpu.parallel import chain_states, make_chain_run
-    from surface_sampling_tpu.systems import cu100_eam
 
-    n_chains = 16384
-    sweeps = 8
-    sweep_size = 32
-
-    sys = cu100_eam(fast=True)
-    run = sys.run
-    try:
-        # rigid quadratic-form path (fastest, exact splines: the geometry is
-        # static, so rho = W @ alive and E_pair = 1/2 a^T Phi a are two small
-        # precomputed matmuls per evaluation); falls back to the fused
-        # Pallas kernel, then the XLA cheb path
-        from surface_sampling_tpu.core import MCMCRun
-        from surface_sampling_tpu.potentials import builtin_eam
-        from surface_sampling_tpu.potentials.eam import make_eam_rigid
-
-        tables = builtin_eam("Cu_u3")
-        run = MCMCRun(sys.spec, make_eam_rigid(tables, sys.spec))
-    except Exception:
-        try:
-            from surface_sampling_tpu.core import MCMCRun
-            from surface_sampling_tpu.core.static_neighbors import (
-                build_static_neighbor_table,
-            )
-            from surface_sampling_tpu.ops.pallas_eam import make_eam_pallas_potential
-            from surface_sampling_tpu.potentials import builtin_eam
-
-            tables = builtin_eam("Cu_u3")
-            nbr = build_static_neighbor_table(sys.spec, tables.cutoff, relax_slack=0.05)
-            run = MCMCRun(sys.spec, make_eam_pallas_potential(tables, nbr))
-        except Exception:
-            pass
     cfg = EngineConfig(sweep_size=sweep_size, record_positions=False)
     run_fn = make_run_fn(run.d, run.state_energy_fn, cfg)
     crun = make_chain_run(run_fn)
@@ -75,32 +56,66 @@ def main() -> None:
     states = states._replace(energy=e0)
     temps = jnp.asarray(geometric_schedule(1.0, sweeps, 0.99), jnp.float32)
 
-    # compile + warmup
-    out, recs = crun(states, temps)
+    t0 = time.perf_counter()
+    out, recs = crun(states, temps)          # compile + warmup
     jax.block_until_ready(recs.energy)
+    _log(f"compile+first run {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     out, recs = crun(states, temps)
     jax.block_until_ready(recs.energy)
     dt = time.perf_counter() - t0
 
-    total_steps = n_chains * sweeps * sweep_size
-    evals_per_sec = total_steps / dt
-
-    # sanity: the annealed ensemble must find strongly bound minima
     best = float(np.min(np.asarray(recs.energy)))
     assert np.isfinite(best), "benchmark run produced non-finite energies"
+    _log(f"steady state {dt * 1e3:.0f} ms for {n_chains * sweeps * sweep_size} steps; "
+         f"best surface energy {best:.3f} eV")
+    return n_chains * sweeps * sweep_size / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "mc_energy_evals_per_sec_cu100_eam",
-                "value": round(evals_per_sec, 1),
-                "unit": "evals/s",
-                "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 2),
-            }
-        )
-    )
+
+def bench_painn() -> dict:
+    """Flagship: SrTiO3(001) + trained PaiNN 3-ensemble semigrand MC."""
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    _log("path: srtio3_painn_ensemble (flagship, BASELINE.json north star)")
+    sys_ = srtio3_001_painn()
+    evals = _run_mc(sys_.run, n_chains=128, sweeps=2, sweep_size=8)
+    return {
+        "metric": "mc_energy_evals_per_sec_srtio3_painn_ensemble",
+        "value": round(evals, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals / BASELINE_PAINN_EVALS_PER_SEC, 2),
+    }
+
+
+def bench_cu_rigid() -> dict:
+    """Fallback: Cu(100) EAM via rigid quadratic forms (exact splines)."""
+    from surface_sampling_tpu.core import MCMCRun
+    from surface_sampling_tpu.potentials import builtin_eam
+    from surface_sampling_tpu.potentials.eam import make_eam_rigid
+    from surface_sampling_tpu.systems import cu100_eam
+
+    _log("path: cu100_eam_rigid (fallback)")
+    sys_ = cu100_eam(fast=True)
+    tables = builtin_eam("Cu_u3")
+    run = MCMCRun(sys_.spec, make_eam_rigid(tables, sys_.spec))
+    evals = _run_mc(run, n_chains=16384, sweeps=8, sweep_size=32)
+    return {
+        "metric": "mc_energy_evals_per_sec_cu100_eam",
+        "value": round(evals, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals / BASELINE_EAM_EVALS_PER_SEC, 2),
+    }
+
+
+def main() -> None:
+    try:
+        result = bench_painn()
+    except Exception as e:                          # noqa: BLE001
+        _log(f"flagship PaiNN path FAILED ({type(e).__name__}: {e}); "
+             "falling back to Cu(100) EAM rigid")
+        result = bench_cu_rigid()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -68,20 +68,65 @@ def _propose_change(key, ss, n_sites: int, n_codes: int):
 def make_distance_accept(d: DeviceSpec, filter_distance: float):
     """Geometric filter: accept iff no two adsorbate atoms are closer than
     ``filter_distance`` (criterion.py:74-116 + utils/misc.py:118-135).
-    Adsorbate atoms are the alive site-slot atoms (index >= P)."""
-    n_pristine = d.pristine_numbers.shape[0]
+    Adsorbate atoms are the alive site-slot atoms (index >= P).
+
+    Site coordinates are static under MC moves, so the candidate pairs
+    are precomputed on the host: only (site, site, image-shift) triples
+    whose site separation can possibly fall below the cutoff — after
+    allowing for the largest group-member offset radius — are checked at
+    trial time. Cost per trial is O(C * G^2) with C ~ O(S * local
+    neighbors), replacing the O(Kimg * N^2) full image-distance matrix;
+    this is what makes the criterion usable on 500+-slot systems."""
+    import numpy as np
+
+    site = np.asarray(d.site_coords, np.float64)          # (S, 3)
+    offs = np.asarray(d.code_offsets, np.float64)         # (K+1, G, 3)
+    shifts = np.asarray(d.shifts, np.float64)             # (Kimg, 3)
+    S, G = site.shape[0], offs.shape[1]
+    r_off = float(np.linalg.norm(offs, axis=-1).max()) if offs.size else 0.0
+    bound = filter_distance + 2.0 * r_off
+
+    ci, cj, csh, cself = [], [], [], []
+    # cross-site candidates (ordered pairs i<j over every image shift)
+    diff = site[:, None, None, :] - site[None, :, None, :] + shifts[None, None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)                  # (S, S, Kimg)
+    ii, jj, kk = np.nonzero(dist < bound)
+    for i, j, k in zip(ii, jj, kk):
+        if i < j or (i == j and not np.allclose(shifts[k], 0.0)):
+            # i==j with a nonzero shift = a site against its own periodic
+            # image (possible in very small cells); i==j shift 0 is the
+            # intra-group case handled below
+            ci.append(i); cj.append(j); csh.append(-shifts[k]); cself.append(False)
+    # intra-site group-member pairs (reference filter_distances checks ALL
+    # adsorbate atom pairs, including atoms of one OH/H2O group)
+    if G > 1:
+        for i in range(S):
+            ci.append(i); cj.append(i); csh.append(np.zeros(3)); cself.append(True)
+
+    if not ci:
+        return lambda site_state: jnp.asarray(True)
+
+    ci_j = jnp.asarray(np.asarray(ci), jnp.int32)
+    cj_j = jnp.asarray(np.asarray(cj), jnp.int32)
+    csh_j = jnp.asarray(np.asarray(csh), d.site_coords.dtype)   # (C, 3)
+    g = np.arange(G)
+    tri = g[:, None] < g[None, :]                         # strict upper
+    pair_mask = np.where(np.asarray(cself)[:, None, None], tri[None], True)
+    pm_j = jnp.asarray(pair_mask)                         # (C, G, G)
+    fd2 = filter_distance * filter_distance
 
     def accept(site_state):
-        pos = realize_positions(d, site_state)
-        alive = realize_alive(d, site_state)
-        ads = jnp.arange(pos.shape[0]) >= n_pristine
-        sel = alive & ads
-        r, _ = image_distances(pos, d.shifts)       # (K, N, N)
-        rmin = jnp.min(r, axis=0)                   # MIC distances
-        n = pos.shape[0]
-        pair = sel[:, None] & sel[None, :] & ~jnp.eye(n, dtype=bool)
-        dmin = jnp.min(jnp.where(pair, rmin, jnp.inf))
-        return dmin > filter_distance
+        code_i = site_state[ci_j]
+        code_j = site_state[cj_j]
+        occ = (code_i > 0) & (code_j > 0)
+        pi = d.site_coords[ci_j][:, None, :] + d.code_offsets[code_i]   # (C, G, 3)
+        pj = d.site_coords[cj_j][:, None, :] + d.code_offsets[code_j] + csh_j[:, None, :]
+        d2 = jnp.sum((pi[:, :, None, :] - pj[:, None, :, :]) ** 2, axis=-1)
+        m_i = jnp.arange(G)[None, :] < d.code_natoms[code_i][:, None]
+        m_j = jnp.arange(G)[None, :] < d.code_natoms[code_j][:, None]
+        mask = occ[:, None, None] & m_i[:, :, None] & m_j[:, None, :] & pm_j
+        dmin2 = jnp.min(jnp.where(mask, d2, jnp.inf))
+        return dmin2 > fd2
 
     return accept
 

@@ -346,10 +346,18 @@ def lamno3_001_chgnet(
     return ExampleSystem(spec, pot, run)
 
 
-def au110_eam(relax: RelaxConfig | None = None, dtype=None) -> ExampleSystem:
+def au110_eam(relax: RelaxConfig | None = None, fast: bool = False,
+              dtype=None) -> ExampleSystem:
     """Au(110) 2x2 canonical test system with the reference's exact geometry
     (tests/test_Au.py:31-44: 16-atom slab, 8 pre-identified sites,
-    6 adsorbed Au atoms)."""
+    6 adsorbed Au atoms).
+
+    ``fast=True`` (rigid runs only): the slab is rigid and single-species,
+    so the exact-spline EAM collapses to the precomputed quadratic-form
+    path (rho = W @ alive, E = 1/2 a^T Phi a — two small matmuls per
+    evaluation with the f64 LAMMPS-exact tables baked in), lifting the
+    ~350 ms/batch spline-gather cost to the Cu(100)-class rate. Agreement
+    with the exact path is asserted in tests/test_regression_eam.py."""
     import jax.numpy as jnp
 
     data = np.load(_DATA / "Au_110_2x2.npz")
@@ -363,5 +371,10 @@ def au110_eam(relax: RelaxConfig | None = None, dtype=None) -> ExampleSystem:
         cutoff=tables.cutoff,
         surface_name="Au_110",
     )
-    pot = make_eam(tables, dtype=dtype or jnp.float32)
+    if fast and relax is None:
+        from surface_sampling_tpu.potentials.eam import make_eam_rigid
+
+        pot = make_eam_rigid(tables, spec, dtype=dtype or jnp.float32)
+    else:
+        pot = make_eam(tables, dtype=dtype or jnp.float32)
     return ExampleSystem(spec, pot, MCMCRun(spec, pot, relax=relax, dtype=dtype or jnp.float32))

@@ -63,3 +63,78 @@ def test_filter_distances_periodic_image():
 def test_filter_distances_single_adsorbate_passes():
     st = Structure.from_symbols(["Cu", "O"], [[0, 0, 0], [0, 0, 2]], np.eye(3) * 10)
     assert filter_distances(st, ads=("O",), cutoff_distance=5.0)
+
+
+def _brute_force_accept(d, site_state, filter_distance):
+    """The O(Kimg * N^2) full image-distance formulation the candidate-pair
+    table replaces — kept here as the test oracle."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core.state import realize_alive, realize_positions
+    from surface_sampling_tpu.ops.neighbors import image_distances
+
+    pos = realize_positions(d, site_state)
+    alive = realize_alive(d, site_state)
+    ads = jnp.arange(pos.shape[0]) >= d.pristine_numbers.shape[0]
+    sel = alive & ads
+    r, _ = image_distances(pos, d.shifts)
+    rmin = jnp.min(r, axis=0)
+    n = pos.shape[0]
+    pair = sel[:, None] & sel[None, :] & ~jnp.eye(n, dtype=bool)
+    dmin = jnp.min(jnp.where(pair, rmin, jnp.inf))
+    return bool(dmin > filter_distance)
+
+
+def test_distance_accept_matches_brute_force():
+    """The static candidate-pair distance criterion must agree with the
+    full image-distance matrix on random occupancies — including OH-group
+    states whose intra-group O-H pair (0.97 A) must reject tight cutoffs."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core.events import make_distance_accept
+    from surface_sampling_tpu.core.state import device_spec
+    from surface_sampling_tpu.structure import find_adsorption_sites
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=15.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.5, near_reduce=0.01)["all"]
+    spec = make_spec(slab, sites, ["O", "OH"], potential_numbers=[29], cutoff=5.0)
+    d = device_spec(spec)
+    rng = np.random.default_rng(0)
+    for fd in (0.9, 1.5, 2.2):
+        acc = make_distance_accept(d, fd)
+        for _ in range(12):
+            ss = jnp.asarray(
+                rng.integers(0, d.n_codes, spec.n_sites).astype(np.int32)
+                * rng.integers(0, 2, spec.n_sites).astype(np.int32)
+            )
+            got, want = bool(acc(ss)), _brute_force_accept(d, ss, fd)
+            assert got == want, (fd, np.asarray(ss), got, want)
+    # any OH state must fail a cutoff above the O-H bond length
+    acc = make_distance_accept(d, 1.2)
+    ss = jnp.zeros(spec.n_sites, jnp.int32).at[0].set(2)   # one OH
+    assert not bool(acc(ss))
+    assert not _brute_force_accept(d, ss, 1.2)
+
+
+def test_distance_accept_scales_past_300_slots():
+    """Correctness (vs brute force) and static candidate-table size on a
+    >300-slot system — the regime where the old full-matrix formulation
+    was O(Kimg * N^2) per trial."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core.events import make_distance_accept
+    from surface_sampling_tpu.core.state import device_spec
+    from surface_sampling_tpu.structure import find_adsorption_sites
+
+    slab = fcc100("Cu", size=(8, 8, 2), a=3.6147, vacuum=15.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.5, near_reduce=0.01)["all"]
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29], cutoff=5.0)
+    assert spec.n_sites > 300, spec.n_sites
+    d = device_spec(spec)
+    acc = make_distance_accept(d, 2.0)
+    rng = np.random.default_rng(1)
+    for density in (0.02, 0.1, 0.5):
+        ss = jnp.asarray(
+            (rng.random(spec.n_sites) < density).astype(np.int32))
+        got, want = bool(acc(ss)), _brute_force_accept(d, ss, 2.0)
+        assert got == want, (density, got, want)

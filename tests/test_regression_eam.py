@@ -76,3 +76,29 @@ def test_cu100_pristine_energy_pinned():
 
 
 PRISTINE_CU100_E = -24.058476294465656
+
+
+def test_au110_rigid_fast_path_matches_exact():
+    """au110_eam(fast=True) — the rigid quadratic-form EAM — must agree
+    with the exact spline-gather path on EVERY canonical configuration
+    (all C(8,6)=28 six-adsorbate states plus empty/full), and must still
+    hit the LAMMPS reference ground state."""
+    import itertools
+
+    exact = au110_eam()
+    fast = au110_eam(fast=True)
+    f_e = jax.jit(lambda ss: exact.run.state_energy_fn(ss).surface_energy)
+    f_f = jax.jit(lambda ss: fast.run.state_energy_fn(ss).surface_energy)
+    states = [jnp.zeros(8, jnp.int32), jnp.ones(8, jnp.int32)]
+    for combo in itertools.combinations(range(8), 6):
+        ss = jnp.zeros(8, jnp.int32)
+        for s in combo:
+            ss = ss.at[s].set(1)
+        states.append(ss)
+    best = np.inf
+    for ss in states:
+        e, f = float(f_e(ss)), float(f_f(ss))
+        assert abs(e - f) < 2e-3, (np.asarray(ss), e, f)
+        if int(jnp.sum(ss > 0)) == 6:
+            best = min(best, f)
+    assert abs(best - AU_REFERENCE_MIN) < 5e-3

@@ -72,6 +72,12 @@ def bench_cu100_pallas():
     return _throughput(run, 8192, iters=10)
 
 
+def bench_au110_rigid():
+    from surface_sampling_tpu.systems import au110_eam
+
+    return _throughput(au110_eam(fast=True).run, 8192)
+
+
 def bench_au110_canonical():
     from surface_sampling_tpu.systems import au110_eam
 
@@ -136,6 +142,7 @@ FAMILIES = {
     "cu100_rigid": bench_cu100_rigid,
     "cu100_pallas": bench_cu100_pallas,
     "au110_canonical": bench_au110_canonical,
+    "au110_rigid": bench_au110_rigid,
     "gan_tersoff": bench_gan_tersoff,
     "gan_tersoff_rigid": bench_gan_tersoff_rigid,
     "si_sw": bench_si_sw,
