@@ -10,6 +10,7 @@ the device.
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -274,8 +275,10 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
                 if kind == "tersoff"
                 else make_sw_rigid(mb_tables, spec)
             )
-        except ValueError:
-            pass  # group vocabulary: keep the dynamic path
+        except ValueError as e:
+            # group vocabulary or table-budget refusal
+            # (rigid_manybody._check_rigid_budget): keep the dynamic path
+            logging.getLogger("sst").info("rigid fast path skipped: %s", e)
 
     # PaiNN runs onto the static-candidate edge path (skips the all-image
     # top_k neighbor search; ~2x faster MC evals); opt out with
@@ -322,6 +325,22 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         )
     run = MCMCRun(spec, potential, surface_energy_fn=surface_energy_fn, relax=relax)
     return AssembledSystem(spec, potential, run, settings)
+
+
+def even_prefill_states(spec, num_ads_atoms: int, n_chains: int, seed: int) -> np.ndarray:
+    """Per-chain even-site prefill: every chain gets the same evenly spread
+    site placement (Ward clustering of the site lattice is deterministic)
+    but its OWN random species codes and tie-break top-ups, so chains start
+    decorrelated in composition/arrangement exactly as the reference
+    re-randomizes codes per run (mcmc/mcmc.py:163-179). Returns
+    (n_chains, S) int32."""
+    from surface_sampling_tpu.core.engine import even_site_prefill
+
+    return np.stack([
+        even_site_prefill(spec, num_ads_atoms,
+                          rng=np.random.default_rng((seed, 1000 + c)))
+        for c in range(n_chains)
+    ])
 
 
 def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
@@ -434,11 +453,7 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         states = states._replace(energy=e0)
     if resume is None and cfg.canonical and cfg.num_ads_atoms > 0:
         if samp.get("even_adsorption_sites", False):
-            from surface_sampling_tpu.core.engine import even_site_prefill
-
-            ss0 = even_site_prefill(
-                asys.spec, cfg.num_ads_atoms, rng=np.random.default_rng(seed)
-            )
+            ss0 = even_prefill_states(asys.spec, cfg.num_ads_atoms, n_chains, seed)
             states = chain_states(d, jax.random.PRNGKey(seed), n_chains, site_state=ss0)
         else:
             prep = jax.jit(jax.vmap(

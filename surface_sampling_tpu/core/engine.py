@@ -56,7 +56,7 @@ class EngineConfig:
     record_positions: bool = True
     prep_max_steps: int | None = None    # bound canonical prep (None = reference-faithful)
     prep_force_fill: bool = False        # deterministic fill if the bound is hit
-    mtm_trials: int = 0                  # >1: multiple-try Metropolis (semigrand only)
+    mtm_trials: int = 0                  # >1: multiple-try Metropolis (semigrand + canonical)
 
 
 def make_sweep_fn(step_fn: Callable, sweep_size: int) -> Callable:
@@ -161,9 +161,14 @@ def prepare_canonical_fn(
     acceptance can be ~exp(-dE/T) ~ 0 and the loop effectively never
     terminates. ``max_steps`` bounds it; with ``force_fill`` the remaining
     occupancy is then filled deterministically (lowest-index empty sites,
-    uniform random codes) so the canonical run always starts feasible —
-    prep only builds a start state, the sampling distribution comes from
-    the subsequent canonical chain.
+    uniform random codes) so the canonical run always starts feasible.
+    NOTE: canonical exchange moves conserve the code multiset, so in a
+    multi-species vocabulary a force-filled start FIXES the (random)
+    composition for the whole canonical run — the subsequent chain samples
+    only within that composition sector. Single-species systems are
+    unaffected; multi-species users who need a specific composition should
+    pass an explicit start state (or leave force_fill off so prep's
+    semigrand acceptances choose the composition at the prep temperature).
     """
     step_fn = make_semigrand_step(
         d,

@@ -95,6 +95,13 @@ def _n_invariants(l_max: int) -> int:
 
 
 def init_mace(key, cfg: MACEConfig):
+    """Random-init MACE parameters.
+
+    NOTE on seeded-init reproducibility: the key split is 2 + 26*n_layers
+    subkeys (grown from 2 + 9*n_layers when the higher-order product basis
+    was added), so a fixed seed yields different weights than pre-l_max>1
+    revisions even for default configs. npz checkpoints are unaffected.
+    """
     if cfg.l_max not in (1, 2, 3):
         raise ValueError(f"l_max must be 1, 2 or 3, got {cfg.l_max}")
     F, R = cfg.feat_dim, cfg.n_rbf

@@ -47,6 +47,31 @@ def _require_rigid_vocab(spec) -> None:
         )
 
 
+# Refuse precomputed tables beyond this budget: the C table is
+# (n_pairs, T, T, N*T) ~ O(N^2 * nbr * T^3) and the per-center f64
+# temporaries are (M, M, T, T, T) — on large slabs both can exhaust host
+# memory long before any allocation error points at the cause. Callers
+# (cli/common.py) catch the ValueError and keep the dynamic path.
+MAX_RIGID_TABLE_BYTES = 4 << 30
+
+
+def _check_rigid_budget(spec, cutoff: float, T: int, itemsize: int,
+                        max_bytes: int = MAX_RIGID_TABLE_BYTES) -> None:
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
+    valid = np.asarray(build_static_neighbor_table(spec, cutoff, relax_slack=0.0).valid)
+    n_pairs = int(valid.sum())
+    max_nbr = int(valid.sum(axis=1).max()) if n_pairs else 0
+    table = n_pairs * T * T * spec.n_slots * T * itemsize
+    temp = max_nbr * max_nbr * T**3 * 8
+    if table + temp > max_bytes:
+        raise ValueError(
+            f"rigid many-body tables would need ~{(table + temp) / 2**30:.1f} GiB "
+            f"(n_slots={spec.n_slots}, pairs={n_pairs}, T={T}) — beyond the "
+            f"{max_bytes / 2**30:.0f} GiB budget; use the dynamic geometry path"
+        )
+
+
 def _static_pairs(spec, cutoff: float):
     """Enumerate every in-range static (center, neighbor-image) pair.
 
@@ -79,6 +104,8 @@ def make_tersoff_rigid(tables: TersoffTables, spec, dtype=jnp.float32) -> Potent
     precomputed radial/angular factors (see module docstring)."""
     _require_rigid_vocab(spec)
     T = len(tables.elements)
+    _check_rigid_budget(spec, tables.cutoff, T,
+                        np.dtype(jnp.zeros((), dtype).dtype).itemsize)
     N = spec.n_slots
     P = tables.params
     cutoff = tables.cutoff
@@ -166,6 +193,8 @@ def make_sw_rigid(tables: SWTables, spec, dtype=jnp.float32) -> Potential:
     gathers (a first triple-indexed formulation ran 50x slower on TPU)."""
     _require_rigid_vocab(spec)
     T = len(tables.elements)
+    _check_rigid_budget(spec, tables.cutoff, T,
+                        np.dtype(jnp.zeros((), dtype).dtype).itemsize)
     N = spec.n_slots
     P = tables.params
     cutoff = tables.cutoff

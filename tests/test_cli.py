@@ -334,3 +334,27 @@ def test_resume_bitwise(cu_setup):
     with pytest.raises(ValueError, match="already completed"):
         main(["--settings", str(sp_res), "--slab", str(slab_path),
               "--resume", str(tmp_path / "run_part")])
+
+
+def test_even_prefill_states_per_chain_randomized():
+    """even_adsorption_sites prefill must decorrelate chains: same even
+    site placement, per-chain random species codes (the multi-chain analog
+    of the reference's per-run code randomization, mcmc/mcmc.py:163-179)."""
+    from surface_sampling_tpu.cli.common import even_prefill_states
+    from surface_sampling_tpu.core import make_spec
+    from surface_sampling_tpu.structure import find_adsorption_sites
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=15.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.5, near_reduce=0.01)["all"]
+    spec = make_spec(slab, sites, ["O", "OH"], potential_numbers=[29], cutoff=5.0)
+    ss = even_prefill_states(spec, num_ads_atoms=4, n_chains=16, seed=0)
+    assert ss.shape == (16, spec.n_sites)
+    assert (np.sum(ss > 0, axis=1) == 4).all()
+    # all chains share the even placement...
+    occ_sets = {tuple(np.flatnonzero(row > 0)) for row in ss}
+    # ...but their species codes differ (2-code vocab, 4 slots, 16 chains:
+    # identical codes everywhere has probability 2^-60)
+    assert len({tuple(row.tolist()) for row in ss}) > 1
+    # determinism: same seed reproduces the batch exactly
+    np.testing.assert_array_equal(ss, even_prefill_states(spec, 4, 16, 0))
+    assert occ_sets  # placement well-defined
