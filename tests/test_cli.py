@@ -358,3 +358,41 @@ def test_even_prefill_states_per_chain_randomized():
     # determinism: same seed reproduces the batch exactly
     np.testing.assert_array_equal(ss, even_prefill_states(spec, 4, 16, 0))
     assert occ_sets  # placement well-defined
+
+
+def test_formation_entries_cli_full_pipeline(tmp_path):
+    """--mp2020 --aqueous --oh-correction: the full reference correction
+    stack (MP2020 -> aqueous H re-reference -> surface OH), itemized per
+    entry and summing exactly."""
+    from surface_sampling_tpu.cli.create_surface_formation_entries import main
+    from surface_sampling_tpu.structure import Structure
+
+    st = Structure.from_symbols(
+        ["Mn", "O", "H"], [[0, 0, 0], [0, 0, 2], [0, 0, 3]], np.eye(3) * 10
+    )
+    p = tmp_path / "s.cif"
+    write_cif(p, st)
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps({"calc_settings": {"calc_name": "lj", "epsilon": 0.1,
+                                                "sigma": 1.5, "cutoff": 4.0}}))
+    out0 = tmp_path / "plain.json"
+    main(["--structures", str(p), "--settings", str(sp),
+          "--phase-diagram", "tests/data/pourbaix/pd_dict.json", "--out", str(out0)])
+    out1 = tmp_path / "full.json"
+    main(["--structures", str(p), "--settings", str(sp),
+          "--phase-diagram", "tests/data/pourbaix/pd_dict.json",
+          "--mp2020", "--aqueous", "--oh-correction", "--out", str(out1)])
+    plain = json.loads(out0.read_text())[0]
+    full = json.loads(out1.read_text())[0]
+    labels = {c["label"] for c in full["corrections"]}
+    assert "MP2020 anion (oxide)" in labels
+    assert "MP2020 GGA+U (Mn)" in labels       # hubbards default to MP U for Mn
+    assert "aqueous H re-reference" in labels
+    assert "surface OH (ZPE-TS + H-bond)" in labels
+    total = sum(c["value"] for c in full["corrections"])
+    assert np.isclose(full["energy"] - plain["energy"], total)
+    # MP2020 pieces are the published constants
+    vals = {c["label"]: c["value"] for c in full["corrections"]}
+    assert np.isclose(vals["MP2020 anion (oxide)"], -0.687)
+    assert np.isclose(vals["MP2020 GGA+U (Mn)"], -1.668)
+    assert np.isclose(vals["surface OH (ZPE-TS + H-bond)"], 0.23 - 0.30)

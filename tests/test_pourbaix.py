@@ -157,3 +157,72 @@ def test_spec_sampling_surface_atoms_prefill():
     nums = np.asarray(realize_numbers(d, jnp.asarray(ss0)))
     # realized structure has the same multiset of atoms as the original
     assert sorted(nums[nums > 0].tolist()) == sorted(slab.numbers.tolist())
+
+
+class TestMP2020Compatibility:
+    """Golden values for the pymatgen-free MP2020 + aqueous scheme
+    (pourbaix/compatibility.py), pinned against the published constants
+    (Wang et al. 2021 / MP2020Compatibility.yaml; the reference applies
+    the pymatgen objects, scripts/create_surface_formation_entries.py:
+    17-22,305-323)."""
+
+    def _total(self, comp, structure=None, hubbards=None):
+        from surface_sampling_tpu.pourbaix.compatibility import MP2020Compatibility
+
+        adj = MP2020Compatibility().get_adjustments(comp, structure, hubbards)
+        return sum(v for _, v in adj)
+
+    def test_fe2o3(self):
+        # pymatgen-documented example: 2 Fe(+U) + 3 O(oxide)
+        got = self._total({"Fe": 2, "O": 3}, hubbards={"Fe": 5.3, "O": 0.0})
+        assert abs(got - (2 * -2.256 + 3 * -0.687)) < 1e-9
+
+    def test_lamno3(self):
+        got = self._total({"La": 1, "Mn": 1, "O": 3},
+                          hubbards={"La": 0.0, "Mn": 3.9, "O": 0.0})
+        assert abs(got - (-1.668 + 3 * -0.687)) < 1e-9
+
+    def test_u_gated_on_hubbards(self):
+        # computed WITHOUT the standard U: no mixing correction
+        got = self._total({"Mn": 1, "O": 1}, hubbards={"Mn": 0.0, "O": 0.0})
+        assert abs(got - (-0.687)) < 1e-9
+
+    def test_halide(self):
+        got = self._total({"Na": 1, "Cl": 1})
+        assert abs(got - (-0.614)) < 1e-9
+        # Cl not the anion when O is present
+        got = self._total({"Na": 1, "Cl": 1, "O": 1})
+        assert abs(got - (-0.687)) < 1e-9
+
+    def test_metal_no_anion(self):
+        assert self._total({"Cu": 4}) == 0.0
+
+    def test_peroxide_superoxide_classification(self):
+        import numpy as np
+
+        from surface_sampling_tpu.pourbaix.compatibility import classify_oxide
+        from surface_sampling_tpu.structure import Structure
+
+        def o2(d):
+            return Structure.from_symbols(
+                ["Li", "O", "O"], [[5, 5, 1], [5, 5, 5], [5, 5, 5 + d]],
+                np.eye(3) * 10)
+
+        assert classify_oxide(o2(1.30)) == "superoxide"
+        assert classify_oxide(o2(1.45)) == "peroxide"
+        assert classify_oxide(o2(2.50)) == "oxide"
+        assert classify_oxide(None, {"Fe": 2, "O": 3}) == "oxide"
+
+    def test_aqueous_fit(self):
+        from surface_sampling_tpu.pourbaix.compatibility import AqueousCompatibility
+
+        aq = AqueousCompatibility()
+        # fitted H2: 3*(-5.192751548333333 + 0.229) - (-4.94795546875)
+        #            - (-2.4583) = -7.48499917625 eV
+        assert abs(aq.fit_h2_energy - (-7.48499917625)) < 1e-9
+        # per-H correction vs a -3.39 eV/atom GGA H reference
+        assert abs(aq.h_correction(-3.39) - (0.5 * -7.48499917625 + 3.39)) < 1e-12
+        e = aq.process_entry_energy(-10.0, {"Ir": 1, "O": 1, "H": 2}, h_ref=-3.39)
+        assert abs(e - (-10.0 + 2 * aq.h_correction(-3.39))) < 1e-12
+        # no hydrogen -> untouched
+        assert aq.process_entry_energy(-10.0, {"Ir": 1, "O": 1}, h_ref=-3.39) == -10.0
