@@ -218,3 +218,40 @@ def test_chgnet_cli_static_upgrade(tmp_path):
     asys = assemble_system(settings, slab)
     # the rebuilt potential carries no rebuild hook (already static)
     assert "chgnet_args" not in asys.potential.__dict__
+
+
+def test_lamno3_golden_fixture(lamno3):
+    """Self-regression pin of the CHGNet port's numerics: energies,
+    per-atom energies, magmoms and embedding norm of the LaMnO3 slab
+    (pristine + two deterministic rattles) against committed goldens
+    (tests/data/chgnet_golden.json). The chgnet torch package is not
+    installable offline (models/chgnet.py docstring), so these goldens
+    freeze the best-effort v0.3.0 semantics — any refactor that shifts
+    them is a semantic change, not a cleanup."""
+    import json
+
+    params, cfg, d = lamno3
+    pos, numbers, cell = d["positions"], d["numbers"], d["cell"]
+    golden = json.loads(
+        (Path(__file__).parent / "data" / "chgnet_golden.json").read_text())
+
+    rng = np.random.default_rng(12345)
+    for case in golden["cases"]:
+        p = pos + case["perturbation_scale"] * rng.standard_normal(pos.shape)
+        out = _forward(params, cfg, p, numbers, cell)
+        np.testing.assert_allclose(float(out["energy"]), case["energy"],
+                                   rtol=0, atol=2e-3)
+        np.testing.assert_allclose(float(out["energy_per_atom"]),
+                                   case["energy_per_atom"], rtol=0, atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["per_atom_energy"])[:8],
+            case["per_atom_energy_first8"], rtol=0, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(out["magmom"])[:8], case["magmom_first8"],
+            rtol=0, atol=1e-3)
+        np.testing.assert_allclose(
+            float(np.asarray(out["magmom"])[np.asarray(numbers) == 25].mean()),
+            case["magmom_mn_mean"], rtol=0, atol=1e-3)
+        np.testing.assert_allclose(
+            float(np.linalg.norm(np.asarray(out["embedding"]))),
+            case["embedding_norm"], rtol=1e-4, atol=0)
