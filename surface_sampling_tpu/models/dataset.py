@@ -35,16 +35,30 @@ def _structure_from_pymatgen_dict(d: dict) -> Structure:
     return st
 
 
-def load_labelled_structures(path: str | Path):
-    """Load (structures, energies, forces) from a labelled dataset file."""
+def load_labelled_structures(path: str | Path, with_magmoms: bool = False):
+    """Load (structures, energies, forces[, magmoms]) from a labelled
+    dataset file — or a DIRECTORY of MPtrj JSON shards, merged like the
+    reference's StructureJsonData (json_dataset.py:66-77). Magmoms are
+    per-atom arrays (None where the frame has no "magmom" label)."""
     path = Path(path)
+    if path.is_dir():
+        structures, energies, forces, magmoms = [], [], [], []
+        for sub in sorted(path.glob("*.json")):
+            s, e, f, m = load_labelled_structures(sub, with_magmoms=True)
+            structures += s; energies += list(e); forces += f; magmoms += m
+        energies = np.asarray(energies)
+        return ((structures, energies, forces, magmoms) if with_magmoms
+                else (structures, energies, forces))
     if path.suffix == ".npz":
         d = np.load(path)
         sts = [Structure(n, p, c) for n, p, c in zip(d["numbers"], d["positions"], d["cells"])]
         forces = d["forces"] if "forces" in d.files else np.zeros_like(d["positions"])
+        mags = list(d["magmoms"]) if "magmoms" in d.files else [None] * len(sts)
+        if with_magmoms:
+            return sts, d["energies"], list(forces), mags
         return sts, d["energies"], list(forces)
     data = json.loads(path.read_text())
-    structures, energies, forces = [], [], []
+    structures, energies, forces, magmoms = [], [], [], []
     if isinstance(data, list):
         for rec in data:
             if "numbers" in rec:
@@ -56,6 +70,8 @@ def load_labelled_structures(path: str | Path):
             structures.append(st)
             energies.append(float(rec["energy"]))
             forces.append(np.asarray(rec.get("forces", np.zeros((len(st), 3)))))
+            m = rec.get("magmoms", rec.get("magmom"))
+            magmoms.append(np.asarray(m, dtype=np.float64) if m is not None else None)
     else:
         # MPtrj-style nested dict (json_dataset.py:26-147)
         for frames in data.values():
@@ -65,7 +81,11 @@ def load_labelled_structures(path: str | Path):
                                 frame.get("uncorrected_energy_per_atom"))
                 energies.append(float(epa) * len(st))
                 forces.append(np.asarray(frame.get("force", np.zeros((len(st), 3)))))
+                m = frame.get("magmom")
+                magmoms.append(np.asarray(m, dtype=np.float64) if m is not None else None)
                 structures.append(st)
+    if with_magmoms:
+        return structures, np.asarray(energies), forces, magmoms
     return structures, np.asarray(energies), forces
 
 
@@ -107,7 +127,9 @@ def get_train_val_test_loader(
     (json_dataset.py:149-246 analog)."""
     from surface_sampling_tpu.models.train import pad_structures
 
-    structures, energies, forces = load_labelled_structures(path)
+    structures, energies, forces, magmoms = load_labelled_structures(
+        path, with_magmoms=True)
+    have_magmoms = any(m is not None for m in magmoms)
     n = len(structures)
     rng = np.random.default_rng(seed)
     order = rng.permutation(n)
@@ -133,6 +155,7 @@ def get_train_val_test_loader(
                     [forces[i] for i in sel],
                     cutoff,
                     n_max=n_max,
+                    magmoms=[magmoms[i] for i in sel] if have_magmoms else None,
                 )
             )
         return out

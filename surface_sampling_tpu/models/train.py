@@ -32,9 +32,12 @@ class PaddedBatch(NamedTuple):
     shifts: np.ndarray       # (B, K, 3) periodic image shifts (zero-padded)
     energy: np.ndarray       # (B,) eV (or training units)
     forces: np.ndarray       # (B, N, 3)
+    magmoms: np.ndarray | None = None   # (B, N) per-atom magnetic moments
+    # (MPtrj "m" target for CHGNet fine-tuning, json_dataset.py:128-136)
 
 
-def pad_structures(structures, energies, forces, cutoff: float, n_max=None, k_max=None):
+def pad_structures(structures, energies, forces, cutoff: float, n_max=None,
+                   k_max=None, magmoms=None):
     """Pad a list of Structures (+labels) into one PaddedBatch."""
     from surface_sampling_tpu.ops.neighbors import pair_shifts_for
 
@@ -48,14 +51,18 @@ def pad_structures(structures, energies, forces, cutoff: float, n_max=None, k_ma
     numbers = np.zeros((B, n_max), dtype=np.int32)
     shifts = np.full((B, k_max, 3), 1e6)  # park unused shift slots far away
     forces_arr = np.zeros((B, n_max, 3))
+    mag_arr = np.zeros((B, n_max)) if magmoms is not None else None
     for b, (s, sh, f) in enumerate(zip(structures, all_shifts, forces)):
         n = len(s)
         positions[b, :n] = s.positions
         numbers[b, :n] = s.numbers
         shifts[b, : len(sh)] = sh
         forces_arr[b, :n] = f
+        if mag_arr is not None and magmoms[b] is not None:
+            mag_arr[b, :n] = magmoms[b]
     return PaddedBatch(positions, numbers, shifts,
-                       np.asarray(energies, dtype=np.float64), forces_arr)
+                       np.asarray(energies, dtype=np.float64), forces_arr,
+                       mag_arr)
 
 
 @dataclass
@@ -63,6 +70,8 @@ class TrainConfig:
     learning_rate: float = 1e-3
     energy_weight: float = 0.05
     force_weight: float = 0.95
+    magmom_weight: float = 0.0   # >0: train the magmom head too (CHGNet
+    # "efm" targets, reference json_dataset.py targets="efsm")
     epochs: int = 100
     grad_clip: float = 10.0
 
@@ -71,7 +80,7 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
     """Energy+force loss; ``apply_fn(params, cfg, ...)`` may be any of the
     model families (painn_apply, chgnet_apply, mace_apply)."""
 
-    def single_loss(params, positions, numbers, shifts, e_ref, f_ref):
+    def single_loss(params, positions, numbers, shifts, e_ref, f_ref, m_ref):
         alive = numbers > 0
 
         def e_of(pos):
@@ -83,16 +92,31 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
         e_loss = ((e - e_ref) / n) ** 2
         f_mask = alive[:, None]
         f_loss = jnp.sum(jnp.where(f_mask, (f - f_ref) ** 2, 0.0)) / (3 * n)
-        return tcfg.energy_weight * e_loss + tcfg.force_weight * f_loss
+        loss = tcfg.energy_weight * e_loss + tcfg.force_weight * f_loss
+        if tcfg.magmom_weight > 0.0:
+            out = apply_fn(params, cfg, positions, numbers, alive, shifts)
+            m = out.get("magmom")
+            if m is None:
+                raise ValueError(
+                    "magmom_weight > 0 but the model family returns no "
+                    "'magmom' output (only chgnet_apply does)"
+                )
+            m_loss = jnp.sum(jnp.where(alive, (m - m_ref) ** 2, 0.0)) / n
+            loss = loss + tcfg.magmom_weight * m_loss
+        return loss
 
     def batch_loss(params, batch: PaddedBatch):
-        losses = jax.vmap(single_loss, in_axes=(None, 0, 0, 0, 0, 0))(
+        m = batch.magmoms
+        if m is None:
+            m = jnp.zeros(batch.numbers.shape, batch.positions.dtype)
+        losses = jax.vmap(single_loss, in_axes=(None, 0, 0, 0, 0, 0, 0))(
             params,
             batch.positions,
             batch.numbers,
             batch.shifts,
             batch.energy,
             batch.forces,
+            m,
         )
         return jnp.mean(losses)
 
@@ -124,6 +148,7 @@ def train_painn(
             jnp.asarray(b.shifts, jnp.float32),
             jnp.asarray(b.energy, jnp.float32),
             jnp.asarray(b.forces, jnp.float32),
+            None if b.magmoms is None else jnp.asarray(b.magmoms, jnp.float32),
         )
 
     dev_batches = [to_device(b) for b in batches]

@@ -369,3 +369,76 @@ def test_mace_l3_invariance_and_liveness(lj_dataset):
     np.testing.assert_allclose(np.asarray(jnp.einsum("naab->nb", y3)), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(jnp.einsum("naba->nb", y3)), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(jnp.einsum("nbaa->nb", y3)), 0.0, atol=1e-6)
+
+
+def test_mptrj_magmom_finetune_path():
+    """The MPtrj fine-tuning path end to end (reference
+    json_dataset.py targets='efsm'): a directory of MPtrj JSON shards
+    with magmom labels loads into magmom-carrying PaddedBatches, and
+    TrainConfig(magmom_weight>0) trains the CHGNet magmom head — the
+    magmom term must contribute to the loss and the step must reduce it."""
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from surface_sampling_tpu.models.chgnet import (
+        CHGNetConfig,
+        chgnet_apply,
+        init_chgnet,
+    )
+    from surface_sampling_tpu.models.dataset import get_train_val_test_loader
+    from surface_sampling_tpu.models.train import TrainConfig, make_loss_fn, train_painn
+
+    rng = np.random.default_rng(0)
+    cell = np.eye(3) * 6.0
+
+    def frame(seed):
+        r = np.random.default_rng(seed)
+        pos = r.random((4, 3)) * 4.0 + 1.0
+        return {
+            "structure": {
+                "lattice": {"matrix": cell.tolist()},
+                "sites": [
+                    {"species": [{"element": el}], "abc": (p / 6.0).tolist()}
+                    for el, p in zip(["Mn", "O", "Mn", "O"], pos)
+                ],
+            },
+            "energy_per_atom": float(-5.0 + 0.1 * r.standard_normal()),
+            "force": (0.1 * r.standard_normal((4, 3))).tolist(),
+            "magmom": [3.5, 0.1, 3.4, 0.05],
+        }
+
+    with tempfile.TemporaryDirectory() as td:
+        for shard in range(2):
+            (Path(td) / f"shard{shard}.json").write_text(_json.dumps({
+                f"mp-{shard}": {f"{i}": frame(10 * shard + i) for i in range(3)}
+            }))
+        cfg = CHGNetConfig(atom_fea_dim=16, bond_fea_dim=16, angle_fea_dim=16,
+                           num_radial=7, num_angular=7, n_conv=1,
+                           max_neighbors=24, max_bond_neighbors=8,
+                           mlp_hidden_dims=(16, 16, 16))
+        train, val, test = get_train_val_test_loader(
+            td, cfg.atom_graph_cutoff, batch_size=3,
+            train_ratio=0.67, val_ratio=0.16)
+        assert train and train[0].magmoms is not None
+        assert train[0].magmoms.shape == train[0].numbers.shape
+
+        params = init_chgnet(jax.random.PRNGKey(0), cfg)
+        loss_m = make_loss_fn(cfg, TrainConfig(magmom_weight=0.5),
+                              apply_fn=chgnet_apply)
+        loss_0 = make_loss_fn(cfg, TrainConfig(magmom_weight=0.0),
+                              apply_fn=chgnet_apply)
+        import jax.numpy as jnp
+
+        def dev(b):
+            from surface_sampling_tpu.models.train import PaddedBatch
+            return PaddedBatch(*[None if x is None else jnp.asarray(x) for x in b])
+
+        lm, l0 = float(loss_m(params, dev(train[0]))), float(loss_0(params, dev(train[0])))
+        assert np.isfinite(lm) and np.isfinite(l0) and lm > l0  # magmom term engaged
+
+        new_params, hist = train_painn(
+            params, cfg, train,
+            TrainConfig(magmom_weight=0.5, epochs=3, learning_rate=3e-3),
+            apply_fn=chgnet_apply)
+        assert np.isfinite(hist[-1]) and hist[-1] < hist[0]
