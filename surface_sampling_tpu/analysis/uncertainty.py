@@ -150,7 +150,18 @@ class GMMUncertainty(Uncertainty):
     covariance_type: str = "full"
     gmm_params: dict | None = None
 
-    def fit_gmm(self, train_embeddings: np.ndarray, random_state: int = 0) -> None:
+    def fit_gmm(self, train_embeddings: np.ndarray, random_state: int = 0,
+                method: str = "sklearn", **em_kwargs) -> None:
+        """Fit the mixture. ``method="sklearn"``: host fit (small data).
+        ``method="em"``: the chunked-EM JAX fit (``fit_gmm_em``) — the
+        TPU-native replacement for the reference's vendored huge-matrix
+        GaussianMixture (gmm.py:27,427-781), for embedding matrices too
+        large to fit densely."""
+        if method == "em":
+            self.gmm_params = fit_gmm_em(
+                np.asarray(train_embeddings), self.n_components,
+                seed=random_state, **em_kwargs)
+            return
         from sklearn.mixture import GaussianMixture
 
         gm = GaussianMixture(
@@ -213,6 +224,112 @@ class GMMUncertainty(Uncertainty):
         x = _np.atleast_2d(_np.asarray(x))
         ll = float(_np.asarray(self.log_prob(x)).mean())
         return -2.0 * ll * len(x) + 2.0 * self._n_parameters(x.shape[1])
+
+
+def fit_gmm_em(x: np.ndarray, n_components: int, n_iter: int = 60,
+               chunk: int = 4096, reg_covar: float = 1e-6, seed: int = 0,
+               tol: float = 1e-4) -> dict:
+    """Full-covariance GMM EM with CHUNKED sufficient statistics.
+
+    TPU-native replacement for the reference's vendored GaussianMixture
+    whose ``batched_dot_product`` exists to score huge embedding matrices
+    without materializing (N, C, D) temporaries (mcmc/uncertainty/
+    gmm.py:27-60,427-781). Here both EM phases stream over row chunks
+    with ``lax.map``: the E-step computes chunk responsibilities from the
+    current cholesky precisions, the M-step accumulates (Nk, r^T X,
+    per-component weighted scatter) — peak memory is O(chunk * C + C *
+    D^2) regardless of N. Returns {means, precisions_cholesky, weights}
+    in the exact sklearn parameterization ``GMMUncertainty.log_prob``
+    consumes, so fitting and scoring stay interchangeable with the
+    sklearn path.
+
+    Init: means from k-means++-style farthest-point draws, shared
+    diagonal data covariance, uniform weights. Fixed ``n_iter`` sweeps
+    with an early-stop on mean log-likelihood change < ``tol``.
+    """
+    import jax
+    from jax.scipy.special import logsumexp
+
+    x = np.asarray(x, np.float64)
+    n, d = x.shape
+    c = n_components
+    rng = np.random.default_rng(seed)
+
+    # --- init: farthest-point means, shared diagonal covariance
+    means = [x[rng.integers(n)]]
+    for _ in range(c - 1):
+        d2 = np.min(
+            [np.sum((x - m) ** 2, axis=1) for m in means], axis=0)
+        p = d2 / max(d2.sum(), 1e-300)
+        means.append(x[rng.choice(n, p=p)])
+    mu0 = np.stack(means)                                   # (C, D)
+    var0 = np.maximum(x.var(axis=0), reg_covar)             # (D,)
+    cov0 = np.broadcast_to(np.diag(var0), (c, d, d)).copy()
+
+    # pad rows to a chunk multiple; dummy rows carry weight 0
+    n_pad = (-n) % chunk
+    xp = np.concatenate([x, np.zeros((n_pad, d))]) if n_pad else x
+    row_w = np.concatenate([np.ones(n), np.zeros(n_pad)]) if n_pad else np.ones(n)
+    xc = jnp.asarray(xp.reshape(-1, chunk, d))              # (S, chunk, D)
+    wc = jnp.asarray(row_w.reshape(-1, chunk))              # (S, chunk)
+
+    def prec_chol_of(cov):
+        # sklearn's parameterization: solve L y = I with L = chol(cov),
+        # precisions_cholesky = y^T (upper triangular)
+        L = jnp.linalg.cholesky(cov)
+        eye = jnp.eye(d, dtype=cov.dtype)
+        y = jax.vmap(lambda Li: jax.scipy.linalg.solve_triangular(
+            Li, eye, lower=True))(L)
+        return jnp.swapaxes(y, -1, -2)
+
+    def log_prob_chunk(xb, mu, pch, logw):
+        y = jnp.einsum("bd,cde->bce", xb, pch) - jnp.einsum(
+            "cd,cde->ce", mu, pch)[None]
+        maha = jnp.sum(y * y, axis=-1)
+        logdet = jnp.sum(jnp.log(jnp.abs(
+            jnp.diagonal(pch, axis1=-2, axis2=-1))), axis=-1)
+        return -0.5 * (d * jnp.log(2 * jnp.pi) + maha) + logdet[None] + logw[None]
+
+    @jax.jit
+    def em_step(mu, cov, w):
+        pch = prec_chol_of(cov)
+        logw = jnp.log(w)
+
+        def stats(carry, inp):
+            xb, wb = inp
+            lp = log_prob_chunk(xb, mu, pch, logw)          # (chunk, C)
+            ll_rows = logsumexp(lp, axis=-1)
+            r = jnp.exp(lp - ll_rows[:, None]) * wb[:, None]
+            nk = r.sum(0)                                   # (C,)
+            sx = r.T @ xb                                   # (C, D)
+            sxx = jnp.einsum("bc,bd,be->cde", r, xb, xb)    # (C, D, D)
+            ll = jnp.sum(ll_rows * wb)
+            a_nk, a_sx, a_sxx, a_ll = carry
+            return (a_nk + nk, a_sx + sx, a_sxx + sxx, a_ll + ll), None
+
+        init = (jnp.zeros(c), jnp.zeros((c, d)), jnp.zeros((c, d, d)), 0.0)
+        (nk, sx, sxx, ll), _ = jax.lax.scan(stats, init, (xc, wc))
+        nk = jnp.maximum(nk, 1e-10)
+        mu_new = sx / nk[:, None]
+        cov_new = sxx / nk[:, None, None] - jnp.einsum(
+            "cd,ce->cde", mu_new, mu_new)
+        cov_new = cov_new + reg_covar * jnp.eye(d)[None]
+        w_new = nk / nk.sum()
+        return mu_new, cov_new, w_new, ll / n
+
+    mu, cov, w = jnp.asarray(mu0), jnp.asarray(cov0), jnp.full(c, 1.0 / c)
+    prev_ll = -np.inf
+    for _ in range(n_iter):
+        mu, cov, w, ll = em_step(mu, cov, w)
+        ll = float(ll)
+        if abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
+    return {
+        "means": np.asarray(mu),
+        "precisions_cholesky": np.asarray(prec_chol_of(cov)),
+        "weights": np.asarray(w),
+    }
 
 
 UNC_DICT = {"ensemble": EnsembleUncertainty, "gmm": GMMUncertainty}
