@@ -421,25 +421,28 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         ckpt_path = Path(resume)
         if ckpt_path.is_dir():
             ckpt_path = ckpt_path / "checkpoint.npz"
-        if samp.get("tempering", False):
-            raise ValueError(
-                "--resume is not supported with tempering=true: the "
-                "replica-exchange swap key is not part of the checkpoint"
-            )
-        states, start_sweep, temps_prev, _ = load_checkpoint(ckpt_path)
+        states, start_sweep, temps_prev, ckpt_extra = load_checkpoint(ckpt_path)
         got_chains = int(np.asarray(states.site_state).shape[0])
         if got_chains != n_chains:
             raise ValueError(
                 f"checkpoint has {got_chains} chains but settings ask for "
                 f"{n_chains}; set sampling_settings.n_chains={got_chains}"
             )
-        n_prev = min(start_sweep, len(temps_prev), len(temps))
-        if not np.allclose(temps[:n_prev], temps_prev[:n_prev], rtol=1e-9, atol=1e-12):
-            raise ValueError(
-                "temperature schedule mismatch: the first "
-                f"{n_prev} sweeps of the new schedule differ from the "
-                "checkpointed run — resume requires the same settings"
-            )
+        if samp.get("tempering", False):
+            if "swap_key" not in ckpt_extra:
+                raise ValueError(
+                    "checkpoint has no swap_key: it was not written by a "
+                    "tempering run (or predates tempering resume)"
+                )
+        else:
+            n_prev = min(start_sweep, len(temps_prev), len(temps))
+            if not np.allclose(temps[:n_prev], temps_prev[:n_prev],
+                               rtol=1e-9, atol=1e-12):
+                raise ValueError(
+                    "temperature schedule mismatch: the first "
+                    f"{n_prev} sweeps of the new schedule differ from the "
+                    "checkpointed run — resume requires the same settings"
+                )
         if start_sweep >= sweeps:
             raise ValueError(
                 f"checkpoint already completed {start_sweep} sweeps; "
@@ -475,7 +478,12 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
                 "replica-exchange runner builds single-try steps — drop one "
                 "of the two settings"
             )
-        return _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed)
+        return _run_tempered(
+            asys, run_folder, states, temps, cfg, samp, logger, seed,
+            start_round=start_sweep,
+            swap_key=(None if resume is None else ckpt_extra["swap_key"]),
+            prev_ladder=(None if resume is None else temps_prev),
+        )
 
     temps_seg = np.asarray(temps)[start_sweep:sweeps]
     n_seg = len(temps_seg)
@@ -582,9 +590,15 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     }
 
 
-def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed):
+def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
+                  start_round: int = 0, swap_key=None, prev_ladder=None):
     """Replica-exchange variant of run_sampling: chains become a temperature
-    ladder; one swap phase per sweep (parallel/tempering.py)."""
+    ladder; one swap phase per sweep (parallel/tempering.py).
+
+    Resume: ``start_round``/``swap_key``/``prev_ladder`` come from a prior
+    checkpoint — the swap key and round counter continue the exact swap
+    sequence, so the continuation is bitwise identical to an
+    uninterrupted run over len(temps) rounds."""
     import jax
     import jax.numpy as jnp
 
@@ -600,6 +614,13 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed):
     t_min = float(samp.get("t_min", min(temps)))
     t_max = float(samp.get("t_max", max(temps)))
     ladder = jnp.asarray(temperature_ladder(t_min, t_max, n_chains), jnp.float32)
+    if prev_ladder is not None and not np.allclose(
+            np.asarray(ladder), np.asarray(prev_ladder, np.float32),
+            rtol=1e-6, atol=1e-7):
+        raise ValueError(
+            "temperature ladder mismatch: resumed tempering needs the same "
+            "t_min/t_max/n_chains as the checkpointed run"
+        )
     if cfg.canonical:
         step_fn = make_canonical_step(d, se_fn, criterion=cfg.criterion,
                                       filter_distance=cfg.filter_distance)
@@ -608,22 +629,41 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed):
                                       filter_distance=cfg.filter_distance)
     sweep = make_sweep_fn(step_fn, cfg.sweep_size)
     n_rounds = len(temps)
-    trun = make_tempered_run(sweep, n_rounds=n_rounds)
-    logger.info("Tempering: %d replicas, ladder %.3f -> %.3f, %d rounds",
-                n_chains, t_max, t_min, n_rounds)
-    out_states, rec = trun(states, ladder, jax.random.PRNGKey(seed + 1))
+    if start_round >= n_rounds:
+        raise ValueError(
+            f"checkpoint already completed {start_round} rounds; raise "
+            f"total_sweeps (currently {n_rounds}) to continue"
+        )
+    n_seg = n_rounds - start_round
+    trun = make_tempered_run(sweep, n_rounds=n_seg, start_round=start_round)
+    logger.info("Tempering: %d replicas, ladder %.3f -> %.3f, rounds %d-%d",
+                n_chains, t_max, t_min, start_round + 1, n_rounds)
+    key = (jnp.asarray(swap_key, jnp.uint32) if swap_key is not None
+           else jax.random.PRNGKey(seed + 1))
+    out_states, rec = trun(states, ladder, key)
     jax.block_until_ready(rec.energy)
     energy = np.asarray(rec.energy)
     swap = np.asarray(rec.swap_rate)
-    lines = ["round,swap_rate,energy_min,energy_cold"]
-    for i in range(n_rounds):
-        lines.append(f"{i+1},{swap[i]:.4f},{energy[i].min():.6f},{energy[i, -1]:.6f}")
-    (run_folder / "stats.csv").write_text("\n".join(lines) + "\n")
+    header = "round,swap_rate,energy_min,energy_cold"
+    stats_path = run_folder / "stats.csv"
+    appending = start_round > 0 and stats_path.exists()
+    lines = [] if appending else [header]
+    for i in range(n_seg):
+        lines.append(f"{start_round + i + 1},{swap[i]:.4f},"
+                     f"{energy[i].min():.6f},{energy[i, -1]:.6f}")
+    body = "\n".join(lines) + "\n"
+    if appending:
+        with stats_path.open("a") as f:
+            f.write(body)
+    else:
+        stats_path.write_text(body)
     plot_energy_analysis(energy.min(axis=1), swap, save_folder=run_folder)
     save_checkpoint(run_folder / "checkpoint.npz", out_states, n_rounds,
-                    np.asarray(ladder))
+                    np.asarray(ladder),
+                    extra={"swap_key": np.asarray(rec.swap_key)[-1]})
     np.savez_compressed(run_folder / "history.npz", site_state=np.asarray(rec.site_state),
-                        energy=energy, swap_rate=swap, ladder=np.asarray(ladder))
+                        energy=energy, swap_rate=swap, ladder=np.asarray(ladder),
+                        start_round=np.asarray(start_round))
     best = float(energy.min())
     logger.info("Best energy %.4f eV; mean swap rate %.2f", best, swap.mean())
     return {

@@ -28,6 +28,8 @@ class TemperRecord(NamedTuple):
     energy: jnp.ndarray        # (rounds, C)
     swap_rate: jnp.ndarray     # (rounds,)
     site_state: jnp.ndarray    # (rounds, C, S)
+    swap_key: jnp.ndarray      # (rounds, 2) carried swap key AFTER each
+    # round (uint32 key data) — row r feeds exact resume from round r+1
 
 
 def _swap_phase(states: MCState, temps, key, parity, pair_ok=None):
@@ -73,8 +75,14 @@ def make_tempered_run(
     n_rounds: int,
     pod_size: int | None = None,
     dcn_every: int = 4,
+    start_round: int = 0,
 ) -> Callable:
     """Build ``run(states, temps, key) -> (states, TemperRecord)``.
+
+    ``start_round`` offsets the round counter (parity / DCN-cadence
+    schedule) so a resumed run continues the exact swap sequence of an
+    uninterrupted one; pass the checkpointed ``TemperRecord.swap_key``
+    row as ``key``.
 
     ``sweep_fn(state, temp) -> (state, infos)`` is the single-chain sweep
     (core.engine.make_sweep_fn); it is vmapped here over the replica axis.
@@ -113,12 +121,18 @@ def make_tempered_run(
             # their own counter instead
             parity = jnp.where(dcn_round, (r // dcn_every) % 2, r % 2)
             states, rate = _swap_phase(states, temps, k_swap, parity, pair_ok=pair_ok)
+            key_data = (
+                jax.random.key_data(key)
+                if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
+            )
             rec = TemperRecord(
-                energy=states.energy, swap_rate=rate, site_state=states.site_state
+                energy=states.energy, swap_rate=rate,
+                site_state=states.site_state, swap_key=key_data,
             )
             return (states, key), rec
 
-        (states, _), recs = jax.lax.scan(body, (states, key), jnp.arange(n_rounds))
+        rounds = jnp.arange(start_round, start_round + n_rounds)
+        (states, _), recs = jax.lax.scan(body, (states, key), rounds)
         return states, recs
 
     return jax.jit(run)

@@ -396,3 +396,39 @@ def test_formation_entries_cli_full_pipeline(tmp_path):
     assert np.isclose(vals["MP2020 anion (oxide)"], -0.687)
     assert np.isclose(vals["MP2020 GGA+U (Mn)"], -1.668)
     assert np.isclose(vals["surface OH (ZPE-TS + H-bond)"], 0.23 - 0.30)
+
+
+def test_resume_tempering_bitwise(cu_setup):
+    """Tempering --resume continues the replica-exchange run EXACTLY: the
+    checkpointed swap key + round counter reproduce the uninterrupted
+    run's swap sequence bitwise."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    base = json.loads(settings_path.read_text())
+    base["sampling_settings"]["tempering"] = True
+    base["sampling_settings"]["n_chains"] = 4
+    base["sampling_settings"]["t_min"] = 0.3
+    base["sampling_settings"]["t_max"] = 1.5
+
+    def run(total, folder, resume=None):
+        s = dict(base); s["sampling_settings"] = dict(base["sampling_settings"])
+        s["sampling_settings"]["total_sweeps"] = total
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        sp = tmp_path / f"settings_{folder}_{total}.json"
+        sp.write_text(json.dumps(s))
+        argv = ["--settings", str(sp), "--slab", str(slab_path)]
+        if resume:
+            argv += ["--resume", str(tmp_path / resume)]
+        main(argv)
+        return np.load(tmp_path / folder / "history.npz")
+
+    full = run(6, "t_full")
+    part = run(3, "t_part")
+    np.testing.assert_array_equal(part["energy"], full["energy"][:3])
+    res = run(6, "t_part", resume="t_part")
+    assert int(res["start_round"]) == 3
+    np.testing.assert_array_equal(res["energy"], full["energy"][3:])
+    np.testing.assert_array_equal(res["swap_rate"], full["swap_rate"][3:])
+    rows = (tmp_path / "t_part" / "stats.csv").read_text().strip().splitlines()
+    assert len(rows) == 7 and rows[1].startswith("1,") and rows[-1].startswith("6,")
