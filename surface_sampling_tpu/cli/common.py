@@ -496,15 +496,41 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     )
     from surface_sampling_tpu.utils.tracing import PhaseTimer, block_and_time
 
-    timer = PhaseTimer()
-    with timer.phase("compile+first_run"):
-        out_states, recs = crun(states, jnp.asarray(temps_seg, jnp.float32))
-        jax.block_until_ready(recs.energy)
+    # mid-run durability: with sampling_settings.checkpoint_interval = k,
+    # the sweep scan executes in k-sweep chunks and checkpoint.npz is
+    # rewritten after each chunk — a killed long run loses at most k
+    # sweeps and --resume continues from the last completed chunk.
+    # Chunking is bitwise-neutral: the chain states carried across chunk
+    # boundaries are exactly the scan carry (tested in test_cli).
+    ckpt_every = int(samp.get("checkpoint_interval", 0) or 0)
+    if not 0 < ckpt_every < n_seg:
+        chunk_bounds = [(0, n_seg)]
+    else:
+        chunk_bounds = [(lo, min(lo + ckpt_every, n_seg))
+                        for lo in range(0, n_seg, ckpt_every)]
 
-    energy = np.asarray(recs.energy)              # (chains, n_seg)
-    accept = np.asarray(recs.accept_rate)
-    n_ads = np.asarray(recs.n_ads)
-    oob = np.asarray(recs.oob_rate)
+    timer = PhaseTimer()
+    rec_parts = []
+    with timer.phase("compile+first_run"):
+        for lo, hi in chunk_bounds:
+            out_states, recs = crun(
+                states, jnp.asarray(temps_seg[lo:hi], jnp.float32))
+            jax.block_until_ready(recs.energy)
+            states = out_states
+            rec_parts.append(recs)
+            if len(chunk_bounds) > 1:
+                save_checkpoint(run_folder / "checkpoint.npz", out_states,
+                                start_sweep + hi, np.asarray(temps))
+                logger.info("checkpoint at sweep %d/%d", start_sweep + hi, sweeps)
+
+    def _cat(field):
+        return np.concatenate([np.asarray(getattr(r, field)) for r in rec_parts],
+                              axis=1)
+
+    energy = _cat("energy")                       # (chains, n_seg)
+    accept = _cat("accept_rate")
+    n_ads = _cat("n_ads")
+    oob = _cat("oob_rate")
     if oob.mean() > 0:
         logger.warning("%.2f%% of trial moves hit the OOB energy clamp",
                        100 * oob.mean())
@@ -555,10 +581,11 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     flat = energy.reshape(-1)
     best = int(np.argmin(flat))
     bc, bs = divmod(best, n_seg)
-    ss_best = np.asarray(recs.site_state)[bc, bs]
+    site_state_all = _cat("site_state")
+    ss_best = site_state_all[bc, bs]
     numbers = np.asarray(realize_numbers(d, jnp.asarray(ss_best)))
     if cfg.record_positions:
-        pos = np.asarray(recs.positions)[bc, bs]
+        pos = _cat("positions")[bc, bs]
     else:
         from surface_sampling_tpu.core.state import realize_positions
 
@@ -571,7 +598,7 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
                     np.asarray(temps))
     np.savez_compressed(
         run_folder / "history.npz",
-        site_state=np.asarray(recs.site_state),
+        site_state=site_state_all,
         energy=energy,
         accept_rate=accept,
         n_ads=n_ads,

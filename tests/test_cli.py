@@ -432,3 +432,41 @@ def test_resume_tempering_bitwise(cu_setup):
     np.testing.assert_array_equal(res["swap_rate"], full["swap_rate"][3:])
     rows = (tmp_path / "t_part" / "stats.csv").read_text().strip().splitlines()
     assert len(rows) == 7 and rows[1].startswith("1,") and rows[-1].startswith("6,")
+
+
+def test_checkpoint_interval_chunked_bitwise(cu_setup):
+    """sampling_settings.checkpoint_interval chunks the sweep scan for
+    mid-run durability; chunking must be bitwise-neutral (the chain
+    states crossing chunk boundaries ARE the scan carry), and a resumed
+    chunked run continues exactly."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    base = json.loads(settings_path.read_text())
+
+    def run(total, folder, interval=None, resume=None):
+        s = dict(base); s["sampling_settings"] = dict(base["sampling_settings"])
+        s["sampling_settings"]["total_sweeps"] = total
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        if interval:
+            s["sampling_settings"]["checkpoint_interval"] = interval
+        sp = tmp_path / f"s_{folder}_{total}.json"
+        sp.write_text(json.dumps(s))
+        argv = ["--settings", str(sp), "--slab", str(slab_path)]
+        if resume:
+            argv += ["--resume", str(tmp_path / resume)]
+        main(argv)
+        return np.load(tmp_path / folder / "history.npz")
+
+    plain = run(6, "c_plain")
+    chunked = run(6, "c_chunk", interval=2)
+    np.testing.assert_array_equal(chunked["energy"], plain["energy"])
+    np.testing.assert_array_equal(chunked["site_state"], plain["site_state"])
+
+    # odd split (2+2+1) compiles two shapes and still matches
+    odd = run(5, "c_odd", interval=2)
+    np.testing.assert_array_equal(odd["energy"], plain["energy"][:, :5])
+
+    # resume a chunked run to the full target: continues bitwise
+    res = run(6, "c_odd", interval=2, resume="c_odd")
+    np.testing.assert_array_equal(res["energy"], plain["energy"][:, 5:])
