@@ -222,6 +222,7 @@ def srtio3_001_painn(
     adsorbates: tuple[str, ...] = ("Sr", "Ti", "O"),
     n_models: int = 3,
     max_neighbors: int = 64,
+    supercell: tuple[int, int] = (1, 1),
     dtype=None,
 ) -> ExampleSystem:
     """SrTiO3(001) 2x2 slab with the reference's trained PaiNN ensemble —
@@ -231,6 +232,17 @@ def srtio3_001_painn(
 
     Slab geometry and model weights are converted from the reference's
     fixtures (systems_data/SrTiO3_001_2x2.npz, models/data/srtio3_painn_*).
+
+    ``supercell=(a, b)`` tiles the pristine 2x2 slab in-plane — the
+    production scaling axis (SURVEY §5.7: system size, not sequence
+    length). The PaiNN edge search switches automatically between the
+    dense one-hot MXU routing and the gather formulation by size
+    (PaiNNConfig.message_mode="auto"). Note the nff stoidict offset
+    carries a per-STRUCTURE intercept (linear-fit constant): absolute
+    supercell energies are shifted by that constant relative to
+    n-times-the-base value, but every MC energy DIFFERENCE — the
+    quantity sampling uses — is exact; the NN part itself is extensive
+    (tested).
     """
     import json as _json
 
@@ -243,6 +255,8 @@ def srtio3_001_painn(
 
     data = np.load(_DATA / "SrTiO3_001_2x2.npz")
     slab = Structure(data["numbers"], data["positions"], data["cell"])
+    if tuple(supercell) != (1, 1):
+        slab = slab.repeat((supercell[0], supercell[1], 1)).sorted_by_z()
     sites = find_adsorption_sites(
         slab, planar_distance=planar_distance, near_reduce=0.01, no_obtuse_hollow=True
     )["all"]

@@ -204,3 +204,34 @@ def test_dense_message_mode_matches_gather(tiny_model):
     e_g = float(painn_apply(params, cfg_g, pos, numbers, alive2, shifts)["energy"])
     e_d = float(painn_apply(params, cfg_d, pos, numbers, alive2, shifts)["energy"])
     np.testing.assert_allclose(e_g, e_d, rtol=1e-6, atol=1e-5)
+
+
+def test_srtio3_supercell_extensive():
+    """srtio3_001_painn(supercell=) tiles the slab for production-scale
+    sampling. The NN energy must be exactly extensive (the stoidict
+    offset adds a per-structure linear-fit intercept that cancels in
+    every MC energy difference — see the systems.py docstring)."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    s1 = srtio3_001_painn(n_models=1)
+    s2 = srtio3_001_painn(n_models=1, supercell=(2, 1))
+    assert s2.spec.n_pristine == 2 * s1.spec.n_pristine
+    assert s2.spec.n_sites == 2 * s1.spec.n_sites
+
+    def nn_sum(s):
+        d = s.run.d
+        ss = jnp.zeros(s.spec.n_sites, jnp.int32)
+        pa = s.potential.per_atom_energy(
+            realize_positions(d, ss), realize_type_idx(d, ss),
+            realize_alive(d, ss), d.shifts)
+        return float(jnp.sum(pa))
+
+    e1, e2 = nn_sum(s1), nn_sum(s2)
+    np.testing.assert_allclose(e2, 2 * e1, rtol=1e-5)
