@@ -51,7 +51,10 @@ def compute_embeddings_and_metric(structures, calc_settings: dict, metric: str):
         from surface_sampling_tpu.analysis import GMMUncertainty
 
         gu = GMMUncertainty(n_components=min(8, len(embeddings)))
-        gu.fit_gmm(embeddings)
+        # huge sampled sets stream through the chunked-EM JAX fit
+        # (analysis.uncertainty.fit_gmm_em); small ones use sklearn
+        gu.fit_gmm(embeddings,
+                   method="em" if len(embeddings) > 20000 else "sklearn")
         metrics = np.asarray(gu.get_uncertainty(embeddings))
     elif metric == "random":
         metrics = np.random.default_rng(0).random(len(embeddings))

@@ -2,9 +2,11 @@
 
 The config schema mirrors the reference's three-section JSON
 (system_settings / sampling_settings / calc_settings;
-scripts/sample_surface.py:101-151, scripts/configs/*.json) with one
-addition: ``sampling_settings.n_chains`` batches independent chains on
-the device.
+scripts/sample_surface.py:101-151, scripts/configs/*.json) with
+additions: ``sampling_settings.n_chains`` batches independent chains on
+the device, ``checkpoint_interval`` chunks the sweep scan for mid-run
+durability, and every sampling driver takes ``--resume`` for exact
+(bitwise) continuation.
 """
 
 from __future__ import annotations
