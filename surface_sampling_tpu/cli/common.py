@@ -511,6 +511,29 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         chunk_bounds = [(lo, min(lo + ckpt_every, n_seg))
                         for lo in range(0, n_seg, ckpt_every)]
 
+    # stats.csv rows flush per chunk (live progress for long runs);
+    # in-place resume appends to the previous run's rows
+    header = "sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean,oob_rate"
+    stats_path = run_folder / "stats.csv"
+    if not (start_sweep > 0 and stats_path.exists()):
+        stats_path.write_text(header + "\n")
+
+    def flush_stats(lo, hi, recs):
+        e = np.asarray(recs.energy)
+        acc = np.asarray(recs.accept_rate)
+        na = np.asarray(recs.n_ads)
+        ob = np.asarray(recs.oob_rate)
+        rows = []
+        for i in range(hi - lo):
+            g = lo + i
+            rows.append(
+                f"{start_sweep + g + 1},{temps_seg[g]:.6f},"
+                f"{e[:, i].mean():.6f},{e[:, i].min():.6f},"
+                f"{acc[:, i].mean():.4f},{na[:, i].mean():.3f},{ob[:, i].mean():.4f}"
+            )
+        with stats_path.open("a") as f:
+            f.write("\n".join(rows) + "\n")
+
     timer = PhaseTimer()
     rec_parts = []
     with timer.phase("compile+first_run"):
@@ -520,6 +543,7 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             jax.block_until_ready(recs.energy)
             states = out_states
             rec_parts.append(recs)
+            flush_stats(lo, hi, recs)
             if len(chunk_bounds) > 1:
                 save_checkpoint(run_folder / "checkpoint.npz", out_states,
                                 start_sweep + hi, np.asarray(temps))
@@ -536,25 +560,6 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     if oob.mean() > 0:
         logger.warning("%.2f%% of trial moves hit the OOB energy clamp",
                        100 * oob.mean())
-
-    # stats.csv: per-sweep aggregates (reference stats.csv analog);
-    # in-place resume appends to the previous run's rows
-    header = "sweep,temp,energy_mean,energy_min,accept_rate,n_ads_mean,oob_rate"
-    stats_path = run_folder / "stats.csv"
-    appending = start_sweep > 0 and stats_path.exists()
-    lines = [] if appending else [header]
-    for i in range(n_seg):
-        lines.append(
-            f"{start_sweep + i + 1},{temps_seg[i]:.6f},"
-            f"{energy[:, i].mean():.6f},{energy[:, i].min():.6f},"
-            f"{accept[:, i].mean():.4f},{n_ads[:, i].mean():.3f},{oob[:, i].mean():.4f}"
-        )
-    body = "\n".join(lines) + "\n"
-    if appending:
-        with stats_path.open("a") as f:
-            f.write(body)
-    else:
-        stats_path.write_text(body)
 
     # sampling-quality summary: per-chain integrated autocorrelation time
     # of the energy series + pooled effective sample size (the diagnostics
