@@ -669,35 +669,58 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
             f"total_sweeps (currently {n_rounds}) to continue"
         )
     n_seg = n_rounds - start_round
-    trun = make_tempered_run(sweep, n_rounds=n_seg, start_round=start_round)
     logger.info("Tempering: %d replicas, ladder %.3f -> %.3f, rounds %d-%d",
                 n_chains, t_max, t_min, start_round + 1, n_rounds)
     key = (jnp.asarray(swap_key, jnp.uint32) if swap_key is not None
            else jax.random.PRNGKey(seed + 1))
-    out_states, rec = trun(states, ladder, key)
-    jax.block_until_ready(rec.energy)
-    energy = np.asarray(rec.energy)
-    swap = np.asarray(rec.swap_rate)
+
+    # mid-run durability (checkpoint_interval), mirroring run_sampling:
+    # each chunk carries (states, swap key) exactly, so chunking is
+    # bitwise-neutral; checkpoint.npz updates after every chunk
+    ckpt_every = int(samp.get("checkpoint_interval", 0) or 0)
+    if not 0 < ckpt_every < n_seg:
+        chunk_bounds = [(0, n_seg)]
+    else:
+        chunk_bounds = [(lo, min(lo + ckpt_every, n_seg))
+                        for lo in range(0, n_seg, ckpt_every)]
     header = "round,swap_rate,energy_min,energy_cold"
     stats_path = run_folder / "stats.csv"
-    appending = start_round > 0 and stats_path.exists()
-    lines = [] if appending else [header]
-    for i in range(n_seg):
-        lines.append(f"{start_round + i + 1},{swap[i]:.4f},"
-                     f"{energy[i].min():.6f},{energy[i, -1]:.6f}")
-    body = "\n".join(lines) + "\n"
-    if appending:
+    if not (start_round > 0 and stats_path.exists()):
+        stats_path.write_text(header + "\n")
+
+    rec_parts = []
+    trun_cache = {}
+    for lo, hi in chunk_bounds:
+        kchunk = (hi - lo, start_round + lo)
+        if kchunk not in trun_cache:
+            trun_cache[kchunk] = make_tempered_run(
+                sweep, n_rounds=hi - lo, start_round=start_round + lo)
+        out_states, rec = trun_cache[kchunk](states, ladder, key)
+        jax.block_until_ready(rec.energy)
+        states = out_states
+        key = jnp.asarray(np.asarray(rec.swap_key)[-1], jnp.uint32)
+        rec_parts.append(rec)
+        e = np.asarray(rec.energy)
+        sw = np.asarray(rec.swap_rate)
         with stats_path.open("a") as f:
-            f.write(body)
-    else:
-        stats_path.write_text(body)
+            f.write("\n".join(
+                f"{start_round + lo + i + 1},{sw[i]:.4f},"
+                f"{e[i].min():.6f},{e[i, -1]:.6f}" for i in range(hi - lo)) + "\n")
+        save_checkpoint(run_folder / "checkpoint.npz", out_states,
+                        start_round + hi, np.asarray(ladder),
+                        extra={"swap_key": np.asarray(key)})
+        if len(chunk_bounds) > 1:
+            logger.info("checkpoint at round %d/%d", start_round + hi, n_rounds)
+
+    energy = np.concatenate([np.asarray(r.energy) for r in rec_parts], axis=0)
+    swap = np.concatenate([np.asarray(r.swap_rate) for r in rec_parts], axis=0)
     plot_energy_analysis(energy.min(axis=1), swap, save_folder=run_folder)
-    save_checkpoint(run_folder / "checkpoint.npz", out_states, n_rounds,
-                    np.asarray(ladder),
-                    extra={"swap_key": np.asarray(rec.swap_key)[-1]})
-    np.savez_compressed(run_folder / "history.npz", site_state=np.asarray(rec.site_state),
-                        energy=energy, swap_rate=swap, ladder=np.asarray(ladder),
-                        start_round=np.asarray(start_round))
+    np.savez_compressed(
+        run_folder / "history.npz",
+        site_state=np.concatenate(
+            [np.asarray(r.site_state) for r in rec_parts], axis=0),
+        energy=energy, swap_rate=swap, ladder=np.asarray(ladder),
+        start_round=np.asarray(start_round))
     best = float(energy.min())
     logger.info("Best energy %.4f eV; mean swap rate %.2f", best, swap.mean())
     return {

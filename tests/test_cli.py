@@ -470,3 +470,29 @@ def test_checkpoint_interval_chunked_bitwise(cu_setup):
     # resume a chunked run to the full target: continues bitwise
     res = run(6, "c_odd", interval=2, resume="c_odd")
     np.testing.assert_array_equal(res["energy"], plain["energy"][:, 5:])
+
+
+def test_tempering_checkpoint_interval_bitwise(cu_setup):
+    """checkpoint_interval chunking is bitwise-neutral for tempering runs
+    too (states AND the swap key are the exact carry across chunks)."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    base = json.loads(settings_path.read_text())
+    base["sampling_settings"].update(
+        tempering=True, n_chains=4, t_min=0.3, t_max=1.5, total_sweeps=6)
+
+    def run(folder, interval=None):
+        s = dict(base); s["sampling_settings"] = dict(base["sampling_settings"])
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        if interval:
+            s["sampling_settings"]["checkpoint_interval"] = interval
+        sp = tmp_path / f"s_{folder}.json"
+        sp.write_text(json.dumps(s))
+        main(["--settings", str(sp), "--slab", str(slab_path)])
+        return np.load(tmp_path / folder / "history.npz")
+
+    plain = run("tc_plain")
+    chunked = run("tc_chunk", interval=2)
+    np.testing.assert_array_equal(chunked["energy"], plain["energy"])
+    np.testing.assert_array_equal(chunked["swap_rate"], plain["swap_rate"])
