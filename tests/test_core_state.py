@@ -119,3 +119,75 @@ def test_moves_are_jit_and_vmap_safe():
     counts = np.asarray(f(batch))
     assert counts.shape == (2, 2)
     assert np.allclose(counts[0], counts[1])  # same composition, permuted
+
+
+# ----------------------------------------------------------------------
+# Property-based tests (hypothesis): the slot state machine vs a plain
+# Python model of the reference's occupancy bookkeeping. Any sequence of
+# change/exchange moves must keep the realized atom multiset, element
+# counts, aliveness and occupancy in exact agreement.
+# ----------------------------------------------------------------------
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+_move = st.one_of(
+    st.tuples(st.just("change"), st.integers(0, 2), st.integers(0, 3)),
+    st.tuples(st.just("exchange"), st.integers(0, 2), st.integers(0, 2)),
+)
+
+
+@hyp_settings(max_examples=60, deadline=None)
+@given(st.lists(_move, min_size=0, max_size=12))
+def test_state_machine_matches_python_model(moves):
+    spec = tiny_spec(group=True)          # vocab: Ga, As, HO (2-atom group)
+    d = device_spec(spec)
+    code_natoms = np.asarray(spec.code_natoms)
+    code_numbers = np.asarray(spec.code_numbers)
+
+    ss = jnp.zeros(3, jnp.int32)
+    model = [0, 0, 0]                     # plain Python occupancy codes
+    for mv in moves:
+        if mv[0] == "change":
+            _, site, code = mv
+            ss = change_site(ss, site, code)
+            model[site] = code
+        else:
+            _, s1, s2 = mv
+            ss = exchange_sites(ss, s1, s2)
+            model[s1], model[s2] = model[s2], model[s1]
+
+    assert np.asarray(ss).tolist() == model
+
+    # realized atom multiset == slab atoms + per-code atoms of the model
+    numbers = np.asarray(realize_numbers(d, ss))
+    alive = np.asarray(realize_alive(d, ss))
+    want = sorted(spec.pristine_numbers.tolist() + [
+        int(z) for c in model for z in code_numbers[c][: code_natoms[c]] if c > 0
+    ])
+    assert sorted(numbers[alive].tolist()) == want
+
+    # aliveness bookkeeping
+    assert int(num_occupied_sites(ss)) == sum(1 for c in model if c > 0)
+    assert int(num_adsorbate_atoms(d, ss)) == sum(
+        int(code_natoms[c]) for c in model if c > 0)
+
+    # element counts == multiset counts
+    counts = np.asarray(element_counts(d, ss))
+    for i, z in enumerate(spec.element_zs):
+        assert counts[i] == want.count(int(z)), (z, counts, want)
+
+
+@hyp_settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2), st.integers(0, 3), st.integers(0, 2), st.integers(0, 2))
+def test_change_revert_and_exchange_involution(site, code, s1, s2):
+    """change-then-revert is the identity; exchange is an involution —
+    the algebra behind select-rollback rejection (no copies needed)."""
+    spec = tiny_spec(group=True)
+    rng = np.random.default_rng(7)
+    ss0 = jnp.asarray(rng.integers(0, 4, 3).astype(np.int32))
+    old = int(ss0[site])
+    assert np.array_equal(np.asarray(change_site(change_site(ss0, site, code),
+                                                 site, old)), np.asarray(ss0))
+    assert np.array_equal(np.asarray(exchange_sites(exchange_sites(ss0, s1, s2),
+                                                    s1, s2)), np.asarray(ss0))
