@@ -612,6 +612,52 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         temps=temps_seg,
         start_sweep=np.asarray(start_sweep),
     )
+
+    # per-sweep structure export (reference SurfaceSystem.save_structures,
+    # mcmc/system.py:488-534: one structure per sweep). Multi-chain modes:
+    # "best" = per-sweep minimum-energy structure across chains,
+    # "chain0" = chain 0's trajectory (closest to the reference's single
+    # chain). Fixed-composition runs stream through the native multi-frame
+    # XYZ writer (runtime/native.write_xyz_frames).
+    save_mode = str(samp.get("save_structures", "none")).lower()
+    if save_mode in ("best", "chain0"):
+        frames_num, frames_pos = [], []
+        for i in range(n_seg):
+            c = int(np.argmin(energy[:, i])) if save_mode == "best" else 0
+            ssf = jnp.asarray(site_state_all[c, i])
+            nums = np.asarray(realize_numbers(d, ssf))
+            if cfg.record_positions:
+                posf = _cat("positions")[c, i]
+            else:
+                from surface_sampling_tpu.core.state import realize_positions
+
+                posf = np.asarray(realize_positions(d, ssf))
+            keepf = nums > 0
+            frames_num.append(nums[keepf])
+            frames_pos.append(posf[keepf])
+        counts = {len(n_) for n_ in frames_num}
+        traj_path = run_folder / f"traj_{save_mode}.xyz"
+        if len(counts) == 1:
+            from surface_sampling_tpu.runtime.native import write_xyz_frames
+
+            write_xyz_frames(traj_path, frames_num[0],
+                             np.stack(frames_pos), asys.spec.cell)
+        else:
+            # variable composition (semigrand): frame-by-frame python path
+            from surface_sampling_tpu.constants import SYMBOL_FROM_Z
+
+            cellstr = " ".join(f"{x:.8f}" for x in asys.spec.cell.flatten())
+            with traj_path.open("w") as f:
+                for k, (nums, posf) in enumerate(zip(frames_num, frames_pos)):
+                    f.write(f"{len(nums)}\n")
+                    f.write(f'Lattice="{cellstr}" '
+                            f"Properties=species:S:1:pos:R:3 "
+                            f"sweep {start_sweep + k + 1}\n")
+                    for z, pz in zip(nums, posf):
+                        f.write(f"{SYMBOL_FROM_Z[int(z)]} "
+                                f"{pz[0]:.8f} {pz[1]:.8f} {pz[2]:.8f}\n")
+        logger.info("wrote %d per-sweep structures -> %s", n_seg, traj_path.name)
+
     logger.info("Best surface energy %.4f eV (chain %d sweep %d)",
                 flat[best], bc, start_sweep + bs + 1)
     logger.info("Timing: %s", timer.report().replace("\n", " | "))

@@ -496,3 +496,42 @@ def test_tempering_checkpoint_interval_bitwise(cu_setup):
     chunked = run("tc_chunk", interval=2)
     np.testing.assert_array_equal(chunked["energy"], plain["energy"])
     np.testing.assert_array_equal(chunked["swap_rate"], plain["swap_rate"])
+
+
+def test_save_structures_per_sweep(cu_setup):
+    """sampling_settings.save_structures exports one structure per sweep
+    (reference SurfaceSystem.save_structures, mcmc/system.py:488-534):
+    'best' = per-sweep minimum across chains; frames are valid
+    extended-XYZ with the lattice tag."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    s = json.loads(settings_path.read_text())
+    s["sampling_settings"]["save_structures"] = "best"
+    s["sampling_settings"]["run_folder"] = str(tmp_path / "run_sv")
+    sp = tmp_path / "settings_sv.json"
+    sp.write_text(json.dumps(s))
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+    traj = (tmp_path / "run_sv" / "traj_best.xyz").read_text().splitlines()
+    sweeps = s["sampling_settings"]["total_sweeps"]
+    # count frames: each frame = natoms line + comment + natoms rows
+    frames = 0
+    i = 0
+    while i < len(traj):
+        n = int(traj[i]); assert "Lattice=" in traj[i + 1]
+        i += 2 + n; frames += 1
+    assert frames == sweeps
+
+    # canonical run: constant composition -> native multi-frame writer
+    s2 = json.loads(settings_path.read_text())
+    s2["sampling_settings"].update(save_structures="chain0", canonical=True,
+                                   num_ads_atoms=3, prep_max_steps=100,
+                                   prep_force_fill=True,
+                                   run_folder=str(tmp_path / "run_sv2"))
+    sp2 = tmp_path / "settings_sv2.json"
+    sp2.write_text(json.dumps(s2))
+    main(["--settings", str(sp2), "--slab", str(slab_path)])
+    traj2 = (tmp_path / "run_sv2" / "traj_chain0.xyz").read_text().splitlines()
+    n0 = int(traj2[0])
+    frames2 = sum(1 for ln in traj2 if ln.strip().isdigit() and int(ln) == n0)
+    assert frames2 == s2["sampling_settings"]["total_sweeps"]
