@@ -535,3 +535,48 @@ def test_save_structures_per_sweep(cu_setup):
     n0 = int(traj2[0])
     frames2 = sum(1 for ln in traj2 if ln.strip().isdigit() and int(ln) == n0)
     assert frames2 == s2["sampling_settings"]["total_sweeps"]
+
+
+def test_pourbaix_cli_sample_surface_atoms(tmp_path):
+    """sample_surface_atoms=true: existing surface atoms become
+    exchangeable adsorbates with a prefilled site_state (reference
+    scripts/sample_pourbaix_surface.py:214-238). The run must start with
+    those atoms occupied and keep sampling finite energies."""
+    from surface_sampling_tpu.cli.sample_pourbaix_surface import main
+    from surface_sampling_tpu.structure import Structure
+
+    slab = Structure.from_symbols(
+        ["Ir", "Ir", "Sr", "Sr", "O", "O"],
+        [[0, 0, 5], [2, 0, 5], [0, 2, 5], [2, 2, 5], [0, 0, 6.6], [2, 2, 6.6]],
+        np.diag([4.0, 4.0, 20.0]),
+    )
+    slab_path = tmp_path / "slab.cif"
+    write_cif(slab_path, slab)
+    settings = {
+        "system_settings": {"surface_name": "SrIrO_satoms", "planar_distance": 1.5,
+                            "cutoff": 4.0, "surface_atom_tol": 1.0},
+        "sampling_settings": {
+            "total_sweeps": 3, "sweep_size": 3, "start_temp": 1.0,
+            "perform_annealing": False, "adsorbates": ["O", "HO"],
+            "n_chains": 2, "sample_surface_atoms": True,
+            "run_folder": str(tmp_path / "run_sa"),
+        },
+        "calc_settings": {
+            "calc_name": "lj", "epsilon": 0.3, "sigma": 1.8, "cutoff": 4.0,
+            "phase_diagram": "tests/data/pourbaix/pd_dict.json",
+            "pourbaix_diagram": "tests/data/pourbaix/pbx_dict.json",
+            "phi": 0.5, "pH": 7.0, "elements": ["Sr", "Ir", "O"],
+        },
+    }
+    sp = tmp_path / "settings_sa.json"
+    sp.write_text(json.dumps(settings))
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+    run = tmp_path / "run_sa"
+    hist = np.load(run / "history.npz")
+    assert np.isfinite(hist["energy"]).all()
+    # the two O surface atoms (within 1.0 A of the top) became prefilled
+    # sites: occupancy starts at 2 occupied sites per chain and the
+    # O-atom sites are exchangeable (n_ads recorded per sweep)
+    assert hist["n_ads"].shape == (2, 3)
+    rows = (run / "stats.csv").read_text().strip().splitlines()
+    assert len(rows) == 4
