@@ -580,3 +580,44 @@ def test_pourbaix_cli_sample_surface_atoms(tmp_path):
     assert hist["n_ads"].shape == (2, 3)
     rows = (run / "stats.csv").read_text().strip().splitlines()
     assert len(rows) == 4
+
+
+def test_clustering_cli(tmp_path):
+    """End-to-end latent-space clustering driver (reference
+    scripts/clustering.py): embeddings from the trained PaiNN model,
+    Ward clustering, per-cluster representative selection + artifacts."""
+    from pathlib import Path as _P
+
+    from surface_sampling_tpu.cli.clustering import main
+    from surface_sampling_tpu.structure import Structure
+    from surface_sampling_tpu.structure.io import save_structures_npz
+
+    data = np.load(_P("surface_sampling_tpu/systems_data/SrTiO3_001_2x2.npz"))
+    base = Structure(data["numbers"], data["positions"], data["cell"])
+    rng = np.random.default_rng(0)
+    sts = []
+    for k in range(6):
+        st = Structure(base.numbers.copy(), base.positions.copy(), base.cell.copy())
+        st.positions = st.positions + 0.05 * k * rng.standard_normal(st.positions.shape)
+        sts.append(st)
+    p = tmp_path / "structs.npz"
+    save_structures_npz(p, sts)
+
+    settings = {"calc_settings": {
+        "calc_name": "nff",
+        "model_paths": ["surface_sampling_tpu/models/data/srtio3_painn_01.npz"],
+        "elements": ["Sr", "Ti", "O"],
+        "model_units": "kcal/mol",
+    }}
+    sp = tmp_path / "settings.json"
+    sp.write_text(json.dumps(settings))
+    out = tmp_path / "clust"
+    main(["--structures", str(p), "--settings", str(sp),
+          "--metric", "energy", "--criterion", "maxclust",
+          "--cutoff", "3", "--out", str(out)])
+    d = np.load(out / "clustering.npz")
+    assert d["embeddings"].shape[0] == 6
+    assert len(np.unique(d["labels"])) <= 3
+    assert len(d["selected"]) == len(np.unique(d["labels"]))
+    assert list(out.glob("selected*.npz")) or list(out.glob("*.cif")) or \
+           (out / "clustering.npz").exists()
