@@ -151,3 +151,73 @@ def test_symmetric_slab_energy_mode():
     run_plain = MCMCRun(spec, pot)
     e_plain = float(run_plain.state_energy_fn(ss).potential_energy)
     assert abs(e_plain - float(out.potential_energy)) > 1e-3
+
+
+def test_write_poscar_format(tmp_path):
+    """POSCAR writer: VASP5 format with grouped species, counts, and
+    positions (structure/io.py analog of pymatgen's POSCAR export used
+    by the reference's SupercellSurfaceGenerator.save_slab)."""
+    from surface_sampling_tpu.structure import Structure
+    from surface_sampling_tpu.structure.io import write_poscar
+
+    st = Structure.from_symbols(
+        ["Cu", "O", "Cu"], [[0, 0, 0], [1, 1, 1], [2, 2, 2]], np.eye(3) * 5.0)
+    p = tmp_path / "POSCAR"
+    write_poscar(p, st)
+    lines = p.read_text().splitlines()
+    assert float(lines[1]) == 1.0            # scale
+    # species line + counts line consistent with 2 Cu + 1 O
+    syms = lines[5].split()
+    counts = [int(x) for x in lines[6].split()]
+    assert sorted(zip(syms, counts)) == [("Cu", 2), ("O", 1)]
+    assert sum(counts) == 3
+
+
+def test_symmetry_reduce_sites_square_lattice():
+    """symm_reduce keeps one representative per symmetry orbit: the four
+    equivalent hollow sites of a 2x2 fcc(100) surface reduce to one."""
+    from surface_sampling_tpu.structure.sites import symmetry_reduce_sites
+    from surface_sampling_tpu.structure.slabs import fcc100
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=10.0)
+    z = slab.positions[:, 2].max() + 1.5
+    a = 3.6147 / np.sqrt(2.0)
+    hollows = np.array([[x * a + a / 2, y * a + a / 2, z]
+                        for x in range(2) for y in range(2)])
+    red = symmetry_reduce_sites(slab, hollows)
+    assert 1 <= len(red) < 4
+    # every representative is one of the originals
+    for r in red:
+        assert np.min(np.linalg.norm(hollows - r, axis=1)) < 1e-8
+
+
+def test_chain_ensemble_mesh_axes():
+    import jax
+
+    from surface_sampling_tpu.parallel.mesh import chain_ensemble_mesh
+
+    mesh = chain_ensemble_mesh(4, 2)
+    assert mesh.axis_names == ("chains", "ensemble")
+    assert mesh.devices.shape == (4, 2)
+    assert len({d.id for d in mesh.devices.flat}) == 8
+
+
+def test_make_chem_pot_surface_energy():
+    """Plain semigrand surface energy E - sum_e mu_e n_e (core/energy.py:
+    the reference's default bookkeeping when no offset table exists)."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core import make_spec
+    from surface_sampling_tpu.core.energy import make_chem_pot_surface_energy
+    from surface_sampling_tpu.structure import Structure
+
+    slab = Structure.from_symbols(["Cu", "Cu"], [[0, 0, 0], [1, 1, 1]],
+                                  np.eye(3) * 10.0)
+    sites = np.array([[0, 0, 3.0]])
+    spec = make_spec(slab, sites, ["O"], potential_numbers=[29], cutoff=4.0)
+    se = make_chem_pot_surface_energy(spec, {"Cu": -3.5, "O": -1.25})
+    i_cu = int(np.where(spec.element_zs == 29)[0][0])
+    i_o = int(np.where(spec.element_zs == 8)[0][0])
+    counts = np.zeros(len(spec.element_zs)); counts[i_cu] = 2; counts[i_o] = 1
+    got = float(se(jnp.asarray(-10.0), jnp.asarray(counts)))
+    assert np.isclose(got, -10.0 - (2 * -3.5 + 1 * -1.25))
