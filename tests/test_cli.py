@@ -621,3 +621,38 @@ def test_clustering_cli(tmp_path):
     assert len(d["selected"]) == len(np.unique(d["labels"]))
     assert list(out.glob("selected*.npz")) or list(out.glob("*.cif")) or \
            (out / "clustering.npz").exists()
+
+
+def test_cli_error_handling(cu_setup, tmp_path):
+    """Misconfiguration surfaces as clear errors, not tracebacks deep in
+    JAX: invalid JSON, non-object settings, missing resume checkpoint,
+    chain-count mismatch on resume."""
+    tmp_path2, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(SystemExit, match="not valid JSON"):
+        main(["--settings", str(bad), "--slab", str(slab_path)])
+
+    arr = tmp_path / "arr.json"
+    arr.write_text("[1, 2]")
+    with pytest.raises(SystemExit, match="JSON object"):
+        main(["--settings", str(arr), "--slab", str(slab_path)])
+
+    with pytest.raises(FileNotFoundError):
+        main(["--settings", str(settings_path), "--slab", str(slab_path),
+              "--resume", str(tmp_path / "nope" / "checkpoint.npz")])
+
+    # run 2 chains, then resume demanding 4: clear mismatch error
+    s = json.loads(settings_path.read_text())
+    s["sampling_settings"]["run_folder"] = str(tmp_path / "run_mm")
+    sp = tmp_path / "s_mm.json"
+    sp.write_text(json.dumps(s))
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+    s["sampling_settings"]["n_chains"] = 4
+    s["sampling_settings"]["total_sweeps"] = 6
+    sp.write_text(json.dumps(s))
+    with pytest.raises(ValueError, match="chains"):
+        main(["--settings", str(sp), "--slab", str(slab_path),
+              "--resume", str(tmp_path / "run_mm")])
