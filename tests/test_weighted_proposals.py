@@ -142,3 +142,59 @@ def test_dataset_loader_mptrj_style(tmp_path):
     assert len(sts) == 2
     assert sts[0].formula == "GaN"
     assert np.isclose(es[0], -9.0)
+
+
+def test_boltzmann_weights_match_reference_vector():
+    """Quantitative parity with the reference's hand-computed Boltzmann
+    weights (tests/test_slab.py:90-113: per-atom energies
+    [1.0, 0.5, 1.0, 0.6] at T=1 -> softmax weights 0.1850956 /
+    0.30517106): (a) the convention softmax(+E/T) reproduces the pinned
+    numbers exactly; (b) the canonical step's occupied-site draws follow
+    those weights empirically."""
+    from surface_sampling_tpu.core import MCMCRun
+    from surface_sampling_tpu.core.state import initial_state
+    from surface_sampling_tpu.potentials.base import Potential
+    from surface_sampling_tpu.structure import Structure
+
+    # (a) convention check against the reference's exact values
+    w = np.asarray(jax.nn.softmax(jnp.asarray([1.0, 0.5, 1.0, 0.6])))
+    assert abs(w[1] - 0.1850956) < 1e-6      # the As atom (E=0.5)
+    assert abs(w[0] - 0.30517106) < 1e-6     # a Ga atom (E=1.0)
+
+    # (b) empirical selection frequencies through the public step
+    slab = Structure.from_symbols(["Cu"], [[0.0, 0.0, 0.0]], np.eye(3) * 30.0)
+    sites = np.array([[4.0, 4, 3], [8.0, 8, 3], [12.0, 12, 3], [16.0, 16, 3]])
+    spec = make_spec(slab, sites, ["Ga", "As"], potential_numbers=[29],
+                     cutoff=3.0, surface_name="wtest")
+    run = MCMCRun(spec, make_lennard_jones(epsilon=0.1, sigma=1.0, cutoff=3.0))
+    d = run.d
+    n_p = spec.n_pristine
+
+    # slot energies: Ga sites 0/1 get E=1.0 and E=0.5 -> draw ratio e^0.5
+    pa_vec = jnp.zeros(n_p + 4).at[n_p + 0].set(1.0).at[n_p + 1].set(0.5)
+
+    stub = Potential(
+        energy=lambda *a: jnp.asarray(0.0),
+        per_atom_energy=lambda pos, ti, alive, sh: pa_vec * alive,
+        cutoff=3.0, name="stub",
+    )
+    step = jax.jit(lambda s: make_canonical_step(
+        d, _fake_fn(d), criterion="testing",
+        require_per_atom_energies=True, potential=stub,
+    )(s, jnp.asarray(1.0)))
+
+    # occupancy: Ga on sites 0/1, As on site 2, site 3 empty; count which
+    # Ga site moves first (= was drawn) over many independent keys
+    ss0 = jnp.zeros(4, jnp.int32).at[0].set(1).at[1].set(1).at[2].set(2)
+    picked = [0, 0]
+    for k in range(600):
+        st = initial_state(d, jax.random.PRNGKey(k), site_state=ss0)
+        st, _ = step(st)
+        new = np.asarray(st.site_state)
+        if new[0] != 1:
+            picked[0] += 1
+        elif new[1] != 1:
+            picked[1] += 1
+    ratio = picked[0] / max(picked[1], 1)
+    want = float(np.exp(1.0 - 0.5))          # e^{dE/T} = 1.6487
+    assert abs(ratio - want) < 0.45, (picked, ratio, want)
