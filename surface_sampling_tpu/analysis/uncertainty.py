@@ -251,6 +251,14 @@ def fit_gmm_em(x: np.ndarray, n_components: int, n_iter: int = 60,
     from jax.scipy.special import logsumexp
 
     x = np.asarray(x, np.float64)
+    # center globally in f64 BEFORE the f32 device pass: the covariance
+    # update E[xx^T] - mu mu^T cancels catastrophically when embedding
+    # magnitudes dwarf their spread (typical NN latents); removing the
+    # common offset keeps the cancellation at cluster-separation scale.
+    # Covariances are translation-invariant; the offset is added back to
+    # the returned means.
+    x_center = x.mean(axis=0)
+    x = x - x_center
     n, d = x.shape
     c = n_components
     rng = np.random.default_rng(seed)
@@ -326,7 +334,7 @@ def fit_gmm_em(x: np.ndarray, n_components: int, n_iter: int = 60,
             break
         prev_ll = ll
     return {
-        "means": np.asarray(mu),
+        "means": np.asarray(mu) + x_center,
         "precisions_cholesky": np.asarray(prec_chol_of(cov)),
         "weights": np.asarray(w),
     }

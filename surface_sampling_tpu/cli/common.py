@@ -517,6 +517,13 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     stats_path = run_folder / "stats.csv"
     if not (start_sweep > 0 and stats_path.exists()):
         stats_path.write_text(header + "\n")
+    else:
+        # drop any rows past the checkpointed sweep (a crash between a
+        # chunk's stats flush and its checkpoint cannot duplicate rows)
+        rows = stats_path.read_text().splitlines()
+        kept = [rows[0]] + [r for r in rows[1:]
+                            if r and int(r.split(",", 1)[0]) <= start_sweep]
+        stats_path.write_text("\n".join(kept) + "\n")
 
     def flush_stats(lo, hi, recs):
         e = np.asarray(recs.energy)
@@ -543,6 +550,9 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             jax.block_until_ready(recs.energy)
             states = out_states
             rec_parts.append(recs)
+            # stats flush BEFORE the checkpoint: a crash in between leaves
+            # extra stats rows past the checkpoint, which the resume path
+            # truncates (the reverse order would leave permanent gaps)
             flush_stats(lo, hi, recs)
             if len(chunk_bounds) > 1:
                 save_checkpoint(run_folder / "checkpoint.npz", out_states,
@@ -622,12 +632,13 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     save_mode = str(samp.get("save_structures", "none")).lower()
     if save_mode in ("best", "chain0"):
         frames_num, frames_pos = [], []
+        pos_all = _cat("positions") if cfg.record_positions else None
         for i in range(n_seg):
             c = int(np.argmin(energy[:, i])) if save_mode == "best" else 0
             ssf = jnp.asarray(site_state_all[c, i])
             nums = np.asarray(realize_numbers(d, ssf))
-            if cfg.record_positions:
-                posf = _cat("positions")[c, i]
+            if pos_all is not None:
+                posf = pos_all[c, i]
             else:
                 from surface_sampling_tpu.core.state import realize_positions
 
@@ -652,7 +663,7 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
                     f.write(f"{len(nums)}\n")
                     f.write(f'Lattice="{cellstr}" '
                             f"Properties=species:S:1:pos:R:3 "
-                            f"sweep {start_sweep + k + 1}\n")
+                            f"sweep={start_sweep + k + 1}\n")
                     for z, pz in zip(nums, posf):
                         f.write(f"{SYMBOL_FROM_Z[int(z)]} "
                                 f"{pz[0]:.8f} {pz[1]:.8f} {pz[2]:.8f}\n")
@@ -733,15 +744,21 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
     stats_path = run_folder / "stats.csv"
     if not (start_round > 0 and stats_path.exists()):
         stats_path.write_text(header + "\n")
+    else:
+        rows = stats_path.read_text().splitlines()
+        kept = [rows[0]] + [r for r in rows[1:]
+                            if r and int(r.split(",", 1)[0]) <= start_round]
+        stats_path.write_text("\n".join(kept) + "\n")
 
     rec_parts = []
     trun_cache = {}
     for lo, hi in chunk_bounds:
-        kchunk = (hi - lo, start_round + lo)
-        if kchunk not in trun_cache:
-            trun_cache[kchunk] = make_tempered_run(
-                sweep, n_rounds=hi - lo, start_round=start_round + lo)
-        out_states, rec = trun_cache[kchunk](states, ladder, key)
+        # one compiled program per chunk LENGTH; the round offset is a
+        # traced argument, not baked into the closure
+        if hi - lo not in trun_cache:
+            trun_cache[hi - lo] = make_tempered_run(sweep, n_rounds=hi - lo)
+        out_states, rec = trun_cache[hi - lo](
+            states, ladder, key, jnp.asarray(start_round + lo, jnp.int32))
         jax.block_until_ready(rec.energy)
         states = out_states
         key = jnp.asarray(np.asarray(rec.swap_key)[-1], jnp.uint32)

@@ -34,6 +34,8 @@ class PaddedBatch(NamedTuple):
     forces: np.ndarray       # (B, N, 3)
     magmoms: np.ndarray | None = None   # (B, N) per-atom magnetic moments
     # (MPtrj "m" target for CHGNet fine-tuning, json_dataset.py:128-136)
+    magmom_mask: np.ndarray | None = None   # (B,) 1.0 where the frame has
+    # magmom labels — unlabeled frames must NOT train the head toward 0
 
 
 def pad_structures(structures, energies, forces, cutoff: float, n_max=None,
@@ -52,6 +54,7 @@ def pad_structures(structures, energies, forces, cutoff: float, n_max=None,
     shifts = np.full((B, k_max, 3), 1e6)  # park unused shift slots far away
     forces_arr = np.zeros((B, n_max, 3))
     mag_arr = np.zeros((B, n_max)) if magmoms is not None else None
+    mag_mask = np.zeros(B) if magmoms is not None else None
     for b, (s, sh, f) in enumerate(zip(structures, all_shifts, forces)):
         n = len(s)
         positions[b, :n] = s.positions
@@ -60,9 +63,10 @@ def pad_structures(structures, energies, forces, cutoff: float, n_max=None,
         forces_arr[b, :n] = f
         if mag_arr is not None and magmoms[b] is not None:
             mag_arr[b, :n] = magmoms[b]
+            mag_mask[b] = 1.0
     return PaddedBatch(positions, numbers, shifts,
                        np.asarray(energies, dtype=np.float64), forces_arr,
-                       mag_arr)
+                       mag_arr, mag_mask)
 
 
 @dataclass
@@ -80,36 +84,46 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
     """Energy+force loss; ``apply_fn(params, cfg, ...)`` may be any of the
     model families (painn_apply, chgnet_apply, mace_apply)."""
 
-    def single_loss(params, positions, numbers, shifts, e_ref, f_ref, m_ref):
+    need_mag = tcfg.magmom_weight > 0.0
+
+    def single_loss(params, positions, numbers, shifts, e_ref, f_ref,
+                    m_ref, m_mask):
         alive = numbers > 0
 
         def e_of(pos):
-            return apply_fn(params, cfg, pos, numbers, alive, shifts)["energy"]
+            out = apply_fn(params, cfg, pos, numbers, alive, shifts)
+            if need_mag and "magmom" not in out:
+                raise ValueError(
+                    "magmom_weight > 0 but the model family returns no "
+                    "'magmom' output (only chgnet_apply does)"
+                )
+            # magmom rides has_aux so one forward serves both losses
+            return out["energy"], (out["magmom"] if need_mag else 0.0)
 
-        e, g = jax.value_and_grad(e_of)(positions)
+        (e, mag), g = jax.value_and_grad(e_of, has_aux=True)(positions)
         f = -g
         n = jnp.maximum(jnp.sum(alive), 1)
         e_loss = ((e - e_ref) / n) ** 2
         f_mask = alive[:, None]
         f_loss = jnp.sum(jnp.where(f_mask, (f - f_ref) ** 2, 0.0)) / (3 * n)
         loss = tcfg.energy_weight * e_loss + tcfg.force_weight * f_loss
-        if tcfg.magmom_weight > 0.0:
-            out = apply_fn(params, cfg, positions, numbers, alive, shifts)
-            m = out.get("magmom")
-            if m is None:
-                raise ValueError(
-                    "magmom_weight > 0 but the model family returns no "
-                    "'magmom' output (only chgnet_apply does)"
-                )
-            m_loss = jnp.sum(jnp.where(alive, (m - m_ref) ** 2, 0.0)) / n
-            loss = loss + tcfg.magmom_weight * m_loss
+        if need_mag:
+            # m_mask zeroes unlabeled frames: they must not pull the
+            # magmom head toward the 0.0 padding
+            m_loss = jnp.sum(jnp.where(alive, (mag - m_ref) ** 2, 0.0)) / n
+            loss = loss + tcfg.magmom_weight * m_mask * m_loss
         return loss
 
     def batch_loss(params, batch: PaddedBatch):
         m = batch.magmoms
         if m is None:
             m = jnp.zeros(batch.numbers.shape, batch.positions.dtype)
-        losses = jax.vmap(single_loss, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            mm = jnp.zeros(batch.numbers.shape[0], batch.positions.dtype)
+        else:
+            mm = (batch.magmom_mask
+                  if batch.magmom_mask is not None
+                  else jnp.ones(batch.numbers.shape[0], batch.positions.dtype))
+        losses = jax.vmap(single_loss, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
             params,
             batch.positions,
             batch.numbers,
@@ -117,6 +131,7 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
             batch.energy,
             batch.forces,
             m,
+            mm,
         )
         return jnp.mean(losses)
 
@@ -149,6 +164,8 @@ def train_painn(
             jnp.asarray(b.energy, jnp.float32),
             jnp.asarray(b.forces, jnp.float32),
             None if b.magmoms is None else jnp.asarray(b.magmoms, jnp.float32),
+            None if b.magmom_mask is None else jnp.asarray(b.magmom_mask,
+                                                           jnp.float32),
         )
 
     dev_batches = [to_device(b) for b in batches]

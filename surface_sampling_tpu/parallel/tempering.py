@@ -82,7 +82,10 @@ def make_tempered_run(
     ``start_round`` offsets the round counter (parity / DCN-cadence
     schedule) so a resumed run continues the exact swap sequence of an
     uninterrupted one; pass the checkpointed ``TemperRecord.swap_key``
-    row as ``key``.
+    row as ``key``. The returned ``run`` also accepts the offset as a
+    4th (traced) argument — ``run(states, temps, key, start)`` — so
+    chunked callers reuse one compilation per chunk length instead of
+    baking each offset into a fresh program.
 
     ``sweep_fn(state, temp) -> (state, infos)`` is the single-chain sweep
     (core.engine.make_sweep_fn); it is vmapped here over the replica axis.
@@ -100,7 +103,7 @@ def make_tempered_run(
     """
     vsweep = jax.vmap(sweep_fn, in_axes=(0, 0))
 
-    def run(states: MCState, temps, key):
+    def run(states: MCState, temps, key, start=start_round):
         C = temps.shape[0]
         idx = jnp.arange(C)
         if pod_size is not None:
@@ -131,7 +134,7 @@ def make_tempered_run(
             )
             return (states, key), rec
 
-        rounds = jnp.arange(start_round, start_round + n_rounds)
+        rounds = jnp.arange(n_rounds) + jnp.asarray(start, jnp.int32)
         (states, _), recs = jax.lax.scan(body, (states, key), rounds)
         return states, recs
 

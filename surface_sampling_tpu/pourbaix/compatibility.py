@@ -204,9 +204,21 @@ class AqueousCompatibility:
         return e_h2o - e_half_o2 - MU_H2O
 
     def h_correction(self, h_ref: float) -> float:
-        """Per-H shift from a raw GGA hydrogen reference (eV/atom) onto the
-        fitted aqueous scale."""
-        return 0.5 * self.fit_h2_energy - h_ref
+        """Per-H entry adjustment that substitutes the fitted aqueous H2
+        reference for a raw GGA hydrogen reference ``h_ref`` (eV/atom) in
+        downstream formation energies.
+
+        Formation energies computed as E_corrected - sum_el n_el*ref_el
+        (with the RAW ``h_ref`` still in the reference table) then equal
+        E - sum_{el != H} n_el*ref_el - n_H * (fit_h2/2), i.e. hydrogen is
+        referenced against the fitted H2 — the net effect of pymatgen's
+        MaterialsProjectAqueousCompatibility, which corrects the H2/H2O
+        entries so the element reference itself moves:
+
+            E' = E + n_H * (h_ref - fit_h2/2)
+            E' - n_H*h_ref = E - n_H * fit_h2/2        (raw h_ref cancels)
+        """
+        return h_ref - 0.5 * self.fit_h2_energy
 
     def process_entry_energy(self, energy: float, composition: dict,
                              h_ref: float) -> float:

@@ -220,9 +220,16 @@ class TestMP2020Compatibility:
         # fitted H2: 3*(-5.192751548333333 + 0.229) - (-4.94795546875)
         #            - (-2.4583) = -7.48499917625 eV
         assert abs(aq.fit_h2_energy - (-7.48499917625)) < 1e-9
-        # per-H correction vs a -3.39 eV/atom GGA H reference
-        assert abs(aq.h_correction(-3.39) - (0.5 * -7.48499917625 + 3.39)) < 1e-12
-        e = aq.process_entry_energy(-10.0, {"Ir": 1, "O": 1, "H": 2}, h_ref=-3.39)
-        assert abs(e - (-10.0 + 2 * aq.h_correction(-3.39))) < 1e-12
+        # per-H correction vs a -3.39 eV/atom GGA H reference: substitutes
+        # the fitted H2 reference (h_ref - fit_h2/2)
+        h_ref = -3.39
+        assert abs(aq.h_correction(h_ref) - (h_ref - 0.5 * -7.48499917625)) < 1e-12
+        e = aq.process_entry_energy(-10.0, {"Ir": 1, "O": 1, "H": 2}, h_ref=h_ref)
+        assert abs(e - (-10.0 + 2 * aq.h_correction(h_ref))) < 1e-12
+        # the raw h_ref must CANCEL in a downstream formation energy:
+        # E' - n_H*h_ref == E - n_H*(fit_h2/2), independent of h_ref
+        for href2 in (-3.39, 0.0, -1.0):
+            e2 = aq.process_entry_energy(-10.0, {"H": 2}, h_ref=href2)
+            assert abs((e2 - 2 * href2) - (-10.0 - 2 * 0.5 * aq.fit_h2_energy)) < 1e-9
         # no hydrogen -> untouched
         assert aq.process_entry_energy(-10.0, {"Ir": 1, "O": 1}, h_ref=-3.39) == -10.0

@@ -410,8 +410,11 @@ def test_mptrj_magmom_finetune_path():
 
     with tempfile.TemporaryDirectory() as td:
         for shard in range(2):
+            frames = {f"{i}": frame(10 * shard + i) for i in range(3)}
+            if shard == 1:
+                del frames["2"]["magmom"]   # one UNLABELED frame (common in MPtrj)
             (Path(td) / f"shard{shard}.json").write_text(_json.dumps({
-                f"mp-{shard}": {f"{i}": frame(10 * shard + i) for i in range(3)}
+                f"mp-{shard}": frames
             }))
         cfg = CHGNetConfig(atom_fea_dim=16, bond_fea_dim=16, angle_fea_dim=16,
                            num_radial=7, num_angular=7, n_conv=1,
@@ -422,6 +425,11 @@ def test_mptrj_magmom_finetune_path():
             train_ratio=0.67, val_ratio=0.16)
         assert train and train[0].magmoms is not None
         assert train[0].magmoms.shape == train[0].numbers.shape
+        # unlabeled frames carry mask 0 so they cannot pull the magmom
+        # head toward the zero padding
+        all_masks = np.concatenate([b.magmom_mask for b in train + val + test])
+        assert set(all_masks.tolist()) <= {0.0, 1.0}
+        assert all_masks.sum() == len(all_masks) - 1
 
         params = init_chgnet(jax.random.PRNGKey(0), cfg)
         loss_m = make_loss_fn(cfg, TrainConfig(magmom_weight=0.5),
