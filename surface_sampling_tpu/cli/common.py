@@ -329,6 +329,27 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
     return AssembledSystem(spec, potential, run, settings)
 
 
+def _truncate_stats(stats_path: Path, last_kept: int) -> None:
+    """Drop stats.csv rows past ``last_kept`` (crash between a chunk's
+    stats flush and its checkpoint leaves extra rows; resume removes
+    them). Robust to empty/partially-written files: malformed rows and
+    rows with unparsable leading fields are dropped too."""
+    try:
+        rows = stats_path.read_text().splitlines()
+    except OSError:
+        return
+    if not rows:
+        return
+    kept = [rows[0]]
+    for r in rows[1:]:
+        try:
+            if int(r.split(",", 1)[0]) <= last_kept:
+                kept.append(r)
+        except ValueError:
+            pass   # truncated partial row from a crash mid-append
+    stats_path.write_text("\n".join(kept) + "\n")
+
+
 def even_prefill_states(spec, num_ads_atoms: int, n_chains: int, seed: int) -> np.ndarray:
     """Per-chain even-site prefill: every chain gets the same evenly spread
     site placement (Ward clustering of the site lattice is deterministic)
@@ -518,12 +539,9 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     if not (start_sweep > 0 and stats_path.exists()):
         stats_path.write_text(header + "\n")
     else:
-        # drop any rows past the checkpointed sweep (a crash between a
-        # chunk's stats flush and its checkpoint cannot duplicate rows)
-        rows = stats_path.read_text().splitlines()
-        kept = [rows[0]] + [r for r in rows[1:]
-                            if r and int(r.split(",", 1)[0]) <= start_sweep]
-        stats_path.write_text("\n".join(kept) + "\n")
+        # a crash between a chunk's stats flush and its checkpoint cannot
+        # leave duplicate rows
+        _truncate_stats(stats_path, start_sweep)
 
     def flush_stats(lo, hi, recs):
         e = np.asarray(recs.energy)
@@ -745,10 +763,7 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
     if not (start_round > 0 and stats_path.exists()):
         stats_path.write_text(header + "\n")
     else:
-        rows = stats_path.read_text().splitlines()
-        kept = [rows[0]] + [r for r in rows[1:]
-                            if r and int(r.split(",", 1)[0]) <= start_round]
-        stats_path.write_text("\n".join(kept) + "\n")
+        _truncate_stats(stats_path, start_round)
 
     rec_parts = []
     trun_cache = {}

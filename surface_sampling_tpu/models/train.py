@@ -153,6 +153,15 @@ def train_painn(
     leading member axis and every member trains in parallel.
     """
     batches = list(batches)
+    if tcfg.magmom_weight > 0.0 and not any(
+        b.magmom_mask is not None and np.asarray(b.magmom_mask).any()
+        for b in batches
+    ):
+        raise ValueError(
+            "magmom_weight > 0 but no batch carries magmom labels — the "
+            "magmom head would silently receive zero gradient for the "
+            "whole run; drop magmom_weight or load a labeled dataset"
+        )
     loss_fn = make_loss_fn(cfg, tcfg, apply_fn=apply_fn)
     opt = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), optax.adam(tcfg.learning_rate))
 

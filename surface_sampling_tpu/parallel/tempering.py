@@ -75,17 +75,15 @@ def make_tempered_run(
     n_rounds: int,
     pod_size: int | None = None,
     dcn_every: int = 4,
-    start_round: int = 0,
 ) -> Callable:
     """Build ``run(states, temps, key) -> (states, TemperRecord)``.
 
-    ``start_round`` offsets the round counter (parity / DCN-cadence
-    schedule) so a resumed run continues the exact swap sequence of an
-    uninterrupted one; pass the checkpointed ``TemperRecord.swap_key``
-    row as ``key``. The returned ``run`` also accepts the offset as a
-    4th (traced) argument — ``run(states, temps, key, start)`` — so
-    chunked callers reuse one compilation per chunk length instead of
-    baking each offset into a fresh program.
+    The returned ``run(states, temps, key, start=0)`` takes the round
+    offset as a TRACED 4th argument: it shifts the round counter
+    (parity / DCN-cadence schedule) so a resumed or chunked run
+    continues the exact swap sequence of an uninterrupted one while
+    reusing one compilation per chunk length. Pass the checkpointed
+    ``TemperRecord.swap_key`` row as ``key`` when resuming.
 
     ``sweep_fn(state, temp) -> (state, infos)`` is the single-chain sweep
     (core.engine.make_sweep_fn); it is vmapped here over the replica axis.
@@ -103,7 +101,7 @@ def make_tempered_run(
     """
     vsweep = jax.vmap(sweep_fn, in_axes=(0, 0))
 
-    def run(states: MCState, temps, key, start=start_round):
+    def run(states: MCState, temps, key, start=0):
         C = temps.shape[0]
         idx = jnp.arange(C)
         if pod_size is not None:

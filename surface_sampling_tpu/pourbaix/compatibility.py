@@ -29,13 +29,12 @@ experimental MU_H2O = -2.4583 eV used throughout the Pourbaix stack:
 given the MP fitted O2 and H2O energies (the reference passes
 o2_energy=-4.94795546875, h2o_energy=-5.192751548333333,
 h2o_adjustments=-0.229 per atom, script lines 55-57,318-323), the
-effective H2 reference is
-
-    E(H2) = 3*(e_h2o - adj_h2o) - 2*e_o2*(1/2)*2/2 ... see fit_h2_energy
-
-and every H-containing entry is shifted by n_H * (E(H2)/2 - h_ref) when
-a raw GGA hydrogen reference h_ref is in play. Corrections returned by
-``aqueous_h_correction`` are per H atom against the fitted reference.
+effective H2 reference is E(H2) = E(H2O,raw) - 1/2 E(O2) - MU_H2O
+(``AqueousCompatibility.fit_h2_energy``), and every H-containing entry
+is shifted by n_H * (h_ref - E(H2)/2) so that formation energies
+computed against the raw GGA reference h_ref end up referencing
+hydrogen against the fitted H2 — the raw h_ref cancels exactly (see
+``AqueousCompatibility.h_correction``).
 """
 
 from __future__ import annotations
