@@ -16,7 +16,13 @@ from surface_sampling_tpu.potentials.eam import (
 )
 from surface_sampling_tpu.potentials.pair import make_lennard_jones, make_morse
 from surface_sampling_tpu.potentials.rigid_manybody import make_sw_rigid, make_tersoff_rigid
-from surface_sampling_tpu.potentials.sw import SW_SI_1985, make_sw, parse_sw, sw_tables
+from surface_sampling_tpu.potentials.sw import (
+    SW_SI_1985,
+    make_sw,
+    parse_sw,
+    sw_tables,
+    sw_tables_from_kim,
+)
 from surface_sampling_tpu.potentials.tersoff import (
     builtin_tersoff,
     load_tersoff,
@@ -35,6 +41,7 @@ __all__ = [
     "parse_sw",
     "parse_tersoff",
     "sw_tables",
+    "sw_tables_from_kim",
     "Potential",
     "builtin_eam",
     "load_tables_npz",

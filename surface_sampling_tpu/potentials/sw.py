@@ -86,6 +86,67 @@ def load_sw(path: str | Path, elements=None) -> SWTables:
     return parse_sw(Path(path).read_text(), elements)
 
 
+# OpenKIM ThreeBodyCluster-driver parameter names, per triplet entry.
+_KIM_FIELDS = ("A", "B", "p", "q", "sigma", "lambda", "gamma", "cutoff")
+
+
+def sw_tables_from_kim(data: dict) -> SWTables:
+    """Build SWTables from parameters in the OpenKIM *ThreeBodyCluster*
+    driver convention — the form the reference's Si(111) 5x5 relaxation
+    model publishes its constants in
+    (``ThreeBodyCluster_SRS_StephensonRadnySmith_1996_Si``,
+    /root/reference/tutorials/data/Si_111_5x5/Si_111_5x5_lammps_opt_template.txt:18).
+
+    ThreeBodyCluster writes the potential un-reduced (energies/lengths
+    absorbed into the constants)::
+
+        phi2(r)  = A (B r^-p - r^-q) exp[sigma / (r - cutoff)]
+        phi3     = lambda (cos theta_jik - costheta0)^2
+                   exp[gamma / (r_ij - cutoff)] exp[gamma / (r_ik - cutoff)]
+
+    while SWTables stores the LAMMPS ``pair_style sw`` reduced form (see
+    module docstring). The exact mapping (with eps := 1, so A and lam
+    carry the energy scale):
+
+        sig = sigma            a   = cutoff / sigma
+        gam = gamma / sigma    lam = lambda
+        A   = A_kim / sigma**q B   = B_kim * sigma**(q - p)
+
+    Sanity anchor: KIM's SW85 Si file (A=15.2848479197914 = 7.049556277
+    * eps with eps=2.1682 eV, B=A*B_red*sigma**4/A, gamma=1.2*sigma,
+    cutoff=1.8*sigma) maps back to the SW_SI_1985 table above to within
+    the eps rounding KIM itself uses (2.1682 vs LAMMPS's 2.1683).
+
+    ``data``: {"elements": [...], "entries": {(e1,e2,e3): {A, B, p, q,
+    sigma, lambda, gamma, cutoff[, costheta0]}}}; ``costheta0`` defaults
+    to -1/3. To run the reference's SRS relaxation model, transcribe the
+    KIM model's parameter file into this dict and pass the result as
+    ``systems.si111_sw(relax_model=...)``.
+    """
+    elements = tuple(data["elements"])
+    entries = {}
+    for key, kv in data["entries"].items():
+        missing = [f for f in _KIM_FIELDS if f not in kv]
+        if missing:
+            raise ValueError(f"KIM SW entry {key} missing fields {missing}")
+        sig = float(kv["sigma"])
+        p, q = float(kv["p"]), float(kv["q"])
+        entries[key] = dict(
+            eps=1.0,
+            sig=sig,
+            a=float(kv["cutoff"]) / sig,
+            lam=float(kv["lambda"]),
+            gam=float(kv["gamma"]) / sig,
+            cos0=float(kv.get("costheta0", -1.0 / 3.0)),
+            A=float(kv["A"]) / sig**q,
+            B=float(kv["B"]) * sig ** (q - p),
+            p=p,
+            q=q,
+            tol=0.0,
+        )
+    return sw_tables({"elements": elements, "entries": entries})
+
+
 def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32,
             static_nbr=None) -> Potential:
     """Build the jittable Stillinger-Weber Potential. ``static_nbr`` ranks

@@ -161,9 +161,11 @@ def si111_sw(
     SW_StillingerWeber_1985, ``run 0``). The tutorial RELAXES under a
     different model, the SRS-1996 modified SW (lammps_opt_template.txt:18,
     KIM ThreeBodyCluster_SRS_StephensonRadnySmith_1996_Si); pass
-    ``relax_model=`` an ``SWTables`` (e.g. ``load_sw(path)`` on the KIM /
-    LAMMPS parameter file — the SRS constants are not redistributable
-    here) to enable that dual-potential split; relaxation then minimizes
+    ``relax_model=`` an ``SWTables`` (``load_sw(path)`` for a LAMMPS
+    ``.sw`` file, or ``sw_tables_from_kim`` on constants transcribed
+    from the KIM ThreeBodyCluster parameter file — the SRS constants are
+    not redistributable here) to enable that dual-potential split;
+    relaxation then minimizes
     the relax model while acceptance stays on SW85 energies of the
     relaxed geometry.
 

@@ -43,6 +43,51 @@ def test_sw_si_cohesive_energy():
         assert float(jnp.abs(f).max()) < 1e-8
 
 
+def test_sw_tables_from_kim_matches_lammps_convention():
+    """sw_tables_from_kim inverts the ThreeBodyCluster-driver convention
+    exactly: SW85 forward-mapped into KIM constants (A*eps*sig^q,
+    B*sig^(p-q), lam*eps, gam*sig, a*sig) must reproduce SW85 energies
+    bit-for-bit — eps is folded into A/lam, everything else re-derived."""
+    from surface_sampling_tpu.potentials.sw import SW_SI_1985, sw_tables_from_kim
+
+    v = SW_SI_1985["entries"][("Si", "Si", "Si")]
+    kim = {
+        "elements": ("Si",),
+        "entries": {
+            ("Si", "Si", "Si"): {
+                "A": v["A"] * v["eps"] * v["sig"] ** v["q"],
+                "B": v["B"] * v["sig"] ** (v["p"] - v["q"]),
+                "p": v["p"],
+                "q": v["q"],
+                "sigma": v["sig"],
+                "lambda": v["lam"] * v["eps"],
+                "gamma": v["gam"] * v["sig"],
+                "cutoff": v["a"] * v["sig"],
+                "costheta0": v["cos0"],
+            }
+        },
+    }
+    with jax.enable_x64(True):
+        t_ref = sw_tables()
+        t_kim = sw_tables_from_kim(kim)
+        assert abs(t_kim.cutoff - t_ref.cutoff) < 1e-12
+        st = bulk("Si", "diamond", a=5.431).repeat(2)
+        rng = np.random.default_rng(7)
+        pos = st.positions + rng.normal(0.0, 0.05, st.positions.shape)
+        args = (
+            jnp.asarray(pos),  # off-lattice so phi3 != 0
+            jnp.zeros(len(st), jnp.int32),
+            jnp.ones(len(st), bool),
+            jnp.asarray(pair_shifts(st.cell, t_ref.cutoff)),
+        )
+        e_ref = float(make_sw(t_ref, max_neighbors=20, dtype=jnp.float64).energy(*args))
+        e_kim = float(make_sw(t_kim, max_neighbors=20, dtype=jnp.float64).energy(*args))
+        assert abs(e_kim - e_ref) < 1e-9 * abs(e_ref)
+    with pytest.raises(ValueError, match="missing fields"):
+        bad = {"elements": ("Si",), "entries": {("Si", "Si", "Si"): {"A": 1.0}}}
+        sw_tables_from_kim(bad)
+
+
 def test_tersoff_gan_cohesive_energy():
     """Nord et al. J. Phys. Condens. Matter 15, 5649 (2003): wurtzite GaN
     cohesive energy -4.526 eV/atom near a=3.19."""
