@@ -71,6 +71,14 @@ def build_static_neighbor_table(
                 if is_zero_shift and i == j:
                     continue
                 cand[i].append((j, shift))
+    # Sort candidates nearest-template-first: rank-select edge compaction
+    # (ops.neighbors.neighbor_list_from_table) keeps the FIRST
+    # max_neighbors in-range candidates, so table order decides which
+    # neighbors survive if a state ever truncates — template-nearest
+    # matches the top_k semantics this replaced (exactly so for rigid
+    # slot geometries, where template distance IS the runtime distance).
+    for i, lst in enumerate(cand):
+        lst.sort(key=lambda js: float(np.linalg.norm(centers[i] - (centers[js[0]] + js[1]))))
     M = max(len(c) for c in cand)
     # pad M to the fp32 lane tile for clean TPU layouts
     M = int(np.ceil(M / 8.0) * 8)

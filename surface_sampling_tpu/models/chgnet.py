@@ -292,8 +292,10 @@ def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shi
     comp = params["composition"][z_idx]
     e_atom = (e_atom_nn + comp) * alive.astype(dtype)
     n_alive = jnp.maximum(jnp.sum(alive.astype(dtype)), 1.0)
-    # reject states whose neighbor graph was truncated (see painn_edges)
-    total = jnp.sum(e_atom) + jnp.where(overflow, 1e6, 0.0).astype(dtype)
+    # reject states whose neighbor graph was truncated — override, don't
+    # add: the net can emit huge negative garbage on truncated graphs
+    # that would swamp an additive penalty (see painn_apply)
+    total = jnp.where(overflow, jnp.asarray(1e6, dtype), jnp.sum(e_atom))
     return {
         "per_atom_energy": e_atom,
         "energy": total,

@@ -236,12 +236,15 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         r_pow = (cfg.sigma / jnp.maximum(d, 1e-3)) ** cfg.power
         e_excl = jnp.sum(jnp.where(nbr_mask, r_pow, 0.0), axis=1)
         e_atom = e_atom + e_excl
-    # truncated neighbor graphs make energies unreliable: push the total
-    # far up so the Metropolis/OOB machinery rejects such states
-    penalty = jnp.where(overflow, 1e6, 0.0).astype(e_atom.dtype)
+    # truncated neighbor graphs make energies unreliable: OVERRIDE the
+    # total (don't add — the net can emit arbitrarily negative garbage on
+    # such inputs, e.g. -1e33 on an every-slot-alive SrTiO3 state, which
+    # would swamp an additive penalty and get accepted) so the
+    # Metropolis/OOB machinery rejects such states
+    e_tot = jnp.where(overflow, jnp.asarray(1e6, e_atom.dtype), jnp.sum(e_atom))
     return {
         "per_atom_energy": e_atom,
-        "energy": jnp.sum(e_atom) + penalty,
+        "energy": e_tot,
         "embedding": s,
         "overflow": overflow,
     }

@@ -155,6 +155,46 @@ def test_neighbor_list_overflow_flag():
     assert bool(overflow)
 
 
+def test_table_rank_select_matches_full_search():
+    """neighbor_list_from_table's rank-select compaction must reproduce
+    the all-image search's edge SET (j + distance, order-free) for every
+    center under a random alive mask, and raise the same overflow flag
+    when a center exceeds max_neighbors."""
+    from surface_sampling_tpu.core.state import realize_alive, realize_positions
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+    from surface_sampling_tpu.ops.neighbors import neighbor_list_from_table
+    from surface_sampling_tpu.systems import cu100_eam
+
+    sys_ = cu100_eam()
+    spec, d = sys_.spec, sys_.run.d
+    cutoff = sys_.potential.cutoff
+    tbl = build_static_neighbor_table(spec, cutoff, relax_slack=0.05)
+    ss = jax.random.randint(jax.random.PRNGKey(3), (spec.n_sites,), 0, 2)
+    pos = realize_positions(d, ss)
+    alive = realize_alive(d, ss)
+    args = (pos, alive, jnp.asarray(tbl.slot_j), jnp.asarray(tbl.shift, pos.dtype),
+            jnp.asarray(tbl.valid), cutoff)
+
+    disp_f, r_f, j_f, m_f, of_f = neighbor_list(
+        pos, jnp.asarray(pair_shifts(spec.cell, cutoff)), alive, cutoff, 64
+    )
+    disp_t, r_t, j_t, m_t, of_t = neighbor_list_from_table(*args, 64)
+    assert not bool(of_f) and not bool(of_t)
+    m_f, m_t = np.asarray(m_f), np.asarray(m_t)
+    for n in range(pos.shape[0]):
+        set_f = {(int(j), round(float(r), 5))
+                 for j, r in zip(np.asarray(j_f)[n][m_f[n]], np.asarray(r_f)[n][m_f[n]])}
+        set_t = {(int(j), round(float(r), 5))
+                 for j, r in zip(np.asarray(j_t)[n][m_t[n]], np.asarray(r_t)[n][m_t[n]])}
+        assert set_f == set_t, (n, set_f ^ set_t)
+    # displacements consistent with distances where selected
+    r_chk = np.linalg.norm(np.asarray(disp_t), axis=-1)
+    assert np.allclose(r_chk[m_t], np.asarray(r_t)[m_t], atol=1e-5)
+    # truncation: tiny max_neighbors must flag overflow on both paths
+    *_, of_small = neighbor_list_from_table(*args, 4)
+    assert bool(of_small)
+
+
 def test_gan_system_canonical_smoke():
     """Canonical GaN sampling from an even prefill (the reference's
     prepare_canonical(even_adsorption_sites=True) path, mcmc.py:163-179).

@@ -142,16 +142,39 @@ def test_srtio3_relaxed_surface_energy_matches_tutorial():
 
 def test_static_table_edges_match_full_search():
     """neighbor_list_from_table must reproduce the all-image neighbor_list
-    energies exactly on slot-realized geometries (the MC hot path uses the
-    static-candidate table; correctness = identical edge sets)."""
+    energies exactly on slot-realized geometries whenever no center
+    truncates (the MC hot path uses the static-candidate table; on
+    non-overflow states the edge SETS are identical). Overflow states may
+    truncate to different edge subsets (top_k tie-breaking vs table
+    order), but both paths must reject them: overflow flagged, energy
+    pushed far positive."""
     from surface_sampling_tpu.core.state import realize_alive, realize_positions
     from surface_sampling_tpu.systems import srtio3_001_painn
 
     sys_ = srtio3_001_painn()        # builds with static_nbr
     d = sys_.run.d
-    # a crowded random state exercises adsorbate-adsorbate pairs
-    key = jax.random.PRNGKey(7)
-    ss = jax.random.randint(key, (sys_.spec.n_sites,), 0, 4)
+    spec = sys_.spec
+    # a PHYSICAL occupied state: greedy min-3.5A site packing (random
+    # dense states live in the excl_vol blow-up regime where the net
+    # amplifies f32 summation-order noise to eV scale — meaningless for
+    # a parity check)
+    sc = np.asarray(spec.site_coords)
+    cell = np.asarray(spec.cell)
+    inv = np.linalg.inv(cell)
+
+    def _mic_d(a, b):
+        f = (a - b) @ inv
+        return float(np.linalg.norm((f - np.round(f)) @ cell))
+
+    chosen = []
+    for i in range(len(sc)):
+        if all(_mic_d(sc[i], sc[j]) >= 3.5 for j in chosen):
+            chosen.append(i)
+    assert len(chosen) >= 3
+    ss_np = np.zeros(spec.n_sites, np.int32)
+    for k, i in enumerate(chosen):
+        ss_np[i] = 1 + k % 3
+    ss = jnp.asarray(ss_np)
     pos = realize_positions(d, ss)
     alive = realize_alive(d, ss)
 
@@ -162,6 +185,8 @@ def test_static_table_edges_match_full_search():
     from surface_sampling_tpu.models.convert_nff import load_params_npz
     from surface_sampling_tpu.models.nn_calculator import make_painn_potential
 
+    import json as _json
+
     mdir = Path("surface_sampling_tpu/models/data")
     plist, cfg = [], None
     for i in (1, 2, 3):
@@ -169,11 +194,34 @@ def test_static_table_edges_match_full_search():
         plist.append(p)
     cfg = _dc.replace(cfg, max_neighbors=64)
     params = stack_params(plist)
-    pot_full = make_painn_potential(params, cfg, [38, 22, 8], ensemble=True)
+    stoidict = _json.loads(
+        Path("surface_sampling_tpu/systems_data/srtio3_offset_data.json").read_text()
+    )["stoidict"]
+    pot_full = make_painn_potential(
+        params, cfg, [38, 22, 8], ensemble=True, stoidict=stoidict
+    )
     ti = realize_type_idx(d, ss)
+    from surface_sampling_tpu.ops.neighbors import neighbor_list
+
+    *_, of = neighbor_list(pos, d.shifts, alive, cfg.cutoff, cfg.max_neighbors)
+    assert not bool(of), "intended non-overflow state overflows; lower occupancy"
     e_full = float(pot_full.energy(pos, ti, alive, d.shifts))
     e_static = float(sys_.potential.energy(pos, ti, alive, d.shifts))
+    # neighbor ORDER differs between the two builders (nearest-first vs
+    # table order); the summations are mathematically identical, so only
+    # f32 rounding separates them on physical states
     assert np.isclose(e_full, e_static, rtol=0, atol=5e-3), (e_full, e_static)
+
+    # every-slot-alive state: both paths truncate (108 in-range > 64) and
+    # must reject — energies pushed far positive on both
+    ss_all = jnp.full((sys_.spec.n_sites,), 1, jnp.int32)
+    pos_a = realize_positions(d, ss_all)
+    alive_a = realize_alive(d, ss_all)
+    ti_a = realize_type_idx(d, ss_all)
+    e_full_a = float(pot_full.energy(pos_a, ti_a, alive_a, d.shifts))
+    e_static_a = float(sys_.potential.energy(pos_a, ti_a, alive_a, d.shifts))
+    # 1e6 kcal/mol override -> ~4.3e4 eV after unit conversion + offsets
+    assert e_full_a > 1e4 and e_static_a > 1e4, (e_full_a, e_static_a)
 
 
 def test_dense_message_mode_matches_gather(tiny_model):
