@@ -152,8 +152,10 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         # term dominates. Measured on v5e (3-member SrTiO3 ensemble,
         # atom-evals/s dense vs gather): 124 slots 81k vs 48k, 248 slots
         # 58k vs 49k, 496 slots 33k vs 47k -> crossover ~300 slots.
+        # "pallas" fuses the whole message block into a VMEM-resident
+        # kernel (ops/pallas_painn.py) and beats both on TPU.
         on_cpu = jax.default_backend() == "cpu"
-        mode = "gather" if (on_cpu or N > 320) else "dense"
+        mode = "gather" if on_cpu else "pallas"
     hp = jax.lax.Precision.HIGHEST   # keep the one-hot matmuls true-f32
     onehot = (
         jax.nn.one_hot(nbr_j, N, dtype=positions.dtype) * fmask  # (N, M, N)
@@ -168,32 +170,60 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     rbf = _rbf(d, cfg.n_rbf, cfg.cutoff)                         # (N, M, R)
     env = _cosine_envelope(d, cfg.cutoff)[..., None]             # (N, M, 1)
 
+    if mode == "pallas":
+        # fused VMEM-resident message block (ops/pallas_painn.py); the
+        # padded edge geometry is layer- and member-invariant
+        from surface_sampling_tpu.ops.pallas_painn import (
+            choose_message_block,
+            painn_message_fused,
+            prepare_fused_geometry,
+        )
+
+        rbf_p, envm_p, nbr_p, unit_p, n_pad = prepare_fused_geometry(
+            unit, rbf, env, nbr_j, nbr_mask, cfg.n_rbf
+        )
+        pad_n, r_pad = n_pad - N, rbf_p.shape[1]
+        n_blk = choose_message_block(n_pad)
+
     for mp, up in zip(params["message"], params["update"]):
         # ---- message block ------------------------------------------------
         phi = _dense(mp["inv_dense1"], jax.nn.silu(_dense(mp["inv_dense0"], s)))  # (N, 3F)
-        w = _dense(mp["dist_embed"], rbf) * env                  # (N, M, 3F)
-        if mode == "dense":
-            # neighbor features via one-hot matmuls: every per-edge gather
-            # becomes a dot_general on the MXU (TPU gathers serialize on
-            # the scalar units; these three matmuls cut the SrTiO3 ensemble
-            # evaluation from 161 to 102 ms / 64 chains on v5e)
-            phij = jnp.einsum("nmj,jf->nmf", onehot, phi, precision=hp)
-            inv = phij * w                                       # (N, M, 3F)
+        if mode == "pallas":
+            phi_p = jnp.pad(phi, ((0, pad_n), (0, 0)))
+            vcat = jnp.concatenate([v[..., 0], v[..., 1], v[..., 2]], axis=1)
+            vcat_p = jnp.pad(vcat, ((0, pad_n), (0, 0)))
+            dw = jnp.pad(mp["dist_embed"]["w"], ((0, r_pad - cfg.n_rbf), (0, 0)))
+            db = mp["dist_embed"]["b"][None, :]
+            ds_p, dv3 = painn_message_fused(
+                phi_p, vcat_p, rbf_p, envm_p, nbr_p, unit_p, dw, db, n_blk
+            )
+            ds = ds_p[:N]                                        # (N, F)
+            dv = jnp.stack([dv3[0, :N], dv3[1, :N], dv3[2, :N]], axis=-1)
         else:
-            inv = phi[nbr_j] * w * fmask                         # (N, M, 3F)
-        c_vv, c_s, c_unit = jnp.split(inv, 3, axis=-1)           # (N, M, F) each
-        ds = jnp.sum(c_s, axis=1)                                # (N, F)
-        # vector messages as contractions over the neighbor axis — the
-        # r_hat term is a batched (F, M) @ (M, 3) matmul on the MXU and
-        # neither term materializes a broadcast (N, M, F, 3) product
-        # (the naive form was the largest intermediate of the whole net:
-        # it capped the chain batch at 64 on a 16 GB chip)
-        dv = jnp.einsum("nmf,nmx->nfx", c_unit, unit)            # (N, F, 3)
-        if mode == "dense":
-            adj = jnp.einsum("nmj,nmf->njf", onehot, c_vv, precision=hp)
-            dv = dv + jnp.einsum("njf,jfx->nfx", adj, v, precision=hp)
-        else:
-            dv = dv + jnp.einsum("nmf,nmfx->nfx", c_vv, v[nbr_j])
+            w = _dense(mp["dist_embed"], rbf) * env              # (N, M, 3F)
+            if mode == "dense":
+                # neighbor features via one-hot matmuls: every per-edge
+                # gather becomes a dot_general on the MXU (TPU gathers
+                # serialize on the scalar units; these three matmuls cut
+                # the SrTiO3 ensemble evaluation from 161 to 102 ms / 64
+                # chains on v5e)
+                phij = jnp.einsum("nmj,jf->nmf", onehot, phi, precision=hp)
+                inv = phij * w                                   # (N, M, 3F)
+            else:
+                inv = phi[nbr_j] * w * fmask                     # (N, M, 3F)
+            c_vv, c_s, c_unit = jnp.split(inv, 3, axis=-1)       # (N, M, F) each
+            ds = jnp.sum(c_s, axis=1)                            # (N, F)
+            # vector messages as contractions over the neighbor axis — the
+            # r_hat term is a batched (F, M) @ (M, 3) matmul on the MXU and
+            # neither term materializes a broadcast (N, M, F, 3) product
+            # (the naive form was the largest intermediate of the whole
+            # net: it capped the chain batch at 64 on a 16 GB chip)
+            dv = jnp.einsum("nmf,nmx->nfx", c_unit, unit)        # (N, F, 3)
+            if mode == "dense":
+                adj = jnp.einsum("nmj,nmf->njf", onehot, c_vv, precision=hp)
+                dv = dv + jnp.einsum("njf,jfx->nfx", adj, v, precision=hp)
+            else:
+                dv = dv + jnp.einsum("nmf,nmfx->nfx", c_vv, v[nbr_j])
         s = s + ds
         v = v + dv
         # ---- update block ---------------------------------------------

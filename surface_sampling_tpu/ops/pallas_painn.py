@@ -1,0 +1,205 @@
+"""Fused Pallas TPU kernel for the PaiNN message block.
+
+The message block is ~97% of a PaiNN surface-energy evaluation (measured
+on the SrTiO3 flagship: 157 of 165 ms/128-chain batch) and its XLA
+formulation materializes four (N, M, 3F) tensors per layer/member in HBM
+(~12 MB each per chain on the flagship). This kernel fuses the whole
+block — radial filter W = Dense(RBF)*env, neighbor routing, the
+filter*message product, and all three neighbor-axis reductions — into one
+VMEM-resident pass per block of centers, so the (N, M, 3F) intermediates
+never touch HBM and the routing matmuls run as native-f32 MXU dots
+instead of 6-pass HIGHEST-precision einsums.
+
+Replaces (when ``PaiNNConfig.message_mode="pallas"``) the dense/gather
+message paths of models/painn.py:171-198 — the math is identical:
+
+    W     = rbf @ dw + db, times (envelope * edge mask)     # (E, 3F)
+    inv   = phi[j] * W                                      # (E, 3F)
+    c_vv, c_s, c_unit = split(inv, 3, axis=-1)
+    ds_i  = sum_m c_s
+    dv_i  = sum_m c_unit * r_hat  +  sum_m c_vv * v_j
+
+Reference being re-designed: the nff PaiNN message layer the reference
+drives through torch (see models/painn.py module docstring; reference
+scripts/sample_surface.py:166-175 loads those checkpoints).
+
+Gradients: the op carries a custom VJP whose backward is the JAX
+reference implementation's VJP (recompute-based). Forces/relaxation paths
+(jax.grad through painn_apply) therefore work unchanged, at the same
+backward cost as the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _msg_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
+                dw_ref, db_ref, ds_ref, dv_ref):
+    """One block of N_blk centers; E = N_blk * M edges live in VMEM."""
+    E, _ = rbf_ref.shape
+    n_pad, f3 = phi_ref.shape
+    F = f3 // 3
+    n_blk = ds_ref.shape[0]
+    M = E // n_blk
+
+    # radial filter, built in VMEM (never written to HBM)
+    w = jnp.dot(rbf_ref[:], dw_ref[:], preferred_element_type=jnp.float32)
+    w = (w + db_ref[:]) * envm_ref[:]                        # (E, 3F)
+
+    # neighbor routing as one-hot MXU dots (TPU has no fast gather);
+    # masked edges are killed by envm=0, so the one-hot needs no mask
+    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
+    onehot = jnp.where(nbr_ref[:] == colid, 1.0, 0.0)        # (E, N_pad)
+    phij = jnp.dot(onehot, phi_ref[:], preferred_element_type=jnp.float32)
+
+    inv = phij * w                                           # (E, 3F)
+    c_vv = inv[:, :F].reshape(n_blk, M, F)
+    c_s = inv[:, F:2 * F].reshape(n_blk, M, F)
+    c_unit = inv[:, 2 * F:].reshape(n_blk, M, F)
+    ds_ref[:] = jnp.sum(c_s, axis=1)
+
+    vj = jnp.dot(onehot, vcat_ref[:], preferred_element_type=jnp.float32)
+    for x in range(3):
+        ux = unit_ref[x]                                     # (n_blk, M)
+        vjx = vj[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        dv_ref[x] = jnp.sum(c_unit * ux[..., None] + c_vv * vjx, axis=1)
+
+
+def _message_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db, *, n_blk):
+    n_pad, f3 = phi.shape
+    F = f3 // 3
+    _, _, M = unit3.shape
+    e_blk = n_blk * M
+    r_pad = rbf.shape[1]
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        _msg_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, F), phi.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, F), phi.dtype),
+        ],
+        interpret=interpret,
+    )(phi, vcat, rbf, envm, nbr, unit3, dw, db)
+
+
+def _message_ref(phi, vcat, rbf, envm, nbr, unit3, dw, db):
+    """Pure-JAX reference of the fused op (same padded inputs/outputs);
+    used as the custom-VJP backward and for parity tests."""
+    n_pad, f3 = phi.shape
+    F = f3 // 3
+    M = unit3.shape[2]
+    w = (rbf @ dw + db) * envm                               # (E, 3F)
+    j = nbr[:, 0]
+    inv = phi[j] * w
+    c_vv = inv[:, :F].reshape(n_pad, M, F)
+    c_s = inv[:, F:2 * F].reshape(n_pad, M, F)
+    c_unit = inv[:, 2 * F:].reshape(n_pad, M, F)
+    ds = jnp.sum(c_s, axis=1)
+    vj = vcat[j]
+    dvs = []
+    for x in range(3):
+        vjx = vj[:, x * F:(x + 1) * F].reshape(n_pad, M, F)
+        dvs.append(jnp.sum(c_unit * unit3[x][..., None] + c_vv * vjx, axis=1))
+    return ds, jnp.stack(dvs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def painn_message_fused(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk=16):
+    """Fused PaiNN message block: (phi, v, edge geometry) -> (ds, dv).
+
+    Args (all padded: N_pad % n_blk == 0, E = N_pad*M rows):
+        phi:   (N_pad, 3F) per-atom filter-side features Dense(silu(Dense(s))).
+        vcat:  (N_pad, 3F) vector features, x-major concat [v_x | v_y | v_z].
+        rbf:   (E, R_pad) radial basis per edge (zero-padded R columns).
+        envm:  (E, 1) cosine envelope * edge mask (0 on masked edges —
+            this is what kills dead/padded edges; the one-hot is unmasked).
+        nbr:   (E, 1) int32 neighbor slot (< N, any value on masked edges).
+        unit3: (3, N_pad, M) unit displacement components.
+        dw/db: (R_pad, 3F) / (1, 3F) dist_embed weights.
+    Returns:
+        ds (N_pad, F), dv (3, N_pad, F).
+    """
+    return _message_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db,
+                           n_blk=n_blk)
+
+
+def _fused_fwd(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk):
+    out = _message_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db,
+                          n_blk=n_blk)
+    return out, (phi, vcat, rbf, envm, nbr, unit3, dw, db)
+
+
+def _fused_bwd(n_blk, res, ct):
+    phi, vcat, rbf, envm, nbr, unit3, dw, db = res
+    _, vjp = jax.vjp(
+        lambda phi, vcat, rbf, envm, unit3, dw, db: _message_ref(
+            phi, vcat, rbf, envm, nbr, unit3, dw, db
+        ),
+        phi, vcat, rbf, envm, unit3, dw, db,
+    )
+    g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = vjp(tuple(ct))
+    g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    return g_phi, g_vcat, g_rbf, g_envm, g_nbr, g_unit3, g_dw, g_db
+
+
+painn_message_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def choose_message_block(n_pad: int) -> int:
+    """Center-block size vs system size. The scoped-VMEM budget is 16 MB;
+    the E_blk-proportional buffers (w/phij/vj/inv + one-hot) dominate.
+    Empirical: n_blk=16 fits at N_pad=128 and ooms by 9% at N_pad=496
+    (v5e, F=128, M=64), so halve the block as N grows."""
+    if n_pad <= 256:
+        return 16
+    if n_pad <= 768:
+        return 8
+    return 4
+
+
+def prepare_fused_geometry(unit, rbf, env, nbr_j, nbr_mask, n_rbf,
+                           n_blk=16):
+    """Pad + flatten per-structure edge geometry for the fused kernel.
+
+    Inputs are the (N, M[, ...]) arrays painn_features already builds;
+    returns (rbf_p (E, R_pad), envm_p (E, 1), nbr_p (E, 1), unit_p
+    (3, N_pad, M), n_pad). Shared across layers AND ensemble members —
+    build once per structure.
+    """
+    N, M = nbr_j.shape
+    n_pad = ((N + n_blk - 1) // n_blk) * n_blk
+    r_pad = ((n_rbf + 7) // 8) * 8
+    pad_n = n_pad - N
+    dtype = rbf.dtype
+    envm = env[..., 0] * nbr_mask.astype(dtype)              # (N, M)
+    rbf_p = jnp.pad(rbf, ((0, pad_n), (0, 0), (0, r_pad - n_rbf)))
+    rbf_p = rbf_p.reshape(n_pad * M, r_pad)
+    envm_p = jnp.pad(envm, ((0, pad_n), (0, 0))).reshape(n_pad * M, 1)
+    nbr_p = jnp.pad(nbr_j, ((0, pad_n), (0, 0))).reshape(n_pad * M, 1)
+    nbr_p = nbr_p.astype(jnp.int32)
+    unit_p = jnp.pad(unit, ((0, pad_n), (0, 0), (0, 0)))     # (N_pad, M, 3)
+    unit_p = jnp.moveaxis(unit_p, 2, 0)                      # (3, N_pad, M)
+    return rbf_p, envm_p, nbr_p, unit_p, n_pad
