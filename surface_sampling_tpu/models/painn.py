@@ -54,8 +54,15 @@ class PaiNNConfig:
     # for large cells), "dense" reformulates the gathers as one-hot
     # matmuls on the MXU (f32-precision dot_generals; ~1.7x faster on TPU
     # v5e up to ~300 slots, then the O(N^2 M) term loses to the gather's
-    # O(N M)), "auto" picks per backend and system size.
+    # O(N M)), "pallas" fuses the whole message block into a VMEM-resident
+    # kernel (ops/pallas_painn.py — fastest on TPU at every measured
+    # size), "auto" picks per backend.
     message_mode: str = "auto"
+    # routing precision inside the pallas kernel: "bf16x2" (hi+lo split
+    # dots; ~1.2x faster end-to-end, error = a few-meV constant offset
+    # with <=2e-4 eV state-to-state spread on the SrTiO3 ensemble) or
+    # "f32" (bit-identical to the dense path).
+    pallas_routing: str = "bf16x2"
 
 
 # ----------------------------------------------------------------------
@@ -195,7 +202,8 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             dw = jnp.pad(mp["dist_embed"]["w"], ((0, r_pad - cfg.n_rbf), (0, 0)))
             db = mp["dist_embed"]["b"][None, :]
             ds_p, dv3 = painn_message_fused(
-                phi_p, vcat_p, rbf_p, envm_p, nbr_p, unit_p, dw, db, n_blk
+                phi_p, vcat_p, rbf_p, envm_p, nbr_p, unit_p, dw, db,
+                n_blk, cfg.pallas_routing
             )
             ds = ds_p[:N]                                        # (N, F)
             dv = jnp.stack([dv3[0, :N], dv3[1, :N], dv3[2, :N]], axis=-1)

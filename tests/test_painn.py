@@ -254,18 +254,20 @@ def test_dense_message_mode_matches_gather(tiny_model):
     np.testing.assert_allclose(e_g, e_d, rtol=1e-6, atol=1e-5)
 
 
-def test_pallas_message_mode_matches_gather(tiny_model):
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_pallas_message_mode_matches_gather(tiny_model, routing):
     """message_mode="pallas" (ops/pallas_painn.py fused VMEM kernel — the
-    TPU MC hot path, bit-identical to dense on-chip: measured max |dE|=0
-    on the SrTiO3 ensemble batch) must match the gather formulation on
-    CPU via the interpreter, including forces through the custom VJP and
-    dead-slot masking."""
+    TPU MC hot path; routing="f32" is bit-identical to dense on-chip:
+    measured max |dE|=0 on the SrTiO3 ensemble batch, while the default
+    "bf16x2" hi+lo split adds only a few-meV constant offset there) must
+    match the gather formulation on CPU via the interpreter, including
+    forces through the custom VJP and dead-slot masking."""
     import dataclasses as dc
 
     params, cfg = tiny_model
     pos, numbers, alive, shifts = _random_cluster(jax.random.PRNGKey(43))
     cfg_g = dc.replace(cfg, message_mode="gather")
-    cfg_p = dc.replace(cfg, message_mode="pallas")
+    cfg_p = dc.replace(cfg, message_mode="pallas", pallas_routing=routing)
     out_g = painn_apply(params, cfg_g, pos, numbers, alive, shifts)
     out_p = painn_apply(params, cfg_p, pos, numbers, alive, shifts)
     np.testing.assert_allclose(
