@@ -54,6 +54,12 @@ class CHGNetConfig:
     max_bond_neighbors: int = 12 # bond-graph padding (bonds per atom < 3 A)
     mlp_hidden_dims: tuple = (64, 64, 64)
     is_intensive: bool = True
+    # atom-conv execution: "gather" (per-edge indexing, best on CPU),
+    # "pallas" (fused VMEM kernel ops/pallas_chgnet.py — the TPU hot
+    # path), "auto" picks per backend.
+    conv_mode: str = "auto"
+    # routing precision inside the pallas conv (see PaiNNConfig).
+    pallas_routing: str = "bf16x2"
 
 
 # ----------------------------------------------------------------------
@@ -255,15 +261,59 @@ def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shi
     z_idx = jnp.clip(numbers - 1, 0, cfg.max_z - 1)
     atom = params["atom_embedding"][z_idx] * alive[:, None].astype(dtype)
 
+    mode = cfg.conv_mode
+    if mode == "auto":
+        mode = "gather" if jax.default_backend() == "cpu" else "pallas"
+    if mode == "pallas":
+        # fused VMEM atom conv (ops/pallas_chgnet.py); pad the
+        # layer-invariant edge tensors once
+        from surface_sampling_tpu.ops.pallas_chgnet import chgnet_conv_fused
+
+        M = r.shape[1]
+        n_blk = 16 if N <= 256 else 8
+        n_pad = ((N + n_blk - 1) // n_blk) * n_blk
+        pad_n = n_pad - N
+        be_p = jnp.pad(bond_emb_ag, ((0, pad_n), (0, 0), (0, 0))).reshape(
+            n_pad * M, F)
+        bw_p = jnp.pad(bond_w_ag, ((0, pad_n), (0, 0), (0, 0))).reshape(
+            n_pad * M, F)
+        maskf_p = jnp.pad(fmask, ((0, pad_n), (0, 0))).reshape(n_pad * M, 1)
+        nbr_p = jnp.pad(nbr_j, ((0, pad_n), (0, 0))).astype(jnp.int32)
+        nbr_p = nbr_p.reshape(n_pad * M, 1)
+
     n_layers = cfg.n_conv
     for layer in range(n_layers):
         # ---- atom conv: messages over the atom graph -------------------
         ac = params["atom_convs"][layer]
-        a_i = jnp.broadcast_to(atom[:, None, :], (N, r.shape[1], F))
-        a_j = atom[nbr_j]
-        msg_in = jnp.concatenate([a_i, a_j, bond_emb_ag], axis=-1)
-        msg = _apply_gated(ac["gmlp"], msg_in) * bond_w_ag * fmask[..., None]
-        agg = jnp.sum(msg, axis=1)
+        if mode == "pallas":
+            g = ac["gmlp"]
+            w0c, w0g = g["core0"]["w"], g["gate0"]["w"]      # (3F, F)
+            # per-atom pre-activations for the a_i / a_j rows of the
+            # [a_i | a_j | bond_emb] concat (biases folded into ai2)
+            ai2 = jnp.concatenate(
+                [atom @ w0c[:F] + g["core0"]["b"],
+                 atom @ w0g[:F] + g["gate0"]["b"]], axis=1)
+            aj2 = jnp.concatenate([atom @ w0c[F:2 * F],
+                                   atom @ w0g[F:2 * F]], axis=1)
+            w2 = jnp.concatenate([w0c[2 * F:], w0g[2 * F:]], axis=1)
+            zero = jnp.zeros((F, F), dtype)
+            wc1 = jnp.concatenate([g["core1"]["w"], zero], axis=0)
+            wg1 = jnp.concatenate([zero, g["gate1"]["w"]], axis=0)
+            agg = chgnet_conv_fused(
+                jnp.pad(ai2, ((0, pad_n), (0, 0))),
+                jnp.pad(aj2, ((0, pad_n), (0, 0))),
+                be_p, bw_p, maskf_p, nbr_p, w2, wc1, wg1,
+                g["core1"]["b"][None], g["gate1"]["b"][None],
+                jnp.stack([g["ln_core"]["g"], g["ln_core"]["b"]]),
+                jnp.stack([g["ln_gate"]["g"], g["ln_gate"]["b"]]),
+                n_blk, cfg.pallas_routing,
+            )[:N]
+        else:
+            a_i = jnp.broadcast_to(atom[:, None, :], (N, r.shape[1], F))
+            a_j = atom[nbr_j]
+            msg_in = jnp.concatenate([a_i, a_j, bond_emb_ag], axis=-1)
+            msg = _apply_gated(ac["gmlp"], msg_in) * bond_w_ag * fmask[..., None]
+            agg = jnp.sum(msg, axis=1)
         atom = atom + _apply_linear(ac["out"], agg)
         atom = jnp.where(alive[:, None], atom, 0.0)
 

@@ -1,0 +1,188 @@
+"""Fused Pallas TPU kernel for the CHGNet atom-graph convolution.
+
+Profiling the LaMnO3 MC hot path shows the atom conv IS the model: the
+bond/angle branch costs nothing measurable (127.0 vs 126.8 ms per
+64-chain batch with it ablated), while each atom conv layer gathers
+a_j = atom[nbr_j] over a (N, 96, F) edge set and runs a two-layer gated
+MLP per edge — all through HBM, with TPU row-gathers serializing on the
+scalar units. This kernel fuses the whole per-edge pipeline (neighbor
+routing, the 3F->F gated MLP with its LayerNorms, the bond-weight mask,
+and the neighbor-axis reduction) into one VMEM-resident pass, mirroring
+ops/pallas_painn.py.
+
+Math fused (models/chgnet.py:260-267, _apply_gated at :182-192):
+
+    x      = [a_i | a_j | bond_emb]                  # (E, 3F)
+    h0     = silu(x @ W0 + b0)        (core & gate branches)
+    h1     = h0 @ W1 + b1             (per branch)
+    msg    = silu(LN(h1_core)) * sigmoid(LN(h1_gate)) * bond_w * mask
+    agg_i  = sum_m msg
+
+The concat never materializes: a_i@W0 and a_j@W0 are precomputed per
+ATOM outside (cheap (N, F) matmuls), a_j terms are routed per edge with
+a one-hot MXU dot, and the bond term is a per-edge dot inside the
+kernel. Branch selection after the shared silu(h0) uses zero-extended
+weights ((2F, F) with the other branch's rows zeroed) so no lane-dim
+slicing is needed.
+
+Gradients: custom VJP whose backward is the pure-JAX reference
+implementation's VJP (recompute-based), as in pallas_painn.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(g, b, x, eps=1e-5):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _conv_kernel(ai2_ref, aj2_ref, be_ref, bw_ref, maskf_ref, nbr_ref,
+                 w2_ref, wc1_ref, wg1_ref, bc1_ref, bg1_ref,
+                 lnc_ref, lng_ref, agg_ref, *, routing="bf16x2"):
+    """One block of n_blk centers; E = n_blk * M edges live in VMEM.
+
+    ai2 (blocked (n_blk, 2F) center rows) / aj2 (full (N_pad, 2F)):
+    center/neighbor pre-activations for [core|gate] (biases already
+    folded into ai2). w2: (F, 2F) bond-basis weights.
+    wc1/wg1: (2F, F) zero-extended second-layer weights. lnc/lng:
+    (2, F) LayerNorm gain;bias rows.
+    """
+    E, F = be_ref.shape
+    n_pad, _ = aj2_ref.shape
+    n_blk = agg_ref.shape[0]
+    M = E // n_blk
+
+    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
+    onehot = jnp.where(nbr_ref[:] == colid, 1.0, 0.0)        # (E, N_pad)
+
+    if routing == "bf16x2":
+        oh16 = onehot.astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+
+        def _route(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                oh16, hi, dn, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return out + jax.lax.dot_general(
+                oh16, lo, dn, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+    else:
+
+        def _route(x):
+            return jnp.dot(onehot, x, preferred_element_type=jnp.float32)
+
+    ajr = _route(aj2_ref[:])                                 # (E, 2F)
+    ai_b = jnp.broadcast_to(
+        ai2_ref[:][:, None, :], (n_blk, M, 2 * F)
+    ).reshape(E, 2 * F)
+    h0 = ai_b + ajr + jnp.dot(be_ref[:], w2_ref[:],
+                              preferred_element_type=jnp.float32)
+    h0 = jax.nn.silu(h0)                                     # (E, 2F)
+
+    hc = jnp.dot(h0, wc1_ref[:], preferred_element_type=jnp.float32) + bc1_ref[:]
+    hg = jnp.dot(h0, wg1_ref[:], preferred_element_type=jnp.float32) + bg1_ref[:]
+    core = jax.nn.silu(_ln(lnc_ref[0:1, :], lnc_ref[1:2, :], hc))
+    gate = jax.nn.sigmoid(_ln(lng_ref[0:1, :], lng_ref[1:2, :], hg))
+    msg = core * gate * bw_ref[:] * maskf_ref[:]             # (E, F)
+    agg_ref[:] = jnp.sum(msg.reshape(n_blk, M, F), axis=1)
+
+
+def _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                 lnc, lng, *, n_blk, routing):
+    n_pad, f2 = ai2.shape
+    F = f2 // 2
+    E = be.shape[0]
+    M = E // n_pad
+    e_blk = n_blk * M
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, routing=routing),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_blk, f2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_blk, F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), ai2.dtype),
+        interpret=interpret,
+    )(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng)
+
+
+def _conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng):
+    """Pure-JAX reference of the fused conv (same padded inputs)."""
+    n_pad, f2 = ai2.shape
+    F = f2 // 2
+    E = be.shape[0]
+    M = E // n_pad
+    j = nbr[:, 0]
+    ai_b = jnp.repeat(ai2, M, axis=0)                        # (E, 2F)
+    h0 = jax.nn.silu(ai_b + aj2[j] + be @ w2)
+    hc = h0 @ wc1 + bc1
+    hg = h0 @ wg1 + bg1
+    core = jax.nn.silu(_ln(lnc[0:1], lnc[1:2], hc))
+    gate = jax.nn.sigmoid(_ln(lng[0:1], lng[1:2], hg))
+    msg = core * gate * bw * maskf
+    return jnp.sum(msg.reshape(n_pad, M, F), axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def chgnet_conv_fused(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                      lnc, lng, n_blk=16, routing="bf16x2"):
+    """Fused CHGNet atom conv: per-edge gated-MLP messages -> (N_pad, F).
+
+    All inputs padded: N_pad % n_blk == 0, E = N_pad * M rows. maskf is
+    the f32 edge mask (0 kills dead/padded edges). routing as in
+    ops/pallas_painn.painn_message_fused.
+    """
+    return _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1,
+                        bg1, lnc, lng, n_blk=n_blk, routing=routing)
+
+
+def _fused_fwd(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+               lnc, lng, n_blk, routing):
+    out = _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1,
+                       bg1, lnc, lng, n_blk=n_blk, routing=routing)
+    return out, (ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                 lnc, lng)
+
+
+def _fused_bwd(n_blk, routing, res, ct):
+    ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng = res
+    _, vjp = jax.vjp(
+        lambda ai2, aj2, be, bw, maskf, w2, wc1, wg1, bc1, bg1, lnc, lng:
+            _conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                      lnc, lng),
+        ai2, aj2, be, bw, maskf, w2, wc1, wg1, bc1, bg1, lnc, lng,
+    )
+    g = vjp(ct)
+    g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    return (*g[:5], g_nbr, *g[5:])
+
+
+chgnet_conv_fused.defvjp(_fused_fwd, _fused_bwd)

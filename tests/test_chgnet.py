@@ -255,3 +255,49 @@ def test_lamno3_golden_fixture(lamno3):
         np.testing.assert_allclose(
             float(np.linalg.norm(np.asarray(out["embedding"]))),
             case["embedding_norm"], rtol=1e-4, atol=0)
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_chgnet_pallas_conv_matches_gather(routing):
+    """conv_mode="pallas" (ops/pallas_chgnet.py fused VMEM atom conv —
+    the TPU MC hot path) must match the gather formulation on CPU via
+    the interpreter, including forces and weight grads through the
+    custom VJP, and dead-slot masking."""
+    import dataclasses as dc
+
+    cfg = CHGNetConfig(atom_fea_dim=32, num_radial=9, num_angular=9,
+                       n_conv=3, max_neighbors=16, max_bond_neighbors=6,
+                       mlp_hidden_dims=(32, 32, 32))
+    params = init_chgnet(jax.random.PRNGKey(0), cfg)
+    N = 18
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (N, 3), minval=0.0,
+                             maxval=7.0)
+    numbers = jax.random.randint(jax.random.PRNGKey(2), (N,), 1, 20)
+    alive = jnp.asarray(np.random.RandomState(3).rand(N) > 0.2)
+    shifts = jnp.zeros((1, 3))
+    cfg_g = dc.replace(cfg, conv_mode="gather")
+    cfg_p = dc.replace(cfg, conv_mode="pallas", pallas_routing=routing)
+    out_g = chgnet_apply(params, cfg_g, pos, numbers, alive, shifts)
+    out_p = chgnet_apply(params, cfg_p, pos, numbers, alive, shifts)
+    np.testing.assert_allclose(
+        np.asarray(out_g["per_atom_energy"]),
+        np.asarray(out_p["per_atom_energy"]), rtol=1e-5, atol=1e-5)
+    f_g = jax.grad(lambda p: chgnet_apply(params, cfg_g, p, numbers, alive,
+                                          shifts)["energy"])(pos)
+    f_p = jax.grad(lambda p: chgnet_apply(params, cfg_p, p, numbers, alive,
+                                          shifts)["energy"])(pos)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_p),
+                               rtol=1e-4, atol=1e-5)
+    g_g = jax.grad(lambda w: chgnet_apply(w, cfg_g, pos, numbers, alive,
+                                          shifts)["energy"])(params)
+    g_p = jax.grad(lambda w: chgnet_apply(w, cfg_p, pos, numbers, alive,
+                                          shifts)["energy"])(params)
+    for a, b in zip(jax.tree.leaves(g_g), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    alive2 = alive.at[1].set(False)
+    e_g = float(chgnet_apply(params, cfg_g, pos, numbers, alive2,
+                             shifts)["energy"])
+    e_p = float(chgnet_apply(params, cfg_p, pos, numbers, alive2,
+                             shifts)["energy"])
+    np.testing.assert_allclose(e_g, e_p, rtol=1e-5, atol=1e-5)
