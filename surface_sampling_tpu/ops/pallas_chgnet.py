@@ -135,14 +135,23 @@ def _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
 
 
 def _conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng):
-    """Pure-JAX reference of the fused conv (same padded inputs)."""
+    """Pure-JAX reference of the fused conv (same padded inputs). On
+    non-CPU backends the neighbor access is a one-hot matmul so the VJP
+    lowers to MXU dots instead of scatter-adds (see pallas_painn)."""
     n_pad, f2 = ai2.shape
     F = f2 // 2
     E = be.shape[0]
     M = E // n_pad
     j = nbr[:, 0]
+    if jax.default_backend() == "cpu":
+        ajr = aj2[j]
+    else:
+        onehot = jax.nn.one_hot(j, n_pad, dtype=ai2.dtype)
+        ajr = jax.lax.dot_general(
+            onehot, aj2, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)             # exact: 0/1 lhs
     ai_b = jnp.repeat(ai2, M, axis=0)                        # (E, 2F)
-    h0 = jax.nn.silu(ai_b + aj2[j] + be @ w2)
+    h0 = jax.nn.silu(ai_b + ajr + be @ w2)
     hc = h0 @ wc1 + bc1
     hg = h0 @ wg1 + bg1
     core = jax.nn.silu(_ln(lnc[0:1], lnc[1:2], hc))

@@ -135,18 +135,28 @@ def _message_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db, *, n_blk,
 
 def _message_ref(phi, vcat, rbf, envm, nbr, unit3, dw, db):
     """Pure-JAX reference of the fused op (same padded inputs/outputs);
-    used as the custom-VJP backward and for parity tests."""
+    used as the custom-VJP backward and for parity tests. On non-CPU
+    backends the neighbor access is written as one-hot matmuls so the
+    VJP lowers to MXU dots (transposed one-hots) instead of
+    scatter-adds, which serialize on TPU."""
     n_pad, f3 = phi.shape
     F = f3 // 3
     M = unit3.shape[2]
     w = (rbf @ dw + db) * envm                               # (E, 3F)
     j = nbr[:, 0]
-    inv = phi[j] * w
+    if jax.default_backend() == "cpu":
+        take = lambda x: x[j]
+    else:
+        onehot = jax.nn.one_hot(j, n_pad, dtype=phi.dtype)   # (E, N_pad)
+        hp = jax.lax.Precision.HIGHEST                       # exact: 0/1 lhs
+        take = lambda x: jax.lax.dot_general(
+            onehot, x, (((1,), (0,)), ((), ())), precision=hp)
+    inv = take(phi) * w
     c_vv = inv[:, :F].reshape(n_pad, M, F)
     c_s = inv[:, F:2 * F].reshape(n_pad, M, F)
     c_unit = inv[:, 2 * F:].reshape(n_pad, M, F)
     ds = jnp.sum(c_s, axis=1)
-    vj = vcat[j]
+    vj = take(vcat)
     dvs = []
     for x in range(3):
         vjx = vj[:, x * F:(x + 1) * F].reshape(n_pad, M, F)

@@ -301,3 +301,42 @@ def test_chgnet_pallas_conv_matches_gather(routing):
     e_p = float(chgnet_apply(params, cfg_p, pos, numbers, alive2,
                              shifts)["energy"])
     np.testing.assert_allclose(e_g, e_p, rtol=1e-5, atol=1e-5)
+
+
+def test_chgnet_conv_vjp_dense_formulation_matches_gather(monkeypatch):
+    """_conv_ref's TPU branch (one-hot matmul routing in the custom-VJP
+    backward) must match the CPU gather branch, values and grads."""
+    from surface_sampling_tpu.ops import pallas_chgnet as pc
+
+    key = jax.random.PRNGKey(6)
+    N_pad, F, M = 16, 8, 8
+    E = N_pad * M
+    ks = jax.random.split(key, 12)
+    ai2 = jax.random.normal(ks[0], (N_pad, 2 * F))
+    aj2 = jax.random.normal(ks[1], (N_pad, 2 * F))
+    be = jax.random.normal(ks[2], (E, F))
+    bw = jax.random.normal(ks[3], (E, F))
+    maskf = (jax.random.uniform(ks[4], (E, 1)) > 0.2).astype(jnp.float32)
+    nbr = jax.random.randint(ks[5], (E, 1), 0, N_pad)
+    w2 = jax.random.normal(ks[6], (F, 2 * F))
+    wc1 = jax.random.normal(ks[7], (2 * F, F))
+    wg1 = jax.random.normal(ks[8], (2 * F, F))
+    bc1 = jax.random.normal(ks[9], (1, F))
+    bg1 = jax.random.normal(ks[10], (1, F))
+    lnc = jnp.stack([jnp.ones(F), jnp.zeros(F)])
+    lng = jnp.stack([jnp.ones(F) * 0.9, jnp.zeros(F) + 0.1])
+    args = (ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng)
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(pc._conv_ref(*a)))
+
+    out_g = pc._conv_ref(*args)
+    g_g = jax.grad(lambda x, y: loss(x, y, *args[2:]), argnums=(0, 1))(ai2, aj2)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out_d = pc._conv_ref(*args)
+    g_d = jax.grad(lambda x, y: loss(x, y, *args[2:]), argnums=(0, 1))(ai2, aj2)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               rtol=1e-6, atol=1e-5)
+    for a, b in zip(g_g, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-5)

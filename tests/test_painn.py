@@ -322,3 +322,42 @@ def test_srtio3_supercell_extensive():
 
     e1, e2 = nn_sum(s1), nn_sum(s2)
     np.testing.assert_allclose(e2, 2 * e1, rtol=1e-5)
+
+
+def test_fused_vjp_dense_formulation_matches_gather(monkeypatch):
+    """The custom-VJP backward reference switches to one-hot matmuls on
+    TPU (scatter-add-free); its outputs and VJP must match the CPU
+    gather formulation exactly."""
+    from surface_sampling_tpu.ops import pallas_painn as pp
+
+    key = jax.random.PRNGKey(5)
+    N_pad, F, M, R = 16, 8, 8, 8
+    E = N_pad * M
+    ks = jax.random.split(key, 8)
+    phi = jax.random.normal(ks[0], (N_pad, 3 * F))
+    vcat = jax.random.normal(ks[1], (N_pad, 3 * F))
+    rbf = jax.random.normal(ks[2], (E, R))
+    envm = jnp.abs(jax.random.normal(ks[3], (E, 1)))
+    nbr = jax.random.randint(ks[4], (E, 1), 0, N_pad)
+    unit3 = jax.random.normal(ks[5], (3, N_pad, M))
+    dw = jax.random.normal(ks[6], (R, 3 * F))
+    db = jax.random.normal(ks[7], (1, 3 * F))
+    args = (phi, vcat, rbf, envm, nbr, unit3, dw, db)
+
+    def loss(ref_fn, *a):
+        ds, dv = ref_fn(*a)
+        return jnp.sum(ds * ds) + jnp.sum(dv * jnp.cos(dv))
+
+    out_g = pp._message_ref(*args)
+    grads_g = jax.grad(lambda p, v: loss(pp._message_ref, p, v, *args[2:]),
+                       argnums=(0, 1))(phi, vcat)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out_d = pp._message_ref(*args)
+    grads_d = jax.grad(lambda p, v: loss(pp._message_ref, p, v, *args[2:]),
+                       argnums=(0, 1))(phi, vcat)
+    for a, b in zip(out_g, out_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-5)
+    for a, b in zip(grads_g, grads_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-5)
