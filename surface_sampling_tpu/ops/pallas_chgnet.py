@@ -134,6 +134,191 @@ def _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
     )(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng)
 
 
+def _silu_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _ln_fwd_bwd(g, b, x, dy, eps=1e-5):
+    """LayerNorm forward + backward in one pass. Returns (dx, dgamma, dbeta)
+    where dgamma/dbeta are summed over rows."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * inv
+    dgamma = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy * g
+    dx = inv * (dxhat - dxhat.mean(axis=-1, keepdims=True)
+                - xhat * (dxhat * xhat).mean(axis=-1, keepdims=True))
+    return dx, dgamma, dbeta
+
+
+def _conv_bwd_kernel(ai2_ref, aj2_ref, be_ref, bw_ref, maskf_ref, nbr_ref,
+                     w2_ref, wc1_ref, wg1_ref, bc1_ref, bg1_ref,
+                     lnc_ref, lng_ref, gagg_ref,
+                     gai2_ref, gaj2_ref, gbe_ref, gbw_ref, gw2_ref,
+                     gwc1_ref, gwg1_ref, gbc1_ref, gbg1_ref,
+                     glnc_ref, glng_ref, *, routing="bf16x2"):
+    """Fused backward for the atom conv: VMEM forward recompute + all
+    input cotangents; weight/aj2 grads accumulate across grid steps."""
+    E, F = be_ref.shape
+    n_pad, f2 = aj2_ref.shape
+    n_blk = gagg_ref.shape[0]
+    M = E // n_blk
+
+    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
+    onehot = jnp.where(nbr_ref[:] == colid, 1.0, 0.0)
+    if routing == "bf16x2":
+        oh16 = onehot.astype(jnp.bfloat16)
+
+        def _dot_split(x, dims):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                oh16, hi, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return out + jax.lax.dot_general(
+                oh16, lo, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        _route = lambda x: _dot_split(x, (((1,), (0,)), ((), ())))
+        _scatter = lambda x: _dot_split(x, (((0,), (0,)), ((), ())))
+    else:
+        hp = jax.lax.Precision.HIGHEST
+        _route = lambda x: jax.lax.dot_general(
+            onehot, x, (((1,), (0,)), ((), ())), precision=hp)
+        _scatter = lambda x: jax.lax.dot_general(
+            onehot, x, (((0,), (0,)), ((), ())), precision=hp)
+
+    # ---- forward recompute ----
+    ajr = _route(aj2_ref[:])
+    ai_b = jnp.broadcast_to(ai2_ref[:][:, None, :], (n_blk, M, f2)).reshape(E, f2)
+    pre = ai_b + ajr + jnp.dot(be_ref[:], w2_ref[:],
+                               preferred_element_type=jnp.float32)
+    h0 = jax.nn.silu(pre)
+    hc = jnp.dot(h0, wc1_ref[:], preferred_element_type=jnp.float32) + bc1_ref[:]
+    hg = jnp.dot(h0, wg1_ref[:], preferred_element_type=jnp.float32) + bg1_ref[:]
+    gc_, bc_ = lnc_ref[0:1, :], lnc_ref[1:2, :]
+    gg_, bg_ = lng_ref[0:1, :], lng_ref[1:2, :]
+    mu_c = hc.mean(axis=-1, keepdims=True)
+    inv_c = jax.lax.rsqrt(((hc - mu_c) ** 2).mean(axis=-1, keepdims=True) + 1e-5)
+    yc = (hc - mu_c) * inv_c * gc_ + bc_
+    mu_g = hg.mean(axis=-1, keepdims=True)
+    inv_g = jax.lax.rsqrt(((hg - mu_g) ** 2).mean(axis=-1, keepdims=True) + 1e-5)
+    yg = (hg - mu_g) * inv_g * gg_ + bg_
+    core = jax.nn.silu(yc)
+    gate = jax.nn.sigmoid(yg)
+
+    # ---- backward ----
+    scale = bw_ref[:] * maskf_ref[:]
+    gmsg = jnp.broadcast_to(gagg_ref[:][:, None, :], (n_blk, M, F)).reshape(E, F)
+    gbw_ref[:] = gmsg * core * gate * maskf_ref[:]
+    gcore = gmsg * gate * scale
+    ggate = gmsg * core * scale
+    dyc = gcore * _silu_grad(yc)
+    dyg = ggate * gate * (1.0 - gate)
+    dhc, dgc, dbc = _ln_fwd_bwd(gc_, bc_, hc, dyc)
+    dhg, dgg, dbg = _ln_fwd_bwd(gg_, bg_, hg, dyg)
+    dh0 = (jax.lax.dot_general(dhc, wc1_ref[:], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(dhg, wg1_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+    dpre = dh0 * _silu_grad(pre)
+    gai2_ref[:] = jnp.sum(dpre.reshape(n_blk, M, f2), axis=1)
+    gbe_ref[:] = jax.lax.dot_general(
+        dpre, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    gaj2_blk = _scatter(dpre)
+    gw2_blk = jax.lax.dot_general(be_ref[:], dpre, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    gwc1_blk = jax.lax.dot_general(h0, dhc, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    gwg1_blk = jax.lax.dot_general(h0, dhg, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gaj2_ref[:] = jnp.zeros_like(gaj2_ref)
+        gw2_ref[:] = jnp.zeros_like(gw2_ref)
+        gwc1_ref[:] = jnp.zeros_like(gwc1_ref)
+        gwg1_ref[:] = jnp.zeros_like(gwg1_ref)
+        gbc1_ref[:] = jnp.zeros_like(gbc1_ref)
+        gbg1_ref[:] = jnp.zeros_like(gbg1_ref)
+        glnc_ref[:] = jnp.zeros_like(glnc_ref)
+        glng_ref[:] = jnp.zeros_like(glng_ref)
+
+    gaj2_ref[:] += gaj2_blk
+    gw2_ref[:] += gw2_blk
+    gwc1_ref[:] += gwc1_blk
+    gwg1_ref[:] += gwg1_blk
+    gbc1_ref[:] += jnp.sum(dhc, axis=0, keepdims=True)
+    gbg1_ref[:] += jnp.sum(dhg, axis=0, keepdims=True)
+    glnc_ref[:] += jnp.concatenate([dgc, dbc], axis=0)
+    glng_ref[:] += jnp.concatenate([dgg, dbg], axis=0)
+
+
+def _conv_bwd_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                     lnc, lng, gagg, *, n_blk, routing):
+    n_pad, f2 = aj2.shape
+    F = f2 // 2
+    E = be.shape[0]
+    M = E // n_pad
+    e_blk = n_blk * M
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_conv_bwd_kernel, routing=routing),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_blk, f2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_blk, f2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, f2), ai2.dtype),
+            jax.ShapeDtypeStruct((n_pad, f2), ai2.dtype),
+            jax.ShapeDtypeStruct((E, F), ai2.dtype),
+            jax.ShapeDtypeStruct((E, F), ai2.dtype),
+            jax.ShapeDtypeStruct((F, f2), ai2.dtype),
+            jax.ShapeDtypeStruct((f2, F), ai2.dtype),
+            jax.ShapeDtypeStruct((f2, F), ai2.dtype),
+            jax.ShapeDtypeStruct((1, F), ai2.dtype),
+            jax.ShapeDtypeStruct((1, F), ai2.dtype),
+            jax.ShapeDtypeStruct((2, F), ai2.dtype),
+            jax.ShapeDtypeStruct((2, F), ai2.dtype),
+        ],
+        interpret=interpret,
+    )(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng, gagg)
+
+
 def _conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng):
     """Pure-JAX reference of the fused conv (same padded inputs). On
     non-CPU backends the neighbor access is a one-hot matmul so the VJP
@@ -183,15 +368,16 @@ def _fused_fwd(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
 
 def _fused_bwd(n_blk, routing, res, ct):
     ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng = res
-    _, vjp = jax.vjp(
-        lambda ai2, aj2, be, bw, maskf, w2, wc1, wg1, bc1, bg1, lnc, lng:
-            _conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
-                      lnc, lng),
-        ai2, aj2, be, bw, maskf, w2, wc1, wg1, bc1, bg1, lnc, lng,
+    (g_ai2, g_aj2, g_be, g_bw, g_w2, g_wc1, g_wg1, g_bc1, g_bg1, g_lnc,
+     g_lng) = _conv_bwd_pallas(
+        ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng, ct,
+        n_blk=max(n_blk // 2, 1), routing=routing,
     )
-    g = vjp(ct)
+    # maskf derives from the boolean edge mask — no gradient flows upstream
+    g_maskf = jnp.zeros_like(maskf)
     g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
-    return (*g[:5], g_nbr, *g[5:])
+    return (g_ai2, g_aj2, g_be, g_bw, g_maskf, g_nbr, g_w2, g_wc1, g_wg1,
+            g_bc1, g_bg1, g_lnc, g_lng)
 
 
 chgnet_conv_fused.defvjp(_fused_fwd, _fused_bwd)

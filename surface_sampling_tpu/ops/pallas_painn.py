@@ -133,6 +133,150 @@ def _message_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db, *, n_blk,
     )(phi, vcat, rbf, envm, nbr, unit3, dw, db)
 
 
+def _msg_bwd_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
+                    dw_ref, db_ref, gds_ref, gdv_ref,
+                    gphi_ref, gvcat_ref, grbf_ref, genvm_ref, gunit_ref,
+                    gdw_ref, gdb_ref, *, routing="bf16x2"):
+    """Fused backward for the message block: recomputes the forward in
+    VMEM (cheaper than streaming residuals from HBM) and emits all input
+    cotangents. g_phi/g_vcat/g_dw/g_db accumulate across grid steps into
+    pinned output blocks."""
+    E, _ = rbf_ref.shape
+    n_pad, f3 = phi_ref.shape
+    F = f3 // 3
+    n_blk = gds_ref.shape[0]
+    M = E // n_blk
+
+    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
+    onehot = jnp.where(nbr_ref[:] == colid, 1.0, 0.0)        # (E, N_pad)
+    if routing == "bf16x2":
+        oh16 = onehot.astype(jnp.bfloat16)
+
+        def _dot_split(a_bf16, x, dims):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                a_bf16, hi, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return out + jax.lax.dot_general(
+                a_bf16, lo, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        _route = lambda x: _dot_split(oh16, x, (((1,), (0,)), ((), ())))
+        _scatter = lambda g: _dot_split(oh16, g, (((0,), (0,)), ((), ())))
+    else:
+        hp = jax.lax.Precision.HIGHEST
+        _route = lambda x: jax.lax.dot_general(
+            onehot, x, (((1,), (0,)), ((), ())), precision=hp)
+        _scatter = lambda g: jax.lax.dot_general(
+            onehot, g, (((0,), (0,)), ((), ())), precision=hp)
+
+    # ---- forward recompute (VMEM-resident) ----
+    wpre = jnp.dot(rbf_ref[:], dw_ref[:],
+                   preferred_element_type=jnp.float32) + db_ref[:]
+    w = wpre * envm_ref[:]                                   # (E, 3F)
+    phij = _route(phi_ref[:])
+    vj = _route(vcat_ref[:])                                 # (E, 3F) x-major
+    inv = phij * w
+    c_vv = inv[:, :F].reshape(n_blk, M, F)
+    c_unit = inv[:, 2 * F:].reshape(n_blk, M, F)
+
+    # ---- cotangents of the three channels ----
+    gds_e = jnp.broadcast_to(gds_ref[:][:, None, :], (n_blk, M, F))
+    g_c_unit = jnp.zeros((n_blk, M, F), jnp.float32)
+    g_c_vv = jnp.zeros((n_blk, M, F), jnp.float32)
+    gvj_parts = []
+    for x in range(3):
+        gdvx = gdv_ref[x][:, None, :]                        # (n_blk, 1, F)
+        ux = unit_ref[x][..., None]                          # (n_blk, M, 1)
+        vjx = vj[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        g_c_unit = g_c_unit + gdvx * ux
+        g_c_vv = g_c_vv + gdvx * vjx
+        gunit_ref[x] = jnp.sum(gdvx * c_unit, axis=2)        # (n_blk, M)
+        gvj_parts.append((gdvx * c_vv).reshape(E, F))
+    g_inv = jnp.concatenate(
+        [g_c_vv.reshape(E, F), gds_e.reshape(E, F), g_c_unit.reshape(E, F)],
+        axis=1)                                              # (E, 3F)
+
+    g_phij = g_inv * w
+    g_w = g_inv * phij
+    gwe = g_w * envm_ref[:]
+    genvm_ref[:] = jnp.sum(g_w * wpre, axis=1, keepdims=True)
+    grbf_ref[:] = jax.lax.dot_general(
+        gwe, dw_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (E, R_pad)
+
+    g_phi_blk = _scatter(g_phij)                             # (N_pad, 3F)
+    g_vcat_blk = _scatter(jnp.concatenate(gvj_parts, axis=1))
+    g_dw_blk = jax.lax.dot_general(
+        rbf_ref[:], gwe, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (R_pad, 3F)
+    g_db_blk = jnp.sum(gwe, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gphi_ref[:] = jnp.zeros_like(gphi_ref)
+        gvcat_ref[:] = jnp.zeros_like(gvcat_ref)
+        gdw_ref[:] = jnp.zeros_like(gdw_ref)
+        gdb_ref[:] = jnp.zeros_like(gdb_ref)
+
+    gphi_ref[:] += g_phi_blk
+    gvcat_ref[:] += g_vcat_blk
+    gdw_ref[:] += g_dw_blk
+    gdb_ref[:] += g_db_blk
+
+
+def _message_bwd_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
+                        *, n_blk, routing):
+    n_pad, f3 = phi.shape
+    F = f3 // 3
+    _, _, M = unit3.shape
+    e_blk = n_blk * M
+    r_pad = rbf.shape[1]
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_msg_bwd_kernel, routing=routing),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, f3), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad, f3), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad * M, r_pad), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad * M, 1), phi.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, M), phi.dtype),
+            jax.ShapeDtypeStruct((r_pad, f3), phi.dtype),
+            jax.ShapeDtypeStruct((1, f3), phi.dtype),
+        ],
+        interpret=interpret,
+    )(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv)
+
+
 def _message_ref(phi, vcat, rbf, envm, nbr, unit3, dw, db):
     """Pure-JAX reference of the fused op (same padded inputs/outputs);
     used as the custom-VJP backward and for parity tests. On non-CPU
@@ -196,13 +340,13 @@ def _fused_fwd(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk, routing):
 
 def _fused_bwd(n_blk, routing, res, ct):
     phi, vcat, rbf, envm, nbr, unit3, dw, db = res
-    _, vjp = jax.vjp(
-        lambda phi, vcat, rbf, envm, unit3, dw, db: _message_ref(
-            phi, vcat, rbf, envm, nbr, unit3, dw, db
-        ),
-        phi, vcat, rbf, envm, unit3, dw, db,
+    gds, gdv = ct
+    # halve the block: the backward keeps ~2x the live (E_blk, 3F)
+    # tensors of the forward in VMEM
+    g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = _message_bwd_pallas(
+        phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
+        n_blk=max(n_blk // 2, 1), routing=routing,
     )
-    g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = vjp(tuple(ct))
     g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
     return g_phi, g_vcat, g_rbf, g_envm, g_nbr, g_unit3, g_dw, g_db
 

@@ -340,3 +340,46 @@ def test_chgnet_conv_vjp_dense_formulation_matches_gather(monkeypatch):
     for a, b in zip(g_g, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_chgnet_conv_backward_kernel(routing):
+    """The fused backward kernel (_conv_bwd_pallas — the custom-VJP bwd
+    of chgnet_conv_fused) must reproduce the reference VJP for every
+    differentiable input cotangent."""
+    from surface_sampling_tpu.ops import pallas_chgnet as pc
+
+    key = jax.random.PRNGKey(12)
+    n_pad, F, M = 16, 8, 8
+    E = n_pad * M
+    ks = jax.random.split(key, 14)
+    ai2 = jax.random.normal(ks[0], (n_pad, 2 * F))
+    aj2 = jax.random.normal(ks[1], (n_pad, 2 * F))
+    be = jax.random.normal(ks[2], (E, F))
+    bw = jax.random.normal(ks[3], (E, F))
+    maskf = (jax.random.uniform(ks[4], (E, 1)) > 0.2).astype(jnp.float32)
+    nbr = jax.random.randint(ks[5], (E, 1), 0, n_pad)
+    w2 = jax.random.normal(ks[6], (F, 2 * F))
+    wc1 = jax.random.normal(ks[7], (2 * F, F))
+    wg1 = jax.random.normal(ks[8], (2 * F, F))
+    bc1 = jax.random.normal(ks[9], (1, F))
+    bg1 = jax.random.normal(ks[10], (1, F))
+    lnc = jnp.stack([jnp.ones(F) * 1.1, jnp.zeros(F) + 0.05])
+    lng = jnp.stack([jnp.ones(F) * 0.9, jnp.zeros(F) - 0.02])
+    gagg = jax.random.normal(ks[11], (n_pad, F))
+
+    _, vjp = jax.vjp(
+        lambda ai2, aj2, be, bw, w2, wc1, wg1, bc1, bg1, lnc, lng:
+            pc._conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1,
+                         bc1, bg1, lnc, lng),
+        ai2, aj2, be, bw, w2, wc1, wg1, bc1, bg1, lnc, lng)
+    ref = vjp(gagg)
+    got = pc._conv_bwd_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1,
+                              bc1, bg1, lnc, lng, gagg, n_blk=8,
+                              routing=routing)
+    tol = 1e-4 if routing == "f32" else 2e-3
+    for name, a, b in zip(
+        ["g_ai2", "g_aj2", "g_be", "g_bw", "g_w2", "g_wc1", "g_wg1",
+         "g_bc1", "g_bg1", "g_lnc", "g_lng"], ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol, err_msg=name)

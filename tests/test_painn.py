@@ -361,3 +361,38 @@ def test_fused_vjp_dense_formulation_matches_gather(monkeypatch):
     for a, b in zip(grads_g, grads_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_pallas_message_backward_kernel(routing):
+    """The fused backward kernel (_message_bwd_pallas — used as the
+    custom-VJP bwd of painn_message_fused) must reproduce the reference
+    implementation's VJP for every input cotangent."""
+    from surface_sampling_tpu.ops import pallas_painn as pp
+
+    key = jax.random.PRNGKey(11)
+    n_pad, F, M, R = 32, 16, 8, 8
+    E = n_pad * M
+    ks = jax.random.split(key, 10)
+    phi = jax.random.normal(ks[0], (n_pad, 3 * F))
+    vcat = jax.random.normal(ks[1], (n_pad, 3 * F))
+    rbf = jax.random.normal(ks[2], (E, R))
+    envm = jnp.abs(jax.random.normal(ks[3], (E, 1)))
+    nbr = jax.random.randint(ks[4], (E, 1), 0, n_pad)
+    unit3 = jax.random.normal(ks[5], (3, n_pad, M))
+    dw = jax.random.normal(ks[6], (R, 3 * F))
+    db = jax.random.normal(ks[7], (1, 3 * F))
+    gds = jax.random.normal(ks[8], (n_pad, F))
+    gdv = jax.random.normal(ks[9], (3, n_pad, F))
+
+    _, vjp = jax.vjp(lambda *a: pp._message_ref(*a[:4], nbr, *a[4:]),
+                     phi, vcat, rbf, envm, unit3, dw, db)
+    ref = vjp((gds, gdv))
+    got = pp._message_bwd_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db,
+                                 gds, gdv, n_blk=8, routing=routing)
+    tol = 1e-4 if routing == "f32" else 2e-3
+    for name, a, b in zip(
+        ["g_phi", "g_vcat", "g_rbf", "g_envm", "g_unit3", "g_dw", "g_db"],
+        ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol, err_msg=name)
