@@ -80,6 +80,11 @@ class MACEConfig:
     envelope_p: int = 6
     l_max: int = 2               # 1 or 2
     equivariant_messages: bool = False   # carry V/T node features across layers
+    # neighbor-feature routing: "gather" indexes node features per edge
+    # (best on CPU), "dense" routes ALL of a layer's neighbor features
+    # with ONE one-hot MXU matmul (best on TPU, where (N, M) gathers
+    # serialize on the scalar core), "auto" picks per backend.
+    message_mode: str = "auto"
 
 
 def _lin(key, n_in, n_out, bias=True):
@@ -185,6 +190,34 @@ def _y3_tensor(unit):
     return uuu - tr
 
 
+def _make_router(nbr_j, n_atoms: int, mode: str, dtype):
+    """Neighbor-feature routing: dict of (N, ...) node tensors -> dict of
+    (N, M, ...) per-edge tensors. "gather" indexes per edge; "dense"
+    flattens every tensor's trailing dims, concatenates, and routes the
+    whole layer with ONE one-hot matmul on the MXU (x[nbr_j] ==
+    onehot @ x exactly, since one-hot rows select)."""
+    if mode == "gather":
+        return lambda xs: {k: x[nbr_j] for k, x in xs.items()}
+
+    N, M = nbr_j.shape
+    onehot = (nbr_j[..., None] == jnp.arange(n_atoms)).astype(dtype)
+
+    def route(xs):
+        flats = {k: x.reshape(n_atoms, -1) for k, x in xs.items()}
+        cat = jnp.concatenate(list(flats.values()), axis=1)
+        routed = jax.lax.dot_general(
+            onehot.reshape(N * M, n_atoms), cat, (((1,), (0,)), ((), ()))
+        ).reshape(N, M, -1)
+        out, o = {}, 0
+        for k, x in xs.items():
+            d = flats[k].shape[1]
+            out[k] = routed[:, :, o : o + d].reshape((N, M) + x.shape[1:])
+            o += d
+        return out
+
+    return route
+
+
 def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
     """Forward; returns per-atom energies, total energy, embeddings.
     Matmuls run at true f32 precision (see painn_apply's rationale)."""
@@ -213,37 +246,52 @@ def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts)
     eye3 = jnp.eye(3, dtype=dtype)
     v_feat = jnp.zeros((N, F, 3), dtype) if eq else None
     t_feat = jnp.zeros((N, F, 3, 3), dtype) if (eq and cfg.l_max >= 2) else None
+    mode = cfg.message_mode
+    if mode == "auto":
+        mode = "gather" if jax.default_backend() == "cpu" else "dense"
+    route = _make_router(nbr_j, N, mode, dtype)
     for lp in params["layers"]:
+        # project every neighbor-sourced feature at the node, then route
+        # the whole set through the edge table in one pass (one MXU
+        # matmul in dense mode; avoids (N, M, F, F) intermediates either
+        # way by mixing channels before routing)
+        proj = {"h0": _apply(lp["w0"], h), "h1": _apply(lp["w1"], h)}
+        if cfg.l_max >= 2:
+            proj["h2"] = _apply(lp["w2"], h)
+        if cfg.l_max >= 3:
+            proj["h3"] = _apply(lp["w3"], h)
+        if eq:
+            proj["v0"] = jnp.einsum("nfx,fg->ngx", v_feat, lp["w0v"]["w"])
+            proj["v1"] = jnp.einsum("nfx,fg->ngx", v_feat, lp["w1v"]["w"])
+            if t_feat is not None:
+                proj["t1"] = jnp.einsum("nfab,fg->ngab", t_feat, lp["w1t"]["w"])
+                proj["v2"] = jnp.einsum("nfx,fg->ngx", v_feat, lp["w2v"]["w"])
+                proj["t2n"] = jnp.einsum("nfab,fg->ngab", t_feat, lp["w2t"]["w"])
+        rj = route(proj)
+
         r0 = _apply(lp["rad0"], rbf)                                  # (N, M, F)
         r1 = _apply(lp["rad1"], rbf)
-        hj0 = _apply(lp["w0"], h)[nbr_j]                              # (N, M, F)
-        hj1 = _apply(lp["w1"], h)[nbr_j]
-        a0 = jnp.sum(r0 * hj0 * fmask, axis=1)                        # (N, F)
-        a1 = jnp.sum((r1 * hj1 * fmask)[..., None] * unit[:, :, None, :], axis=1)
+        a0 = jnp.sum(r0 * rj["h0"] * fmask, axis=1)                   # (N, F)
+        a1 = jnp.sum((r1 * rj["h1"] * fmask)[..., None] * unit[:, :, None, :], axis=1)
         if eq:
-            # CG paths from the neighbors' vector features (mix channels at
-            # the node, then gather — avoids (N, M, F, F) intermediates)
-            v0 = jnp.einsum("nfx,fg->ngx", v_feat, lp["w0v"]["w"])[nbr_j]   # (N,M,F,3)
-            v1 = jnp.einsum("nfx,fg->ngx", v_feat, lp["w1v"]["w"])[nbr_j]
             r0v = _apply(lp["rad0v"], rbf) * fmask                    # (N, M, F)
             r1v = (_apply(lp["rad1v"], rbf) * fmask)[..., None]
-            a0 = a0 + jnp.sum(r0v * jnp.sum(v0 * unit[:, :, None, :], -1), axis=1)
-            a1 = a1 + jnp.sum(r1v * v1, axis=1)
+            a0 = a0 + jnp.sum(r0v * jnp.sum(rj["v0"] * unit[:, :, None, :], -1), axis=1)
+            a1 = a1 + jnp.sum(r1v * rj["v1"], axis=1)
             if t_feat is not None:
-                t1 = jnp.einsum("nfab,fg->ngab", t_feat, lp["w1t"]["w"])[nbr_j]
                 r1t = (_apply(lp["rad1t"], rbf) * fmask)[..., None]
-                a1 = a1 + jnp.sum(r1t * jnp.einsum("nmfab,nmb->nmfa", t1, unit), axis=1)
+                a1 = a1 + jnp.sum(
+                    r1t * jnp.einsum("nmfab,nmb->nmfa", rj["t1"], unit), axis=1)
         a1n2 = jnp.sum(a1 * a1, axis=-1)                              # (N, F) |A1|^2
         feats = [a0, a0 * a0, a0**3, a1n2, a0 * a1n2]
         t2 = None
         if cfg.l_max >= 2:
             r2 = _apply(lp["rad2"], rbf)
-            hj2 = _apply(lp["w2"], h)[nbr_j]
-            w2 = (r2 * hj2 * fmask)[..., None, None]                  # (N, M, F, 1, 1)
+            w2 = (r2 * rj["h2"] * fmask)[..., None, None]             # (N, M, F, 1, 1)
             t2 = jnp.sum(w2 * y2[:, :, None, :, :], axis=1)           # (N, F, 3, 3)
             if eq:
                 # 1 x 1 -> 2: symmetric-traceless (V_j o rhat)
-                v2 = jnp.einsum("nfx,fg->ngx", v_feat, lp["w2v"]["w"])[nbr_j]
+                v2 = rj["v2"]
                 r2v = (_apply(lp["rad2v"], rbf) * fmask)[..., None, None]
                 outer = 0.5 * (
                     v2[..., :, None] * unit[:, :, None, None, :]
@@ -253,9 +301,8 @@ def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts)
                 outer = outer - (trce[..., None, None] / 3.0) * eye3
                 t2 = t2 + jnp.sum(r2v * outer, axis=1)
                 # 2 x 0 -> 2: neighbor tensor features carried through
-                tjm = jnp.einsum("nfab,fg->ngab", t_feat, lp["w2t"]["w"])[nbr_j]
                 r2t = (_apply(lp["rad2t"], rbf) * fmask)[..., None, None]
-                t2 = t2 + jnp.sum(r2t * tjm, axis=1)
+                t2 = t2 + jnp.sum(r2t * rj["t2n"], axis=1)
             # nu=2: tr(T^2); nu=3: A0 tr(T^2), A1.T.A1, tr(T^3)
             t2n2 = jnp.sum(t2 * t2, axis=(-2, -1))                    # (N, F)
             v_t_v = jnp.einsum("nfa,nfab,nfb->nf", a1, t2, a1)
@@ -266,8 +313,7 @@ def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts)
             # at l=2) and its exact invariants up to nu=3:
             #   |A3|^2, A0 |A3|^2, A3:A1:T (3x1x2 -> 0), A3:A3:T
             r3 = _apply(lp["rad3"], rbf)
-            hj3 = _apply(lp["w3"], h)[nbr_j]
-            w3 = (r3 * hj3 * fmask)[..., None, None, None]            # (N,M,F,1,1,1)
+            w3 = (r3 * rj["h3"] * fmask)[..., None, None, None]       # (N,M,F,1,1,1)
             a3 = jnp.sum(w3 * y3[:, :, None, :, :, :], axis=1)        # (N,F,3,3,3)
             a3n2 = jnp.sum(a3 * a3, axis=(-3, -2, -1))                # (N, F)
             feats += [a3n2, a0 * a3n2]

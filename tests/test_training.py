@@ -450,3 +450,39 @@ def test_mptrj_magmom_finetune_path():
             TrainConfig(magmom_weight=0.5, epochs=3, learning_rate=3e-3),
             apply_fn=chgnet_apply)
         assert np.isfinite(hist[-1]) and hist[-1] < hist[0]
+
+
+def test_mace_dense_routing_matches_gather():
+    """MACE's "dense" message_mode (one one-hot MXU matmul routing every
+    neighbor feature of a layer) must reproduce the "gather" formulation
+    exactly — energies AND position-grads — in the fullest config (l_max=3
+    + equivariant messages, so all 9 routed tensors are exercised)."""
+    import dataclasses
+
+    from surface_sampling_tpu.models.mace import MACEConfig, init_mace, mace_apply
+
+    rng = np.random.default_rng(4)
+    n = 14
+    cell = np.eye(3) * 7.5
+    pos = rng.uniform(1.0, 6.5, (n, 3))
+    nums = jnp.asarray(rng.integers(1, 30, n), jnp.int32)
+    alive = jnp.asarray(rng.uniform(size=n) > 0.15)
+    shifts = jnp.concatenate(
+        [jnp.zeros((1, 3))]
+        + [jnp.asarray(cell[None, i] * s, jnp.float32)
+           for i in range(2) for s in (1, -1)])
+    cfg_g = MACEConfig(feat_dim=16, n_rbf=6, cutoff=5.0, n_layers=2,
+                       max_neighbors=10, l_max=3, equivariant_messages=True,
+                       message_mode="gather")
+    cfg_d = dataclasses.replace(cfg_g, message_mode="dense")
+    params = init_mace(jax.random.PRNGKey(7), cfg_g)
+    pos = jnp.asarray(pos, jnp.float32)
+
+    def e_of(cfg):
+        return lambda p: mace_apply(params, cfg, p, nums, alive, shifts)["energy"]
+
+    e_g, g_g = jax.value_and_grad(e_of(cfg_g))(pos)
+    e_d, g_d = jax.value_and_grad(e_of(cfg_d))(pos)
+    np.testing.assert_allclose(float(e_g), float(e_d), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_d),
+                               rtol=1e-5, atol=1e-5)

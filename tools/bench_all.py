@@ -132,10 +132,116 @@ def bench_painn_relaxed():
     return _throughput(sys.run, 16)
 
 
+def bench_mace():
+    """MACE-family MC throughput (random-init weights — the reference
+    ships none; shapes/architecture are what costs): Cu(100) slab,
+    l_max=2 invariant model, dense one-hot routing on TPU."""
+    from surface_sampling_tpu.core import MCMCRun, make_spec
+    from surface_sampling_tpu.models.mace import (
+        MACEConfig,
+        init_mace,
+        make_mace_potential,
+    )
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+    slab = fcc100("Cu", size=(3, 3, 3), a=3.6147, vacuum=12.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.8)["all"]
+    cfg = MACEConfig(feat_dim=64, n_rbf=8, cutoff=5.0, n_layers=2,
+                     max_neighbors=48)
+    params = init_mace(jax.random.PRNGKey(0), cfg)
+    pot = make_mace_potential(params, cfg, [29])
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29],
+                     cutoff=cfg.cutoff, surface_name="Cu_100_mace")
+    return _throughput(MCMCRun(spec, pot), 64)
+
+
 def bench_chgnet():
     from surface_sampling_tpu.systems import lamno3_001_chgnet
 
     return _throughput(lamno3_001_chgnet().run, 64)
+
+
+def _train_throughput(params, cfg, loss_fn, slab_npz, batch_size, iters):
+    """Shared fine-tune-step timer: B jittered frames of the fixture slab,
+    energy+force loss -> grads through the fused kernels' custom VJPs ->
+    one adam update. Unit: training structures/s (labels are synthetic;
+    shapes are what costs)."""
+    import numpy as np
+    import optax
+
+    from surface_sampling_tpu.models.train import pad_structures
+    from surface_sampling_tpu.structure.atoms import Structure
+
+    cutoff = getattr(cfg, "cutoff", None) or cfg.atom_graph_cutoff
+    data = np.load(slab_npz)
+    rng = np.random.default_rng(0)
+    structures, energies, forces = [], [], []
+    for _ in range(batch_size):
+        pos = data["positions"] + rng.normal(0, 0.03, data["positions"].shape)
+        structures.append(Structure(data["numbers"], pos, data["cell"]))
+        energies.append(0.0)
+        forces.append(np.zeros_like(pos))
+    batch = pad_structures(structures, energies, forces, cutoff)
+    batch = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32)
+                         if x.dtype.kind == "f" else jnp.asarray(x), batch)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, g = jax.value_and_grad(loss_fn)(params, batch)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "chains": batch_size,
+        "evals_per_sec": round(batch_size / dt, 1),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_painn_train(batch_size: int = 16, iters: int = 10):
+    """PaiNN fine-tune step throughput on the flagship SrTiO3 slab."""
+    from pathlib import Path
+
+    from surface_sampling_tpu.models.convert_nff import load_params_npz
+    from surface_sampling_tpu.models.train import TrainConfig, make_loss_fn
+    import surface_sampling_tpu.systems as systems
+
+    base = Path(systems.__file__).parent
+    params, cfg = load_params_npz(base / "models" / "data" / "srtio3_painn_01.npz")
+    loss_fn = make_loss_fn(cfg, TrainConfig())
+    return _train_throughput(params, cfg, loss_fn,
+                             base / "systems_data" / "SrTiO3_001_2x2.npz",
+                             batch_size, iters)
+
+
+def bench_chgnet_train(batch_size: int = 8, iters: int = 10):
+    """CHGNet fine-tune step throughput on the LaMnO3 slab (efm targets)."""
+    from pathlib import Path
+
+    from surface_sampling_tpu.models.chgnet import chgnet_apply
+    from surface_sampling_tpu.models.convert_chgnet import load_chgnet_npz
+    from surface_sampling_tpu.models.train import TrainConfig, make_loss_fn
+    import surface_sampling_tpu.systems as systems
+
+    base = Path(systems.__file__).parent
+    params, cfg = load_chgnet_npz(base / "models" / "data" / "lamno3_chgnet.npz")
+    loss_fn = make_loss_fn(cfg, TrainConfig(), apply_fn=chgnet_apply)
+    return _train_throughput(params, cfg, loss_fn,
+                             base / "systems_data" / "LaMnO3_001_2x2x3.npz",
+                             batch_size, iters)
 
 
 FAMILIES = {
@@ -149,7 +255,10 @@ FAMILIES = {
     "si_sw_rigid": bench_si_sw_rigid,
     "painn": bench_painn,
     "painn_relaxed": bench_painn_relaxed,
+    "painn_train": bench_painn_train,
     "chgnet": bench_chgnet,
+    "chgnet_train": bench_chgnet_train,
+    "mace": bench_mace,
 }
 
 
