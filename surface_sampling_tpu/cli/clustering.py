@@ -72,7 +72,11 @@ def main(argv=None) -> None:
     ap.add_argument("--metric", choices=["force_std", "energy", "gmm", "random"],
                     default="force_std")
     ap.add_argument("--out", default="clustering_out")
+    from surface_sampling_tpu.cli.platform import add_platform_arg, force_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args(argv)
+    force_platform(args.platform)
 
     from surface_sampling_tpu.analysis import perform_clustering, select_data_and_save
     from surface_sampling_tpu.utils.misc import load_structures_any

@@ -61,7 +61,11 @@ def main(argv=None) -> None:
     ap.add_argument("--relax-steps", type=int, default=20)
     ap.add_argument("--fmax", type=float, default=0.01)
     ap.add_argument("--out", default="surface_formation_entries.json")
+    from surface_sampling_tpu.cli.platform import add_platform_arg, force_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args(argv)
+    force_platform(args.platform)
 
     import jax.numpy as jnp
 

@@ -28,7 +28,11 @@ def main(argv=None) -> None:
     ap.add_argument("--base-dir", default=None)
     ap.add_argument("--resume", default=None, metavar="CKPT",
                     help="checkpoint.npz (or run folder) to resume from")
+    from surface_sampling_tpu.cli.platform import add_platform_arg, force_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args(argv)
+    force_platform(args.platform)
 
     from surface_sampling_tpu.cli.common import (
         build_potential,

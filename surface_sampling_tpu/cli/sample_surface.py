@@ -26,7 +26,11 @@ def main(argv=None) -> None:
                     help="checkpoint.npz (or run folder) to resume from; "
                          "total_sweeps is the full target, only the remaining "
                          "sweeps run (exact continuation incl. PRNG keys)")
+    from surface_sampling_tpu.cli.platform import add_platform_arg, force_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args(argv)
+    force_platform(args.platform)
 
     from surface_sampling_tpu.cli.common import (
         assemble_system,

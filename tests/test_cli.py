@@ -656,3 +656,20 @@ def test_cli_error_handling(cu_setup, tmp_path):
     with pytest.raises(ValueError, match="chains"):
         main(["--settings", str(sp), "--slab", str(slab_path),
               "--resume", str(tmp_path / "run_mm")])
+
+
+def test_platform_flag(cu_setup):
+    """--platform cpu pins the backend for a CLI run (the supported way
+    to smoke-run on a TPU host; env JAX_PLATFORMS is ignored by
+    axon-style plugins). Under the test conftest the platform is already
+    cpu, so this verifies the flag routes through force_platform and the
+    run still completes."""
+    import jax
+
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(settings_path), "--slab", str(slab_path),
+          "--platform", "cpu"])
+    assert jax.default_backend() == "cpu"
+    assert (tmp_path / "run" / "stats.csv").exists()
