@@ -308,6 +308,18 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         )
         potential = make_chgnet_potential(static_nbr=nbr, **chgnet_args)
 
+    # MACE gets the same static-candidate upgrade
+    mace_args = getattr(potential, "__dict__", {}).get("mace_args")
+    if mace_args is not None and calc_s.get("fast", True):
+        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+        from surface_sampling_tpu.models.mace import make_mace_potential
+
+        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
+        nbr = build_static_neighbor_table(
+            spec, mace_args["cfg"].cutoff, relax_slack=slack
+        )
+        potential = make_mace_potential(static_nbr=nbr, **mace_args)
+
     if surface_energy_fn is None and calc_s.get("offset", False):
         offset_data = calc_s["offset_data"]
         if isinstance(offset_data, str):

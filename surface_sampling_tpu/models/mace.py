@@ -218,18 +218,26 @@ def _make_router(nbr_j, n_atoms: int, mode: str, dtype):
     return route
 
 
-def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts):
+def mace_apply(params, cfg: MACEConfig, positions, numbers, alive, shifts,
+               edges=None):
     """Forward; returns per-atom energies, total energy, embeddings.
-    Matmuls run at true f32 precision (see painn_apply's rationale)."""
+    Matmuls run at true f32 precision (see painn_apply's rationale).
+    ``edges``: optional precomputed (disp, r, nbr_j, nbr_mask, overflow)
+    from a static candidate-pair table (ops.neighbors.make_table_edge_fn)
+    — the MC hot path."""
     with jax.default_matmul_precision("float32"):
-        return _mace_apply_impl(params, cfg, positions, numbers, alive, shifts)
+        return _mace_apply_impl(params, cfg, positions, numbers, alive, shifts,
+                                edges)
 
 
-def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts):
+def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts,
+                     edges=None):
     params = jax.tree.map(jnp.asarray, params)
     dtype = positions.dtype
-    disp, r, nbr_j, nbr_mask, overflow = neighbor_list(
-        positions, shifts, alive, cfg.cutoff, cfg.max_neighbors
+    disp, r, nbr_j, nbr_mask, overflow = (
+        edges if edges is not None
+        else neighbor_list(positions, shifts, alive, cfg.cutoff,
+                           cfg.max_neighbors)
     )
     fmask = nbr_mask.astype(dtype)[..., None]
     unit = disp / jnp.maximum(r, 1e-8)[..., None]
@@ -347,17 +355,28 @@ def _mace_apply_impl(params, cfg: MACEConfig, positions, numbers, alive, shifts)
     return {"per_atom_energy": e_atom, "energy": total, "embedding": h}
 
 
-def make_mace_potential(params, cfg: MACEConfig, type_numbers, units: str = "eV"):
-    """Wrap MACE-style model as a framework Potential."""
+def make_mace_potential(params, cfg: MACEConfig, type_numbers, units: str = "eV",
+                        static_nbr=None):
+    """Wrap MACE-style model as a framework Potential. ``static_nbr``
+    ranks the spec's candidate pairs instead of searching all image
+    pairs (MC hot paths; see make_painn_potential)."""
     from surface_sampling_tpu.models.nn_calculator import UNIT_FACTORS
     from surface_sampling_tpu.potentials.base import Potential
 
     factor = UNIT_FACTORS[units]
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
+    if static_nbr is not None:
+        from surface_sampling_tpu.ops.neighbors import make_table_edge_fn
+
+        edge_fn = make_table_edge_fn(static_nbr, cfg.cutoff, cfg.max_neighbors)
+    else:
+        edge_fn = None
 
     def outputs(positions, type_idx, alive, shifts):
         nums = znums[type_idx] * alive.astype(jnp.int32)
-        return mace_apply(params, cfg, positions, nums, alive, shifts)
+        edges = edge_fn(positions, alive) if edge_fn is not None else None
+        return mace_apply(params, cfg, positions, nums, alive, shifts,
+                          edges=edges)
 
     def energy(positions, type_idx, alive, shifts):
         return outputs(positions, type_idx, alive, shifts)["energy"] * factor
@@ -368,6 +387,13 @@ def make_mace_potential(params, cfg: MACEConfig, type_numbers, units: str = "eV"
     pot = Potential(energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff,
                     name="mace")
     pot.__dict__["outputs"] = outputs
+    if static_nbr is None:
+        # rebuild hook: cli.common.assemble_system re-invokes with the
+        # spec's static candidate table once the spec exists (same
+        # mechanism as painn_args / chgnet_args)
+        pot.__dict__["mace_args"] = dict(
+            params=params, cfg=cfg, type_numbers=type_numbers, units=units
+        )
     return pot
 
 

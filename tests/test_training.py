@@ -486,3 +486,50 @@ def test_mace_dense_routing_matches_gather():
     np.testing.assert_allclose(float(e_g), float(e_d), rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mace_static_table_matches_dynamic():
+    """make_mace_potential(static_nbr=...) (the MC hot path: candidate-
+    pair table instead of the all-image neighbor search) must match the
+    dynamic path on realized slot geometries."""
+    from surface_sampling_tpu.core import make_spec
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.core.static_neighbors import (
+        build_static_neighbor_table,
+    )
+    from surface_sampling_tpu.models.mace import (
+        MACEConfig,
+        init_mace,
+        make_mace_potential,
+    )
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.structure.sites import find_adsorption_sites
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=10.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.8)["all"]
+    cfg = MACEConfig(feat_dim=16, n_rbf=6, cutoff=5.0, n_layers=2,
+                     max_neighbors=24)
+    params = init_mace(jax.random.PRNGKey(2), cfg)
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29],
+                     cutoff=cfg.cutoff, surface_name="cu_mace")
+    tbl = build_static_neighbor_table(spec, cfg.cutoff, relax_slack=0.05)
+    pot_dyn = make_mace_potential(params, cfg, [29])
+    pot_tbl = make_mace_potential(params, cfg, [29], static_nbr=tbl)
+    assert "mace_args" in pot_dyn.__dict__ and "mace_args" not in pot_tbl.__dict__
+
+    from surface_sampling_tpu.core.state import device_spec
+
+    d = device_spec(spec)
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        ss = jnp.asarray(rng.integers(0, 2, spec.n_sites), jnp.int32)
+        pos = realize_positions(d, ss)
+        ti = realize_type_idx(d, ss)
+        alive = realize_alive(d, ss)
+        e_d = float(pot_dyn.energy(pos, ti, alive, d.shifts))
+        e_t = float(pot_tbl.energy(pos, ti, alive, d.shifts))
+        np.testing.assert_allclose(e_d, e_t, rtol=1e-6, atol=1e-5)

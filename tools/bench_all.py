@@ -145,14 +145,17 @@ def bench_mace():
     from surface_sampling_tpu.structure.slabs import fcc100
     from surface_sampling_tpu.structure.sites import find_adsorption_sites
 
+    from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+
     slab = fcc100("Cu", size=(3, 3, 3), a=3.6147, vacuum=12.0)
     sites = find_adsorption_sites(slab, planar_distance=1.8)["all"]
     cfg = MACEConfig(feat_dim=64, n_rbf=8, cutoff=5.0, n_layers=2,
                      max_neighbors=48)
     params = init_mace(jax.random.PRNGKey(0), cfg)
-    pot = make_mace_potential(params, cfg, [29])
     spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29],
                      cutoff=cfg.cutoff, surface_name="Cu_100_mace")
+    nbr = build_static_neighbor_table(spec, cfg.cutoff, relax_slack=0.1)
+    pot = make_mace_potential(params, cfg, [29], static_nbr=nbr)
     return _throughput(MCMCRun(spec, pot), 64)
 
 
