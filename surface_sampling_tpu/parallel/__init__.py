@@ -13,6 +13,8 @@ citizens:
     free);
   * ensemble parallelism — the NN-ensemble weight axis vmapped and
     shardable over a second mesh axis (models/ensemble.py);
+  * sharded fine-tuning  — data-parallel (one grad pmean per step) and
+    member-parallel (zero-collective) train steps (training.py);
   * multi-pod scaling    — hierarchical (pod x chip) meshes where the
     inner axis rides ICI and only scheduled, infrequent exchanges cross
     DCN (mesh.pod_mesh, chains.make_hierarchical_chain_run,
@@ -30,14 +32,22 @@ from surface_sampling_tpu.parallel.tempering import (
     make_tempered_run,
     temperature_ladder,
 )
+from surface_sampling_tpu.parallel.training import (
+    make_ensemble_sharded_train_step,
+    make_sharded_train_step,
+    train_sharded,
+)
 
 __all__ = [
     "chain_states",
     "chain_mesh",
     "make_chain_run",
+    "make_ensemble_sharded_train_step",
     "make_hierarchical_chain_run",
     "make_sharded_chain_run",
+    "make_sharded_train_step",
     "make_tempered_run",
     "pod_mesh",
     "temperature_ladder",
+    "train_sharded",
 ]

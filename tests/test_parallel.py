@@ -257,3 +257,132 @@ def test_dcn_tempering_boundary_pairs_do_exchange():
     crossed = any((o // pod) != (i // pod) for i, o in enumerate(origin))
     assert crossed, "even-parity phase never crossed the pod boundary"
     assert np.all(np.isfinite(np.asarray(recs.energy)))
+
+
+def _tiny_lj_batch(B=8, n=6):
+    """B frames of a tiny LJ gas with self-consistent energy/force labels."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.models.train import pad_structures
+    from surface_sampling_tpu.potentials import make_lennard_jones
+    from surface_sampling_tpu.structure.atoms import Structure
+
+    pot = make_lennard_jones(epsilon=0.4, sigma=2.0, cutoff=6.0)
+    rng = np.random.default_rng(3)
+    shifts = jnp.zeros((1, 3))
+    structures, energies, forces = [], [], []
+    for _ in range(B):
+        pos = rng.uniform(0, 6.0, (n, 3))
+        for _ in range(40):
+            d = pos[:, None] - pos[None, :]
+            r = np.linalg.norm(d, axis=-1) + np.eye(n) * 10
+            if r.min() > 1.8:
+                break
+            i, j = np.unravel_index(np.argmin(r), r.shape)
+            pos[i] += 0.3 * (pos[i] - pos[j]) / max(r[i, j], 0.5)
+        st = Structure.from_symbols(["Ar"] * n, pos, np.eye(3) * 100.0)
+        e, f = pot.energy_and_forces(
+            jnp.asarray(pos, jnp.float32), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool), shifts)
+        structures.append(st)
+        energies.append(float(e))
+        forces.append(np.asarray(f))
+    batch = pad_structures(structures, energies, forces, cutoff=6.0)
+    return jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if np.asarray(x).dtype.kind == "f" else jnp.asarray(x), batch)
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """make_sharded_train_step (batch axis sharded over 8 devices, one
+    grad pmean per step) must reproduce the single-device full-batch
+    update."""
+    import optax
+
+    from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn
+    from surface_sampling_tpu.models.train import TrainConfig, make_loss_fn
+    from surface_sampling_tpu.parallel import chain_mesh, make_sharded_train_step
+
+    cfg = PaiNNConfig(feat_dim=16, n_rbf=6, cutoff=6.0, n_layers=2,
+                      max_neighbors=5)
+    batch = _tiny_lj_batch(B=8)
+    params = init_painn(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_loss_fn(cfg, TrainConfig())
+    opt = optax.adam(1e-3)
+
+    @jax.jit
+    def ref_step(params, opt_state, batch):
+        loss, g = jax.value_and_grad(loss_fn)(params, batch)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    mesh = chain_mesh(8)
+    sstep = make_sharded_train_step(loss_fn, opt, mesh)
+
+    p_ref, s_ref, l_ref = ref_step(params, opt.init(params), batch)
+    p_sh, s_sh, l_sh = sstep(params, opt.init(params), batch)
+    np.testing.assert_allclose(float(l_ref), float(l_sh), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_ensemble_sharded_train_step_matches_vmap():
+    """make_ensemble_sharded_train_step (member axis sharded, zero
+    collectives) must reproduce the vmapped member updates of
+    models/train.train_painn's ensemble mode."""
+    import optax
+
+    from surface_sampling_tpu.models.painn import PaiNNConfig
+    from surface_sampling_tpu.models.train import (
+        TrainConfig,
+        init_ensemble,
+        make_loss_fn,
+    )
+    from surface_sampling_tpu.parallel import (
+        chain_mesh,
+        make_ensemble_sharded_train_step,
+    )
+
+    cfg = PaiNNConfig(feat_dim=16, n_rbf=6, cutoff=6.0, n_layers=2,
+                      max_neighbors=5)
+    batch = _tiny_lj_batch(B=4)
+    params = init_ensemble(jax.random.PRNGKey(1), cfg, 8)
+    loss_fn = make_loss_fn(cfg, TrainConfig())
+    opt = optax.adam(1e-3)
+    opt_state = jax.vmap(opt.init)(params)
+
+    @jax.jit
+    def ref_step(params, opt_state, batch):
+        def member_update(p, s):
+            loss, g = jax.value_and_grad(loss_fn)(p, batch)
+            upd, s = opt.update(g, s, p)
+            return optax.apply_updates(p, upd), s, loss
+
+        return jax.vmap(member_update)(params, opt_state)
+
+    mesh = chain_mesh(8)
+    sstep = make_ensemble_sharded_train_step(loss_fn, opt, mesh)
+    p_ref, _, l_ref = ref_step(params, opt_state, batch)
+    p_sh, _, l_sh = sstep(params, opt_state, batch)
+    np.testing.assert_allclose(np.asarray(l_ref), np.asarray(l_sh),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_sharded_reduces_loss():
+    """The epoch-loop wrapper trains end-to-end on the mesh."""
+    from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn
+    from surface_sampling_tpu.models.train import TrainConfig
+    from surface_sampling_tpu.parallel import chain_mesh, train_sharded
+
+    cfg = PaiNNConfig(feat_dim=16, n_rbf=6, cutoff=6.0, n_layers=2,
+                      max_neighbors=5)
+    batch = _tiny_lj_batch(B=8)
+    params = init_painn(jax.random.PRNGKey(2), cfg)
+    params, hist = train_sharded(
+        params, cfg, [batch], TrainConfig(epochs=30, learning_rate=3e-3),
+        mesh=chain_mesh(8))
+    assert hist[-1] < 0.7 * hist[0]
