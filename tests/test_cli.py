@@ -673,3 +673,68 @@ def test_platform_flag(cu_setup):
           "--platform", "cpu"])
     assert jax.default_backend() == "cpu"
     assert (tmp_path / "run" / "stats.csv").exists()
+
+
+def test_finetune_cli_end_to_end(tmp_path):
+    """sst-finetune: labelled JSON -> trained PaiNN npz + history.csv; the
+    checkpoint round-trips through the painn loader (the sampling CLIs'
+    calc_settings.model_paths format)."""
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.cli.finetune import main
+    from surface_sampling_tpu.potentials import make_lennard_jones
+    from surface_sampling_tpu.structure.atoms import Structure
+
+    pot = make_lennard_jones(epsilon=0.4, sigma=2.0, cutoff=6.0)
+    rng = np.random.default_rng(5)
+    shifts = jnp.zeros((1, 3))
+    records = []
+    for _ in range(10):
+        n = 5
+        pos = rng.uniform(0, 5.0, (n, 3))
+        for _ in range(40):
+            d = pos[:, None] - pos[None, :]
+            r = np.linalg.norm(d, axis=-1) + np.eye(n) * 10
+            if r.min() > 1.8:
+                break
+            i, j = np.unravel_index(np.argmin(r), r.shape)
+            pos[i] += 0.3 * (pos[i] - pos[j]) / max(r[i, j], 0.5)
+        e, f = pot.energy_and_forces(jnp.asarray(pos, jnp.float32),
+                                     jnp.zeros(n, jnp.int32),
+                                     jnp.ones(n, bool), shifts)
+        records.append({"numbers": [18] * n, "positions": pos.tolist(),
+                        "cell": (np.eye(3) * 100.0).tolist(),
+                        "energy": float(e), "forces": np.asarray(f).tolist()})
+    data = tmp_path / "labelled.json"
+    data.write_text(json.dumps(records))
+    cfgj = tmp_path / "cfg.json"
+    cfgj.write_text(json.dumps({"feat_dim": 16, "n_rbf": 6, "cutoff": 6.0,
+                                "n_layers": 2, "max_neighbors": 5}))
+
+    out = tmp_path / "ft"
+    main(["--data", str(data), "--family", "painn", "--config", str(cfgj),
+          "--epochs", "25", "--lr", "3e-3", "--batch-size", "4",
+          "--out", str(out), "--seed", "0"])
+    assert (out / "model.npz").exists() and (out / "history.csv").exists()
+    hist = [float(r.split(",")[1]) for r in
+            (out / "history.csv").read_text().splitlines()[1:]]
+    assert hist[-1] < hist[0]
+
+    from surface_sampling_tpu.models.convert_nff import load_params_npz
+
+    params, cfg = load_params_npz(out / "model.npz")
+    assert cfg.feat_dim == 16
+
+    # mesh path: data-parallel over the virtual 8-device mesh
+    out2 = tmp_path / "ft_mesh"
+    main(["--data", str(data), "--family", "painn", "--config", str(cfgj),
+          "--epochs", "3", "--batch-size", "8", "--train-ratio", "0.8",
+          "--val-ratio", "0.1", "--mesh", "8", "--out", str(out2)])
+    assert (out2 / "model.npz").exists()
+
+    # ensemble path
+    out3 = tmp_path / "ft_ens"
+    main(["--data", str(data), "--family", "painn", "--config", str(cfgj),
+          "--epochs", "3", "--batch-size", "4", "--ensemble", "2",
+          "--out", str(out3)])
+    assert (out3 / "model_01.npz").exists() and (out3 / "model_02.npz").exists()
