@@ -125,6 +125,14 @@ class RelaxConfig:
     fmax: float = 0.01
     max_step: float = 0.2
     method: str = "fire"          # fire | lbfgs
+    # neighbor policy inside the relax loop: "once" refreshes the edge
+    # TOPOLOGY at the start of each relaxation and recomputes only the
+    # geometry per force call (the reference's behavior — dynamics.py:129
+    # builds the list per relaxation, not per force call); "every_step"
+    # re-ranks the candidate pairs at every force evaluation. "once"
+    # applies when the relaxing potential exposes the topology hooks
+    # (NN potentials built with static_nbr); others always re-search.
+    refresh_edges: str = "once"   # once | every_step
 
 
 @dataclass(frozen=True)
@@ -243,12 +251,37 @@ def make_state_energy_fn(
         else:
             free = realize_free_mask(d, site_state)
             relaxer = fire_relax if relax.method == "fire" else _lbfgs
-            relax_e_of = e_of if relax_potential is None else make_e_of(relax_potential)
+            relax_pot = potential if relax_potential is None else relax_potential
+            hooks = getattr(relax_pot, "__dict__", {})
+            fixed_topo = (
+                relax.refresh_edges == "once"
+                and symmetric is None
+                and "edge_topology" in hooks
+            )
+            if fixed_topo:
+                # reference neighbor semantics (dynamics.py:129): select
+                # the edge topology once at the start geometry; each FIRE
+                # force call only recomputes distances/units under it
+                topo = hooks["edge_topology"](pos0, alive)
+
+                def relax_e_of(p):
+                    return hooks["energy_with_edges"](
+                        p, type_idx, alive, d.shifts,
+                        edges=hooks["edges_of"](p, topo),
+                    )
+
+            else:
+                relax_e_of = (
+                    e_of if relax_potential is None else make_e_of(relax_potential)
+                )
             res = relaxer(relax_e_of, pos0, free, fire_cfg)
             pos, oob = res.positions, res.oob
-            if relax_potential is None:
+            if relax_potential is None and not fixed_topo:
                 e_pot = res.energy
             else:
+                # fresh-edge acceptance energy (always `potential`, always
+                # the standard edge path) so relaxed and unrelaxed states
+                # are scored by the identical evaluator
                 e_pot = e_of(pos)
                 oob = oob | (jnp.abs(e_pot) > e_bound) | jnp.isnan(e_pot)
                 e_pot = jnp.where(oob, e_bound, e_pot)

@@ -366,20 +366,28 @@ def make_mace_potential(params, cfg: MACEConfig, type_numbers, units: str = "eV"
     factor = UNIT_FACTORS[units]
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
     if static_nbr is not None:
-        from surface_sampling_tpu.ops.neighbors import make_table_edge_fn
+        from surface_sampling_tpu.ops.neighbors import (
+            make_table_edge_fn,
+            make_table_topology_fns,
+        )
 
         edge_fn = make_table_edge_fn(static_nbr, cfg.cutoff, cfg.max_neighbors)
+        topo_fn, geom_fn = make_table_topology_fns(
+            static_nbr, cfg.cutoff, cfg.max_neighbors
+        )
     else:
-        edge_fn = None
+        edge_fn = topo_fn = geom_fn = None
 
-    def outputs(positions, type_idx, alive, shifts):
+    def outputs(positions, type_idx, alive, shifts, edges=None):
         nums = znums[type_idx] * alive.astype(jnp.int32)
-        edges = edge_fn(positions, alive) if edge_fn is not None else None
+        if edges is None:
+            edges = edge_fn(positions, alive) if edge_fn is not None else None
         return mace_apply(params, cfg, positions, nums, alive, shifts,
                           edges=edges)
 
-    def energy(positions, type_idx, alive, shifts):
-        return outputs(positions, type_idx, alive, shifts)["energy"] * factor
+    def energy(positions, type_idx, alive, shifts, edges=None):
+        return outputs(positions, type_idx, alive, shifts,
+                       edges=edges)["energy"] * factor
 
     def per_atom(positions, type_idx, alive, shifts):
         return outputs(positions, type_idx, alive, shifts)["per_atom_energy"] * factor
@@ -387,6 +395,10 @@ def make_mace_potential(params, cfg: MACEConfig, type_numbers, units: str = "eV"
     pot = Potential(energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff,
                     name="mace")
     pot.__dict__["outputs"] = outputs
+    if topo_fn is not None:
+        pot.__dict__["edge_topology"] = topo_fn
+        pot.__dict__["edges_of"] = geom_fn
+        pot.__dict__["energy_with_edges"] = energy
     if static_nbr is None:
         # rebuild hook: cli.common.assemble_system re-invokes with the
         # spec's static candidate table once the spec exists (same

@@ -54,11 +54,17 @@ def make_painn_potential(
     """
     factor = UNIT_FACTORS[units]
     if static_nbr is not None:
-        from surface_sampling_tpu.ops.neighbors import make_table_edge_fn
+        from surface_sampling_tpu.ops.neighbors import (
+            make_table_edge_fn,
+            make_table_topology_fns,
+        )
 
         edge_fn = make_table_edge_fn(static_nbr, cfg.cutoff, cfg.max_neighbors)
+        topo_fn, geom_fn = make_table_topology_fns(
+            static_nbr, cfg.cutoff, cfg.max_neighbors
+        )
     else:
-        edge_fn = None
+        edge_fn = topo_fn = geom_fn = None
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
     if stoidict is not None:
         per_type = np.array(
@@ -75,17 +81,19 @@ def make_painn_potential(
         per_atom_off = per_type_j.astype(dtype)[type_idx] * alive.astype(dtype)
         return jnp.sum(per_atom_off) + jnp.asarray(const_off, dtype)
 
-    def outputs(positions, type_idx, alive, shifts):
+    def outputs(positions, type_idx, alive, shifts, edges=None):
         numbers = znums[type_idx] * alive.astype(jnp.int32)
-        edges = edge_fn(positions, alive) if edge_fn is not None else None
+        if edges is None:
+            edges = edge_fn(positions, alive) if edge_fn is not None else None
         if ensemble:
             return ensemble_apply(params, cfg, positions, numbers, alive, shifts,
                                   edges=edges)
         return painn_apply(params, cfg, positions, numbers, alive, shifts,
                            edges=edges)
 
-    def energy(positions, type_idx, alive, shifts):
-        e = outputs(positions, type_idx, alive, shifts)["energy"] * factor
+    def energy(positions, type_idx, alive, shifts, edges=None):
+        e = outputs(positions, type_idx, alive, shifts,
+                    edges=edges)["energy"] * factor
         return e + comp_offset(type_idx, alive, positions.dtype)
 
     def per_atom(positions, type_idx, alive, shifts):
@@ -98,6 +106,13 @@ def make_painn_potential(
         energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff, name="painn"
     )
     pot.__dict__["outputs"] = outputs  # embeddings/std for analysis layers
+    if topo_fn is not None:
+        # relax-loop hooks: refresh the edge TOPOLOGY once per relaxation
+        # (reference dynamics.py:129 semantics), recompute geometry per
+        # force call (core/energy.py RelaxConfig.refresh_edges="once")
+        pot.__dict__["edge_topology"] = topo_fn
+        pot.__dict__["edges_of"] = geom_fn
+        pot.__dict__["energy_with_edges"] = energy
     if static_nbr is None:
         # rebuild hook: cli.common.assemble_system re-invokes with the
         # spec's static candidate table once the spec exists
@@ -120,22 +135,30 @@ def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
     factor = UNIT_FACTORS[units]
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
     if static_nbr is not None:
-        from surface_sampling_tpu.ops.neighbors import make_table_edge_fn
+        from surface_sampling_tpu.ops.neighbors import (
+            make_table_edge_fn,
+            make_table_topology_fns,
+        )
 
         edge_fn = make_table_edge_fn(
             static_nbr, cfg.atom_graph_cutoff, cfg.max_neighbors
         )
+        topo_fn, geom_fn = make_table_topology_fns(
+            static_nbr, cfg.atom_graph_cutoff, cfg.max_neighbors
+        )
     else:
-        edge_fn = None
+        edge_fn = topo_fn = geom_fn = None
 
-    def outputs(positions, type_idx, alive, shifts):
+    def outputs(positions, type_idx, alive, shifts, edges=None):
         numbers = znums[type_idx] * alive.astype(jnp.int32)
-        edges = edge_fn(positions, alive) if edge_fn is not None else None
+        if edges is None:
+            edges = edge_fn(positions, alive) if edge_fn is not None else None
         return chgnet_apply(params, cfg, positions, numbers, alive, shifts,
                             edges=edges)
 
-    def energy(positions, type_idx, alive, shifts):
-        return outputs(positions, type_idx, alive, shifts)["energy"] * factor
+    def energy(positions, type_idx, alive, shifts, edges=None):
+        return outputs(positions, type_idx, alive, shifts,
+                       edges=edges)["energy"] * factor
 
     def per_atom(positions, type_idx, alive, shifts):
         return outputs(positions, type_idx, alive, shifts)["per_atom_energy"] * factor
@@ -147,6 +170,10 @@ def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
         name="chgnet",
     )
     pot.__dict__["outputs"] = outputs
+    if topo_fn is not None:
+        pot.__dict__["edge_topology"] = topo_fn
+        pot.__dict__["edges_of"] = geom_fn
+        pot.__dict__["energy_with_edges"] = energy
     if static_nbr is None:
         # rebuild hook: cli.common.assemble_system re-invokes with the
         # spec's static candidate table once the spec exists (same

@@ -208,6 +208,93 @@ def neighbor_list_from_table(
     return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
 
 
+def select_edge_topology(
+    positions: jnp.ndarray,
+    alive: jnp.ndarray,
+    slot_j: jnp.ndarray,
+    shift: jnp.ndarray,
+    valid: jnp.ndarray,
+    cutoff: float,
+    max_neighbors: int,
+):
+    """Rank-select the candidate pairs ONCE, keeping per-edge image
+    shifts, so geometry can be recomputed at displaced positions with
+    the topology FIXED — the reference's refresh-per-relaxation neighbor
+    semantics (mcmc/dynamics.py:129: the LAMMPS/ASE list is built at the
+    start of each relaxation, not per force call).
+
+    Returns ``(nbr_j, nbr_shift, nbr_mask, overflow)`` with shapes
+    (N, M) / (N, M, 3) / (N, M) / scalar. Selection is identical to
+    :func:`neighbor_list_from_table` (same rank-select over the same
+    candidates at ``positions``).
+    """
+    N, Mc = slot_j.shape
+    packed = jnp.concatenate(
+        [positions, alive[:, None].astype(positions.dtype)], axis=1
+    )
+    pj = packed[slot_j]
+    disp = positions[:, None, :] - (pj[..., :3] + shift)
+    r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
+    mask = valid & alive[:, None] & (pj[..., 3] > 0.5) & (r < cutoff)
+    max_neighbors = min(max_neighbors, Mc)
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    keep = mask & (rank < max_neighbors)
+    sel = (rank[..., None] == jnp.arange(max_neighbors)) & keep[..., None]
+    payload = jnp.concatenate(
+        [
+            shift,
+            slot_j[..., None].astype(positions.dtype),  # ints exact in f32
+            jnp.ones_like(r)[..., None],                # selected flag
+        ],
+        axis=-1,
+    )                                                            # (N, Mc, 5)
+    out = jnp.einsum(
+        "ncm,ncp->nmp",
+        sel.astype(positions.dtype),
+        payload,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                            # (N, M, 5)
+    nbr_mask = out[..., 4] > 0.5
+    nbr_shift = out[..., :3]
+    nbr_j = out[..., 3].astype(jnp.int32)
+    overflow = jnp.any(jnp.sum(mask, axis=1) > max_neighbors)
+    return nbr_j, nbr_shift, nbr_mask, overflow
+
+
+def edges_from_topology(positions, topology, cutoff: float):
+    """Recompute edge geometry at new ``positions`` under a FIXED
+    topology from :func:`select_edge_topology`. Edges that drift past the
+    cutoff stay in the list with their true distance — every potential's
+    radial envelope vanishes there, matching the reference's fixed-list
+    relaxation behavior."""
+    nbr_j, nbr_shift, nbr_mask, overflow = topology
+    disp = positions[:, None, :] - (positions[nbr_j] + nbr_shift)
+    r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
+    r = jnp.where(nbr_mask, r, cutoff)
+    disp = jnp.where(nbr_mask[..., None], disp, 0.0)
+    return disp, r, nbr_j, nbr_mask, overflow
+
+
+def make_table_topology_fns(static_nbr, cutoff: float, max_neighbors: int):
+    """(topo_fn, geom_fn) pair over a staged static candidate table:
+    ``topo_fn(positions, alive)`` selects the fixed topology once;
+    ``geom_fn(positions, topology)`` rebuilds the edge tuple per force
+    call. Used by the relax loop's refresh_edges="once" mode."""
+    tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
+    tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
+    tbl_valid = jnp.asarray(static_nbr.valid)
+
+    def topo_fn(positions, alive):
+        return select_edge_topology(
+            positions, alive, tbl_j, tbl_shift, tbl_valid, cutoff, max_neighbors
+        )
+
+    def geom_fn(positions, topology):
+        return edges_from_topology(positions, topology, cutoff)
+
+    return topo_fn, geom_fn
+
+
 def make_table_edge_fn(static_nbr, cutoff: float, max_neighbors: int):
     """Close :func:`neighbor_list_from_table` over a staged
     core.static_neighbors.StaticNeighborTable — the shared MC-hot-path

@@ -396,3 +396,84 @@ def test_pallas_message_backward_kernel(routing):
         ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=tol, atol=tol, err_msg=name)
+
+
+def test_edge_topology_roundtrip_matches_table_list():
+    """select_edge_topology + edges_from_topology evaluated at the
+    SELECTION geometry must reproduce neighbor_list_from_table exactly
+    (same rank-select); and at displaced positions the fixed topology
+    must track the geometry (disp/r recomputed, nbr_j/mask frozen)."""
+    from surface_sampling_tpu.core.static_neighbors import (
+        build_static_neighbor_table,
+    )
+    from surface_sampling_tpu.ops.neighbors import (
+        edges_from_topology,
+        neighbor_list_from_table,
+        select_edge_topology,
+    )
+    from surface_sampling_tpu.structure.slabs import fcc100
+    from surface_sampling_tpu.structure.sites import find_adsorption_sites
+    from surface_sampling_tpu.core import make_spec
+    from surface_sampling_tpu.core.state import (
+        device_spec,
+        realize_alive,
+        realize_positions,
+    )
+
+    slab = fcc100("Cu", size=(2, 2, 2), a=3.6147, vacuum=10.0)
+    sites = find_adsorption_sites(slab, planar_distance=1.8)["all"]
+    spec = make_spec(slab, sites, ["Cu"], potential_numbers=[29],
+                     cutoff=5.0, surface_name="cu")
+    tbl = build_static_neighbor_table(spec, 5.0, relax_slack=0.6)
+    d = device_spec(spec)
+    rng = np.random.default_rng(1)
+    ss = jnp.asarray(rng.integers(0, 2, spec.n_sites), jnp.int32)
+    pos = realize_positions(d, ss)
+    alive = realize_alive(d, ss)
+    args = (jnp.asarray(tbl.slot_j, jnp.int32),
+            jnp.asarray(tbl.shift, jnp.float32), jnp.asarray(tbl.valid))
+
+    ref = neighbor_list_from_table(pos, alive, *args, 5.0, 24)
+    topo = select_edge_topology(pos, alive, *args, 5.0, 24)
+    got = edges_from_topology(pos, topo, 5.0)
+    for name, a, b in zip(["disp", "r", "nbr_j", "nbr_mask"], ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=name)
+
+    # displaced: topology frozen, geometry exact
+    delta = jnp.asarray(rng.normal(0, 0.05, pos.shape), pos.dtype)
+    pos2 = pos + delta
+    disp2, r2, nbr_j2, mask2, _ = edges_from_topology(pos2, topo, 5.0)
+    assert np.array_equal(np.asarray(nbr_j2), np.asarray(got[2]))
+    assert np.array_equal(np.asarray(mask2), np.asarray(got[3]))
+    i, m = 3, 0
+    if bool(mask2[i, m]):
+        j = int(nbr_j2[i, m])
+        shift = np.asarray(topo[1])[i, m]
+        expect = np.asarray(pos2)[i] - (np.asarray(pos2)[j] + shift)
+        np.testing.assert_allclose(np.asarray(disp2[i, m]), expect, atol=1e-6)
+
+
+def test_relax_fixed_topology_matches_refreshed():
+    """RelaxConfig.refresh_edges="once" (reference dynamics.py:129
+    semantics — one neighbor build per relaxation) must land on the same
+    relaxed energies as the every-step re-ranking path on the flagship
+    system, and take the hooked code path (static-table PaiNN)."""
+    import dataclasses
+
+    from surface_sampling_tpu.core import RelaxConfig
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    relax_once = RelaxConfig(steps=8, fmax=0.01, refresh_edges="once")
+    relax_every = dataclasses.replace(relax_once, refresh_edges="every_step")
+    sys_once = srtio3_001_painn(relax=relax_once, n_models=1)
+    sys_every = srtio3_001_painn(relax=relax_every, n_models=1)
+    assert "edge_topology" in sys_once.potential.__dict__
+
+    ss = jnp.zeros(sys_once.spec.n_sites, jnp.int32).at[0].set(1)
+    r1 = sys_once.run.state_energy_fn(ss)
+    r2 = sys_every.run.state_energy_fn(ss)
+    assert not bool(r1.oob) and not bool(r2.oob)
+    # same minimum, tiny path differences allowed (meV scale)
+    np.testing.assert_allclose(float(r1.potential_energy),
+                               float(r2.potential_energy), atol=5e-3)
