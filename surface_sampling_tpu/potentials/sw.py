@@ -167,8 +167,10 @@ def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32,
         safe = jnp.where(inside, gap, -1.0)
         return jnp.where(inside, jnp.exp(sig / safe), 0.0)
 
-    def per_atom(positions, type_idx, alive, shifts):
-        disp, r, nbr_j, nbr_mask, _ = edge_fn(positions, alive, shifts)
+    def per_atom(positions, type_idx, alive, shifts, edges=None):
+        disp, r, nbr_j, nbr_mask, _ = (
+            edges if edges is not None else edge_fn(positions, alive, shifts)
+        )
         ti = type_idx[:, None]
         tj = type_idx[nbr_j]
         # ---- two-body (i, j, j) -------------------------------------------
@@ -211,7 +213,19 @@ def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32,
         e3 = 0.5 * jnp.sum(jnp.where(kmask, phi3, 0.0), axis=(1, 2))
         return jnp.where(alive, e2 + e3, 0.0)
 
-    def energy(positions, type_idx, alive, shifts):
-        return jnp.sum(per_atom(positions, type_idx, alive, shifts))
+    def energy(positions, type_idx, alive, shifts, edges=None):
+        return jnp.sum(per_atom(positions, type_idx, alive, shifts, edges=edges))
 
-    return Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="sw")
+    pot = Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="sw")
+    if static_nbr is not None:
+        from surface_sampling_tpu.ops.neighbors import make_table_topology_fns
+
+        topo_fn, geom_fn = make_table_topology_fns(static_nbr, cutoff,
+                                                   max_neighbors)
+        # relax-loop hooks (core/energy.py refresh_edges="once"); the
+        # per-pair a*sig masks vanish at the true cutoffs, so drifted
+        # fixed edges are safe
+        pot.__dict__["edge_topology"] = topo_fn
+        pot.__dict__["edges_of"] = geom_fn
+        pot.__dict__["energy_with_edges"] = energy
+    return pot

@@ -141,8 +141,10 @@ def make_tersoff(tables: TersoffTables, max_neighbors: int = 16, dtype=jnp.float
     def flat3(ti, tj, tk):
         return (ti * T + tj) * T + tk
 
-    def per_atom(positions, type_idx, alive, shifts):
-        disp, r, nbr_j, nbr_mask, _ = edge_fn(positions, alive, shifts)
+    def per_atom(positions, type_idx, alive, shifts, edges=None):
+        disp, r, nbr_j, nbr_mask, _ = (
+            edges if edges is not None else edge_fn(positions, alive, shifts)
+        )
         fmask = nbr_mask.astype(r.dtype)
         ti = type_idx[:, None]                       # (N, 1)
         tj = type_idx[nbr_j]                         # (N, M)
@@ -185,7 +187,20 @@ def make_tersoff(tables: TersoffTables, max_neighbors: int = 16, dtype=jnp.float
         e_pair = 0.5 * fc_ij * (fr + b_ij * fa)
         return jnp.where(alive, jnp.sum(e_pair, axis=1), 0.0)
 
-    def energy(positions, type_idx, alive, shifts):
-        return jnp.sum(per_atom(positions, type_idx, alive, shifts))
+    def energy(positions, type_idx, alive, shifts, edges=None):
+        return jnp.sum(per_atom(positions, type_idx, alive, shifts, edges=edges))
 
-    return Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff, name="tersoff")
+    pot = Potential(energy=energy, per_atom_energy=per_atom, cutoff=cutoff,
+                    name="tersoff")
+    if static_nbr is not None:
+        from surface_sampling_tpu.ops.neighbors import make_table_topology_fns
+
+        topo_fn, geom_fn = make_table_topology_fns(static_nbr, cutoff,
+                                                   max_neighbors)
+        # relax-loop hooks (core/energy.py refresh_edges="once"): the
+        # per-pair _fc cutoffs vanish smoothly, so drifted fixed edges
+        # are safe
+        pot.__dict__["edge_topology"] = topo_fn
+        pot.__dict__["edges_of"] = geom_fn
+        pot.__dict__["energy_with_edges"] = energy
+    return pot

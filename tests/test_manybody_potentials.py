@@ -405,3 +405,26 @@ def test_sw_rigid_matches_dynamic():
     # the larger (exact) repulsive energy
     full = jnp.asarray(np.ones(S, np.int32))
     assert float(e_rig_fn(full)) >= float(e_dyn_fn(full)) - 1e-3
+
+
+def test_relax_fixed_topology_matches_refreshed_tersoff_sw():
+    """refresh_edges="once" (one topology build per relaxation —
+    reference dynamics.py:129) must land on the same relaxed energies as
+    every-step re-ranking for the classical many-body potentials too."""
+    import dataclasses
+
+    from surface_sampling_tpu.systems import gan0001_tersoff, si111_sw
+
+    once = RelaxConfig(steps=6, fmax=0.02, refresh_edges="once")
+    every = dataclasses.replace(once, refresh_edges="every_step")
+    for build, kw in ((gan0001_tersoff, dict(size=(2, 2), layers=3)),
+                      (si111_sw, dict(size=(2, 2)))):
+        s1 = build(relax=once, **kw)
+        s2 = build(relax=every, **kw)
+        assert "edge_topology" in s1.potential.__dict__
+        ss = jnp.zeros(s1.spec.n_sites, jnp.int32).at[1].set(1)
+        r1 = s1.run.state_energy_fn(ss)
+        r2 = s2.run.state_energy_fn(ss)
+        assert not bool(r1.oob) and not bool(r2.oob)
+        np.testing.assert_allclose(float(r1.potential_energy),
+                                   float(r2.potential_energy), atol=5e-3)
