@@ -102,10 +102,32 @@ def bench_gan_tersoff_rigid():
     return _throughput(run, 8192, iters=10)
 
 
+def bench_gan_relaxed():
+    """GaN Tersoff with the reference tutorial's relax-per-move policy
+    (GaN_0001.ipynb: LAMMPS minimize, relax_steps budget) — FIRE on
+    device, fixed edge topology per relaxation."""
+    from surface_sampling_tpu.core import RelaxConfig
+    from surface_sampling_tpu.systems import gan0001_tersoff
+
+    sys = gan0001_tersoff(size=(2, 2), layers=3,
+                          relax=RelaxConfig(steps=20, fmax=0.01))
+    return _throughput(sys.run, 64)
+
+
 def bench_si_sw():
     from surface_sampling_tpu.systems import si111_sw
 
     return _throughput(si111_sw().run, 512)
+
+
+def bench_si_relaxed():
+    """Si(111) 5x5 SW with relax-per-move (tutorial: cg minimize under
+    the relax model) — FIRE on device, fixed edge topology."""
+    from surface_sampling_tpu.core import RelaxConfig
+    from surface_sampling_tpu.systems import si111_sw
+
+    sys = si111_sw(relax=RelaxConfig(steps=20, fmax=0.01))
+    return _throughput(sys.run, 64)
 
 
 def bench_si_sw_rigid():
@@ -254,7 +276,9 @@ FAMILIES = {
     "au110_rigid": bench_au110_rigid,
     "gan_tersoff": bench_gan_tersoff,
     "gan_tersoff_rigid": bench_gan_tersoff_rigid,
+    "gan_relaxed": bench_gan_relaxed,
     "si_sw": bench_si_sw,
+    "si_relaxed": bench_si_relaxed,
     "si_sw_rigid": bench_si_sw_rigid,
     "painn": bench_painn,
     "painn_relaxed": bench_painn_relaxed,
