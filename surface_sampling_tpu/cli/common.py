@@ -282,43 +282,35 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
             # (rigid_manybody._check_rigid_budget): keep the dynamic path
             logging.getLogger("sst").info("rigid fast path skipped: %s", e)
 
-    # PaiNN runs onto the static-candidate edge path (skips the all-image
-    # top_k neighbor search; ~2x faster MC evals); opt out with
-    # calc_settings {"fast": false}
-    painn_args = getattr(potential, "__dict__", {}).get("painn_args")
-    if painn_args is not None and calc_s.get("fast", True):
-        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
-        from surface_sampling_tpu.models.nn_calculator import make_painn_potential
-
-        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
-        nbr = build_static_neighbor_table(
-            spec, painn_args["cfg"].cutoff, relax_slack=slack
-        )
-        potential = make_painn_potential(static_nbr=nbr, **painn_args)
-
-    # CHGNet gets the same static-candidate upgrade
-    chgnet_args = getattr(potential, "__dict__", {}).get("chgnet_args")
-    if chgnet_args is not None and calc_s.get("fast", True):
-        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
-        from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
-
-        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
-        nbr = build_static_neighbor_table(
-            spec, chgnet_args["cfg"].atom_graph_cutoff, relax_slack=slack
-        )
-        potential = make_chgnet_potential(static_nbr=nbr, **chgnet_args)
-
-    # MACE gets the same static-candidate upgrade
-    mace_args = getattr(potential, "__dict__", {}).get("mace_args")
-    if mace_args is not None and calc_s.get("fast", True):
-        from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
+    # NN potentials run onto the static-candidate edge path (skips the
+    # all-image top_k neighbor search; ~2x faster MC evals); opt out with
+    # calc_settings {"fast": false}. Each family left a rebuild hook
+    # (<family>_args) because the spec didn't exist at build time.
+    def _nn_builder(name):
+        if name == "painn":
+            from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+            return make_painn_potential
+        if name == "chgnet":
+            from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
+            return make_chgnet_potential
         from surface_sampling_tpu.models.mace import make_mace_potential
+        return make_mace_potential
 
-        slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
-        nbr = build_static_neighbor_table(
-            spec, mace_args["cfg"].cutoff, relax_slack=slack
-        )
-        potential = make_mace_potential(static_nbr=nbr, **mace_args)
+    if calc_s.get("fast", True):
+        for fam in ("painn", "chgnet", "mace"):
+            nn_args = getattr(potential, "__dict__", {}).get(f"{fam}_args")
+            if nn_args is None:
+                continue
+            from surface_sampling_tpu.core.static_neighbors import (
+                build_static_neighbor_table,
+            )
+
+            cfg_nn = nn_args["cfg"]
+            cut = getattr(cfg_nn, "cutoff", None) or cfg_nn.atom_graph_cutoff
+            slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
+            nbr = build_static_neighbor_table(spec, cut, relax_slack=slack)
+            potential = _nn_builder(fam)(static_nbr=nbr, **nn_args)
+            break
 
     if surface_energy_fn is None and calc_s.get("offset", False):
         offset_data = calc_s["offset_data"]

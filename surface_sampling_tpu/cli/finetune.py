@@ -14,8 +14,9 @@ loss for PaiNN / CHGNet / MACE), so the active-learning loop
 Outputs in --out: ``model.npz`` (family-matching loader:
 models.convert_nff.load_params_npz / models.convert_chgnet.load_chgnet_npz /
 models.mace.load_mace_npz — directly consumable by the sampling CLIs'
-``calc_settings.model_path``), ``history.csv`` (per-epoch train/val loss),
-``settings.json`` provenance.
+``calc_settings.model_path``), ``history.csv`` (per-epoch train loss),
+``metrics.json`` (final train/val/test losses + timing), ``settings.json``
+provenance.
 
 ``--mesh N`` runs the data-parallel sharded train step over an N-device
 mesh (parallel/training.py; batch_size must be divisible by N).
@@ -102,7 +103,7 @@ def main(argv=None) -> None:
                     help="JSON of config kwargs for a fresh model "
                          "(ignored with --init)")
     ap.add_argument("--out", default="finetune_out")
-    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=100)  # must be >= 1
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--energy-weight", type=float, default=0.05)
@@ -163,6 +164,8 @@ def main(argv=None) -> None:
     )
     if not train:
         raise SystemExit(f"no training frames found in {args.data}")
+    if args.epochs < 1:
+        raise SystemExit("--epochs must be >= 1")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -177,7 +180,18 @@ def main(argv=None) -> None:
         if ensemble:
             raise SystemExit("--mesh currently shards the data axis; "
                              "drop --ensemble or --mesh")
-        dev_train = [_to_device(b) for b in train]
+        full = [b for b in train if b.positions.shape[0] % args.mesh == 0]
+        if len(full) < len(train):
+            dropped = sum(b.positions.shape[0] for b in train) - sum(
+                b.positions.shape[0] for b in full)
+            print(f"--mesh {args.mesh}: dropping the ragged tail batch "
+                  f"({dropped} frames; sizes must divide the mesh — "
+                  f"pick --batch-size as a multiple of {args.mesh})")
+        if not full:
+            raise SystemExit(
+                f"--mesh {args.mesh} left no full batches; lower --mesh or "
+                f"raise the frame count / --batch-size")
+        dev_train = [_to_device(b) for b in full]
         params, history = train_sharded(
             params, cfg, dev_train, tcfg, mesh=chain_mesh(args.mesh),
             apply_fn=apply_fn)
@@ -198,6 +212,13 @@ def main(argv=None) -> None:
         w.writerow(["epoch", "train_loss"])
         for i, h in enumerate(history):
             w.writerow([i, h])
+    (out / "metrics.json").write_text(json.dumps({
+        "final_train_loss": history[-1],
+        "val_loss": val_loss,
+        "test_loss": test_loss,
+        "epochs": args.epochs,
+        "train_seconds": round(dt, 2),
+    }, indent=2, default=str))
 
     if ensemble:
         for i in range(args.ensemble):

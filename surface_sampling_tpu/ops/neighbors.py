@@ -140,6 +140,38 @@ def neighbor_list(
     return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
 
 
+
+def _candidate_geometry(positions, alive, slot_j, shift, valid, cutoff):
+    """Shared candidate-pair geometry: disp/r plus the in-range mask over
+    the static table (used by both the per-eval edge list and the
+    once-per-relaxation topology selection — keep them in lockstep)."""
+    packed = jnp.concatenate(
+        [positions, alive[:, None].astype(positions.dtype)], axis=1
+    )                                                            # (N, 4)
+    pj = packed[slot_j]                                          # (N, Mc, 4)
+    disp = positions[:, None, :] - (pj[..., :3] + shift)         # (N, Mc, 3)
+    r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
+    mask = valid & alive[:, None] & (pj[..., 3] > 0.5) & (r < cutoff)
+    return disp, r, mask
+
+
+def _rank_select(mask, payload, max_neighbors: int):
+    """Masked-cumsum rank-select compaction: scatter the first
+    max_neighbors masked candidates per row (table order preserved) into
+    (N, M, P) via an exact one-hot matmul. Returns (out, overflow)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1        # (N, Mc)
+    keep = mask & (rank < max_neighbors)
+    sel = (rank[..., None] == jnp.arange(max_neighbors)) & keep[..., None]
+    out = jnp.einsum(
+        "ncm,ncp->nmp",
+        sel.astype(payload.dtype),
+        payload,
+        precision=jax.lax.Precision.HIGHEST,  # 0/1 rows: exact compaction
+    )                                                            # (N, M, P)
+    overflow = jnp.any(jnp.sum(mask, axis=1) > max_neighbors)
+    return out, overflow
+
+
 def neighbor_list_from_table(
     positions: jnp.ndarray,
     alive: jnp.ndarray,
@@ -173,18 +205,9 @@ def neighbor_list_from_table(
         valid: (N, Mc) bool candidate-padding mask.
     """
     N, Mc = slot_j.shape
-    # one packed row gather [x, y, z, alive] instead of two separate ones
-    packed = jnp.concatenate(
-        [positions, alive[:, None].astype(positions.dtype)], axis=1
-    )                                                            # (N, 4)
-    pj = packed[slot_j]                                          # (N, Mc, 4)
-    disp = positions[:, None, :] - (pj[..., :3] + shift)         # (N, Mc, 3)
-    r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
-    mask = valid & alive[:, None] & (pj[..., 3] > 0.5) & (r < cutoff)
+    disp, r, mask = _candidate_geometry(positions, alive, slot_j, shift,
+                                        valid, cutoff)
     max_neighbors = min(max_neighbors, Mc)
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1        # (N, Mc)
-    keep = mask & (rank < max_neighbors)
-    sel = (rank[..., None] == jnp.arange(max_neighbors)) & keep[..., None]
     payload = jnp.concatenate(
         [
             disp,
@@ -194,17 +217,11 @@ def neighbor_list_from_table(
         ],
         axis=-1,
     )                                                            # (N, Mc, 6)
-    out = jnp.einsum(
-        "ncm,ncp->nmp",
-        sel.astype(positions.dtype),
-        payload,
-        precision=jax.lax.Precision.HIGHEST,  # 0/1 rows: exact compaction
-    )                                                            # (N, M, 6)
+    out, overflow = _rank_select(mask, payload, max_neighbors)   # (N, M, 6)
     nbr_mask = out[..., 5] > 0.5
     nbr_disp = out[..., :3]
     nbr_r = jnp.where(nbr_mask, out[..., 3], cutoff)
     nbr_j = out[..., 4].astype(jnp.int32)
-    overflow = jnp.any(jnp.sum(mask, axis=1) > max_neighbors)
     return nbr_disp, nbr_r, nbr_j, nbr_mask, overflow
 
 
@@ -229,17 +246,9 @@ def select_edge_topology(
     candidates at ``positions``).
     """
     N, Mc = slot_j.shape
-    packed = jnp.concatenate(
-        [positions, alive[:, None].astype(positions.dtype)], axis=1
-    )
-    pj = packed[slot_j]
-    disp = positions[:, None, :] - (pj[..., :3] + shift)
-    r = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), 1e-12))
-    mask = valid & alive[:, None] & (pj[..., 3] > 0.5) & (r < cutoff)
+    _, r, mask = _candidate_geometry(positions, alive, slot_j, shift,
+                                     valid, cutoff)
     max_neighbors = min(max_neighbors, Mc)
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    keep = mask & (rank < max_neighbors)
-    sel = (rank[..., None] == jnp.arange(max_neighbors)) & keep[..., None]
     payload = jnp.concatenate(
         [
             shift,
@@ -248,16 +257,10 @@ def select_edge_topology(
         ],
         axis=-1,
     )                                                            # (N, Mc, 5)
-    out = jnp.einsum(
-        "ncm,ncp->nmp",
-        sel.astype(positions.dtype),
-        payload,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                            # (N, M, 5)
+    out, overflow = _rank_select(mask, payload, max_neighbors)   # (N, M, 5)
     nbr_mask = out[..., 4] > 0.5
     nbr_shift = out[..., :3]
     nbr_j = out[..., 3].astype(jnp.int32)
-    overflow = jnp.any(jnp.sum(mask, axis=1) > max_neighbors)
     return nbr_j, nbr_shift, nbr_mask, overflow
 
 

@@ -23,10 +23,13 @@ Reference being re-designed: the nff PaiNN message layer the reference
 drives through torch (see models/painn.py module docstring; reference
 scripts/sample_surface.py:166-175 loads those checkpoints).
 
-Gradients: the op carries a custom VJP whose backward is the JAX
-reference implementation's VJP (recompute-based). Forces/relaxation paths
-(jax.grad through painn_apply) therefore work unchanged, at the same
-backward cost as the XLA path.
+Gradients: the op carries a custom VJP whose backward is itself a fused
+Pallas kernel (_msg_bwd_kernel): forward recomputed in VMEM, all input
+cotangents emitted in one pass, weight grads accumulated across grid
+steps into pinned output blocks. Forces/relaxation/fine-tuning ride the
+kernel path end to end; every cotangent is pinned against the pure-JAX
+reference VJP in tests (bf16x2 tolerance ~2e-3 on O(1) inputs,
+routing="f32" for near-exact).
 """
 
 from __future__ import annotations
@@ -38,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from surface_sampling_tpu.ops.pallas_routing import onehot_router
 
 
 def _msg_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
@@ -54,36 +59,10 @@ def _msg_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
     w = (w + db_ref[:]) * envm_ref[:]                        # (E, 3F)
 
     # neighbor routing as one-hot MXU dots (TPU has no fast gather);
-    # masked edges are killed by envm=0, so the one-hot needs no mask
-    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
-    onehot = jnp.where(nbr_ref[:] == colid, 1.0, 0.0)        # (E, N_pad)
-
-    if routing == "bf16x2":
-        # the one-hot operand is EXACT in bf16 (0/1), so a hi+lo split of
-        # the feature operand gives near-f32 routing in two single-pass
-        # bf16 MXU dots instead of the multi-pass f32 contraction
-        # (flagship: 1238 -> 1510 evals/s; measured error on the SrTiO3
-        # ensemble is a ~3.7 meV constant offset with <=2e-4 eV
-        # state-to-state spread — far below sampling temperatures).
-        # precision must be DEFAULT explicitly: the surrounding
-        # default_matmul_precision("float32") context would stamp an
-        # fp32 contract precision Mosaic rejects on bf16 operands.
-        oh16 = onehot.astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-
-        def _route(x):
-            hi = x.astype(jnp.bfloat16)
-            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            out = jax.lax.dot_general(
-                oh16, hi, dn, precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
-            return out + jax.lax.dot_general(
-                oh16, lo, dn, precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
-    else:
-
-        def _route(x):
-            return jnp.dot(onehot, x, preferred_element_type=jnp.float32)
+    # masked edges are killed by envm=0, so the one-hot needs no mask.
+    # bf16x2 = hi+lo split dots (see ops/pallas_routing.py for the trick
+    # and the Mosaic precision constraint it depends on)
+    _route, _ = onehot_router(nbr_ref[:], n_pad, routing)
 
     phij = _route(phi_ref[:])
     inv = phij * w                                           # (E, 3F)
@@ -147,29 +126,9 @@ def _msg_bwd_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
     n_blk = gds_ref.shape[0]
     M = E // n_blk
 
-    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
-    onehot = jnp.where(nbr_ref[:] == colid, 1.0, 0.0)        # (E, N_pad)
-    if routing == "bf16x2":
-        oh16 = onehot.astype(jnp.bfloat16)
-
-        def _dot_split(a_bf16, x, dims):
-            hi = x.astype(jnp.bfloat16)
-            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            out = jax.lax.dot_general(
-                a_bf16, hi, dims, precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
-            return out + jax.lax.dot_general(
-                a_bf16, lo, dims, precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
-
-        _route = lambda x: _dot_split(oh16, x, (((1,), (0,)), ((), ())))
-        _scatter = lambda g: _dot_split(oh16, g, (((0,), (0,)), ((), ())))
-    else:
-        hp = jax.lax.Precision.HIGHEST
-        _route = lambda x: jax.lax.dot_general(
-            onehot, x, (((1,), (0,)), ((), ())), precision=hp)
-        _scatter = lambda g: jax.lax.dot_general(
-            onehot, g, (((0,), (0,)), ((), ())), precision=hp)
+    _route, _scatter = onehot_router(
+        nbr_ref[:], n_pad, routing, f32_precision=jax.lax.Precision.HIGHEST
+    )
 
     # ---- forward recompute (VMEM-resident) ----
     wpre = jnp.dot(rbf_ref[:], dw_ref[:],
@@ -279,7 +238,8 @@ def _message_bwd_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
 
 def _message_ref(phi, vcat, rbf, envm, nbr, unit3, dw, db):
     """Pure-JAX reference of the fused op (same padded inputs/outputs);
-    used as the custom-VJP backward and for parity tests. On non-CPU
+    used for parity tests (and as the VJP oracle the fused backward
+    kernel is tested against). On non-CPU
     backends the neighbor access is written as one-hot matmuls so the
     VJP lowers to MXU dots (transposed one-hots) instead of
     scatter-adds, which serialize on TPU."""
@@ -338,14 +298,24 @@ def _fused_fwd(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk, routing):
     return out, (phi, vcat, rbf, envm, nbr, unit3, dw, db)
 
 
+def _bwd_block(n_pad: int, n_blk: int) -> int:
+    """Largest divisor of n_pad that is <= max(n_blk // 2, 1) — the
+    backward wants roughly half the forward block (it keeps ~2x the live
+    per-edge tensors in VMEM) but the grid must still tile n_pad exactly
+    (an uneven tiling would silently skip the tail centers' gradients)."""
+    target = max(n_blk // 2, 1)
+    for cand in range(target, 0, -1):
+        if n_pad % cand == 0:
+            return cand
+    return 1
+
+
 def _fused_bwd(n_blk, routing, res, ct):
     phi, vcat, rbf, envm, nbr, unit3, dw, db = res
     gds, gdv = ct
-    # halve the block: the backward keeps ~2x the live (E_blk, 3F)
-    # tensors of the forward in VMEM
     g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = _message_bwd_pallas(
         phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
-        n_blk=max(n_blk // 2, 1), routing=routing,
+        n_blk=_bwd_block(phi.shape[0], n_blk), routing=routing,
     )
     g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
     return g_phi, g_vcat, g_rbf, g_envm, g_nbr, g_unit3, g_dw, g_db

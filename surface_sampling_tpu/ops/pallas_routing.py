@@ -1,0 +1,67 @@
+"""Shared one-hot neighbor routing for the fused Pallas NN kernels.
+
+Both fused-kernel families (ops/pallas_painn.py, ops/pallas_chgnet.py)
+route node features to edges as ``onehot @ x`` (and scatter edge
+cotangents back as ``onehot^T @ g`` in the backwards). The bf16x2 trick
+is the hot-path variant: the one-hot operand is EXACT in bf16 (0/1), so
+a hi+lo split of the feature operand gives near-f32 routing in two
+single-pass bf16 MXU dots instead of the multi-pass f32 contraction
+(flagship: 1238 -> 1934 evals/s; measured error on the SrTiO3 ensemble
+is a ~3.7 meV constant offset with <=2e-4 eV state-to-state spread —
+far below sampling temperatures).
+
+Mosaic constraint the split depends on: precision must be
+``Precision.DEFAULT`` explicitly — the surrounding
+``default_matmul_precision("float32")`` context would stamp an fp32
+contract precision Mosaic rejects on bf16 operands.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def onehot_router(nbr, n_pad: int, routing: str, f32_precision=None):
+    """(route, scatter) closures over the edge table's one-hot matrix.
+
+    ``nbr``: (E, 1) int32 neighbor index per edge (a loaded kernel ref
+    value). ``route(x)`` computes onehot @ x ((n_pad, D) -> (E, D));
+    ``scatter(g)`` computes onehot^T @ g ((E, D) -> (n_pad, D)).
+    ``routing``: "bf16x2" (hi+lo split dots) or anything else for plain
+    f32 dots at ``f32_precision`` (None = backend default).
+    """
+    E = nbr.shape[0]
+    colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
+    onehot = jnp.where(nbr == colid, 1.0, 0.0)               # (E, n_pad)
+    dn_route = (((1,), (0,)), ((), ()))
+    dn_scatter = (((0,), (0,)), ((), ()))
+
+    if routing == "bf16x2":
+        oh16 = onehot.astype(jnp.bfloat16)
+
+        def _split_dot(x, dims):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                oh16, hi, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return out + jax.lax.dot_general(
+                oh16, lo, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        route = lambda x: _split_dot(x, dn_route)
+        scatter = lambda g: _split_dot(g, dn_scatter)
+    else:
+
+        def route(x):
+            return jax.lax.dot_general(
+                onehot, x, dn_route, precision=f32_precision,
+                preferred_element_type=jnp.float32)
+
+        def scatter(g):
+            return jax.lax.dot_general(
+                onehot, g, dn_scatter, precision=f32_precision,
+                preferred_element_type=jnp.float32)
+
+    return route, scatter

@@ -113,6 +113,15 @@ def train_sharded(
     from surface_sampling_tpu.models.painn import painn_apply
     from surface_sampling_tpu.models.train import make_loss_fn
 
+    batches = list(batches)
+    n_dev = mesh.shape[axis]
+    ragged = [b.positions.shape[0] for b in batches
+              if b.positions.shape[0] % n_dev != 0]
+    if not ensemble and ragged:
+        raise ValueError(
+            f"data-parallel sharding needs every batch's structure count "
+            f"divisible by the {n_dev}-device '{axis}' mesh axis; got batch "
+            f"sizes {ragged} (pad or drop the ragged tail batch)")
     loss_fn = make_loss_fn(cfg, tcfg, apply_fn=apply_fn or painn_apply)
     opt = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip), optax.adam(tcfg.learning_rate)
