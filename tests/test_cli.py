@@ -738,3 +738,37 @@ def test_finetune_cli_end_to_end(tmp_path):
           "--epochs", "3", "--batch-size", "4", "--ensemble", "2",
           "--out", str(out3)])
     assert (out3 / "model_01.npz").exists() and (out3 / "model_02.npz").exists()
+
+
+def test_predict_cli(cu_setup, tmp_path, capsys):
+    """sst-predict: structures + calc_settings -> predictions.npz (and
+    label metrics when --labels is given)."""
+    base, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.predict import main
+    from surface_sampling_tpu.structure.io import write_cif
+    from surface_sampling_tpu.utils.misc import load_structures_any
+
+    st = load_structures_any(slab_path)[0]
+    files = []
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(3):
+        s2 = st.copy()
+        s2.positions = s2.positions + rng.normal(0, 0.02, s2.positions.shape)
+        f = tmp_path / f"s{i}.cif"
+        write_cif(f, s2)
+        files.append(str(f))
+        records.append({"numbers": s2.numbers.tolist(),
+                        "positions": s2.positions.tolist(),
+                        "cell": np.asarray(s2.cell).tolist(),
+                        "energy": 0.0})
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps(records))
+    out = tmp_path / "pred.npz"
+    main(["--structures", *files, "--settings", str(settings_path),
+          "--out", str(out), "--labels", str(labels)])
+    d = np.load(out)
+    assert d["energies"].shape == (3,)
+    assert d["forces"].shape[0] == 3 and np.isfinite(d["forces"]).all()
+    m = json.loads((tmp_path / "metrics.json").read_text())
+    assert m["n_frames"] == 3 and np.isfinite(m["energy_mae_eV"])
