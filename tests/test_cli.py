@@ -772,3 +772,33 @@ def test_predict_cli(cu_setup, tmp_path, capsys):
     assert d["forces"].shape[0] == 3 and np.isfinite(d["forces"]).all()
     m = json.loads((tmp_path / "metrics.json").read_text())
     assert m["n_frames"] == 3 and np.isfinite(m["energy_mae_eV"])
+
+
+def test_predict_cli_nn_embeddings(tmp_path):
+    """sst-predict with an NN ensemble: energy_std and pooled embeddings
+    flow through the outputs hook."""
+    from surface_sampling_tpu.cli.predict import main
+    from surface_sampling_tpu.structure.atoms import Structure
+    from surface_sampling_tpu.structure.io import write_cif
+    import surface_sampling_tpu.systems as systems
+    from pathlib import Path as _P
+
+    base = _P(systems.__file__).parent
+    d = np.load(base / "systems_data" / "SrTiO3_001_2x2.npz")
+    st = Structure(d["numbers"], d["positions"], d["cell"])
+    f = tmp_path / "slab.cif"
+    write_cif(f, st)
+    settings = tmp_path / "settings.json"
+    settings.write_text(json.dumps({"calc_settings": {
+        "calc_name": "nff",
+        "model_paths": [str(base / "models" / "data" / f"srtio3_painn_{i:02d}.npz")
+                        for i in (1, 2)],
+        "elements": ["Sr", "Ti", "O"],
+    }}))
+    out = tmp_path / "pred.npz"
+    main(["--structures", str(f), "--settings", str(settings),
+          "--out", str(out), "--embeddings"])
+    p = np.load(out)
+    assert p["energies"].shape == (1,) and np.isfinite(p["energies"]).all()
+    assert p["energy_std"][0] > 0.0          # 2-member ensemble spread
+    assert p["embeddings"].shape[0] == 1 and np.isfinite(p["embeddings"]).all()
