@@ -4,6 +4,11 @@ Semigrand-canonical VSSR-MC with annealing on the Cu(100) 2x2x2 slab,
 batched over many chains. Run: python examples/01_cu100_eam.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import time
 
 import jax

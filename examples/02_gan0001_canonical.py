@@ -3,6 +3,11 @@ mirror of the reference's GaN_0001.ipynb (canonical Ga/N exchange with
 on-device relaxation). Run: python examples/02_gan0001_canonical.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import numpy as np
 

@@ -4,6 +4,11 @@ offset surface energy, BFGS->FIRE relaxation).
 Run: python examples/03_srtio3_painn.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import time
 
 import jax

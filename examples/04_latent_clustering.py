@@ -4,6 +4,11 @@ them with the PaiNN ensemble, clusters (PCA + Ward) and picks diverse
 representatives. Run: python examples/04_latent_clustering.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

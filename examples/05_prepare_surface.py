@@ -3,6 +3,11 @@ prepare_surface.ipynb: cut a slab, find adsorption sites, export CIF.
 Run: python examples/05_prepare_surface.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 from surface_sampling_tpu.structure import bulk, find_adsorption_sites, surface_from_bulk

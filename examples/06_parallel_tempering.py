@@ -3,6 +3,11 @@ replicas at a temperature ladder exchange configurations between sweeps.
 Run: python examples/06_parallel_tempering.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

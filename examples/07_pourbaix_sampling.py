@@ -5,6 +5,11 @@ moves, and surface-atom sampling. Uses the Sr-Ir-O test diagrams.
 Run: python examples/07_pourbaix_sampling.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import numpy as np
 

@@ -9,6 +9,11 @@ potential, and the model is fine-tuned on the enlarged dataset.
 Run: python examples/08_active_learning.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

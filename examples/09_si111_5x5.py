@@ -14,6 +14,11 @@ dual-potential split (the SRS constants are not redistributable here).
 Run: python examples/09_si111_5x5.py [--srs /path/to/srs.sw]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import jax
