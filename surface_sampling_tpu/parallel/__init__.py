@@ -15,6 +15,8 @@ citizens:
     shardable over a second mesh axis (models/ensemble.py);
   * sharded fine-tuning  — data-parallel (one grad pmean per step) and
     member-parallel (zero-collective) train steps (training.py);
+  * population annealing — importance-reweighted chain resampling along
+    the anneal schedule with a free-energy estimator (population.py);
   * multi-pod scaling    — hierarchical (pod x chip) meshes where the
     inner axis rides ICI and only scheduled, infrequent exchanges cross
     DCN (mesh.pod_mesh, chains.make_hierarchical_chain_run,
@@ -28,6 +30,9 @@ from surface_sampling_tpu.parallel.chains import (
     make_sharded_chain_run,
 )
 from surface_sampling_tpu.parallel.mesh import chain_mesh, pod_mesh
+from surface_sampling_tpu.parallel.population import (
+    make_population_annealing_run,
+)
 from surface_sampling_tpu.parallel.tempering import (
     make_tempered_run,
     temperature_ladder,
@@ -44,6 +49,7 @@ __all__ = [
     "make_chain_run",
     "make_ensemble_sharded_train_step",
     "make_hierarchical_chain_run",
+    "make_population_annealing_run",
     "make_sharded_chain_run",
     "make_sharded_train_step",
     "make_tempered_run",

@@ -184,3 +184,55 @@ def test_canonical_mtm_samples_exact_boltzmann_in_sector(enumerable_system):
     p_emp = counts / counts.sum()
     l1 = np.abs(p_emp - p_exact_sector).sum()
     assert l1 < 0.05, f"L1 = {l1:.4f}"
+
+
+def test_population_annealing_boltzmann_and_free_energy(enumerable_system):
+    """Population annealing must (a) land the population on the exact
+    Boltzmann distribution at the final temperature and (b) estimate
+    log[Z(T_final)/Z(T_0)] to a few percent — the PA free-energy
+    estimator has no counterpart in the reference or in tempering."""
+    from surface_sampling_tpu.core.engine import make_sweep_fn
+    from surface_sampling_tpu.core.events import make_semigrand_step
+    from surface_sampling_tpu.parallel import (
+        chain_states,
+        make_population_annealing_run,
+    )
+
+    run, S, E = enumerable_system
+    t_hi, t_lo, R, C = 4.0, 0.6, 40, 4096
+    temps = jnp.asarray(np.geomspace(t_hi, t_lo, R), jnp.float32)
+
+    step_fn = make_semigrand_step(run.d, run.state_energy_fn)
+    sweep_fn = make_sweep_fn(step_fn, sweep_size=4)
+    parun = make_population_annealing_run(sweep_fn)
+
+    cs = chain_states(run.d, jax.random.PRNGKey(3), C)
+    e0 = jax.jit(jax.vmap(lambda s: run.state_energy_fn(s).surface_energy))(
+        cs.site_state)
+    cs = cs._replace(energy=e0)
+    # burn in at t_hi so the population starts equilibrated there
+    burn = make_chain_run(make_run_fn(
+        run.d, run.state_energy_fn, EngineConfig(sweep_size=4,
+                                                 record_positions=False)))
+    cs, _ = burn(cs, jnp.full(10, t_hi))
+
+    out, rec = parun(cs, temps, jax.random.PRNGKey(4))
+
+    # (a) final-temperature Boltzmann parity
+    ss = np.asarray(out.site_state)
+    idx = ss.dot(1 << np.arange(S)[::-1])
+    emp = np.bincount(idx, minlength=2 ** S) / C
+    p = np.exp(-(E - E.min()) / t_lo)
+    p /= p.sum()
+    l1 = np.abs(emp - p).sum()
+    assert l1 < 0.08, f"L1(PA population, Boltzmann) = {l1:.4f}"
+
+    # (b) free-energy estimator vs the exact partition-function ratio
+    logz_est = float(np.sum(np.asarray(rec.dlogz)))
+    from scipy.special import logsumexp
+
+    logz_exact = (logsumexp(-E / t_lo) - logsumexp(-E / t_hi))
+    assert abs(logz_est - logz_exact) < 0.15, (
+        f"PA logZ {logz_est:.3f} vs exact {logz_exact:.3f}")
+    # populations stayed healthy
+    assert float(np.min(np.asarray(rec.ess))) > 0.2 * C
