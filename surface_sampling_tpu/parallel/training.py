@@ -127,6 +127,11 @@ def train_sharded(
         optax.clip_by_global_norm(tcfg.grad_clip), optax.adam(tcfg.learning_rate)
     )
     if ensemble:
+        n_members = jax.tree.leaves(params)[0].shape[0]
+        if n_members % n_dev != 0:
+            raise ValueError(
+                f"ensemble sharding needs the member count ({n_members}) "
+                f"divisible by the {n_dev}-device '{axis}' mesh axis")
         opt_state = jax.vmap(opt.init)(params)
         step = make_ensemble_sharded_train_step(loss_fn, opt, mesh, axis)
     else:
