@@ -30,12 +30,25 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
     when needed. Embedding is the member-mean of final scalar features.
     ``edges`` lets callers reuse a precomputed (e.g. static-table) edge set.
     """
-    from surface_sampling_tpu.models.painn import painn_edges
+    from surface_sampling_tpu.models.painn import (
+        painn_edges,
+        prepare_message_geometry,
+        resolve_message_mode,
+    )
 
     if edges is None:
         edges = painn_edges(cfg, positions, alive, shifts)  # shared across members
+    # the padded kernel geometry (rbf/envelope/unit/neighbor layout) is
+    # member-invariant too — build it once, not once per member (~6% of
+    # the flagship ensemble evaluation)
+    msg_geom = (
+        prepare_message_geometry(cfg, positions, edges)
+        if resolve_message_mode(cfg) == "pallas"
+        else None
+    )
     outs = jax.vmap(
-        lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges)
+        lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges,
+                              msg_geom=msg_geom)
     )(stacked_params)
     energies = outs["energy"]                       # (E,)
     return {

@@ -138,19 +138,40 @@ def painn_edges(cfg: PaiNNConfig, positions, alive, shifts):
     return neighbor_list(positions, shifts, alive, cfg.cutoff, cfg.max_neighbors)
 
 
+def resolve_message_mode(cfg: PaiNNConfig) -> str:
+    if cfg.message_mode != "auto":
+        return cfg.message_mode
+    return "gather" if jax.default_backend() == "cpu" else "pallas"
+
+
+def prepare_message_geometry(cfg: PaiNNConfig, positions, edges):
+    """Pad + flatten the edge geometry for the fused Pallas message kernel
+    (ops/pallas_painn.prepare_fused_geometry) — layer- AND member-
+    invariant, so ensemble callers build it once per structure instead of
+    once per member (ensemble.ensemble_apply). Only meaningful when the
+    resolved message mode is "pallas"."""
+    from surface_sampling_tpu.ops.pallas_painn import prepare_fused_geometry
+
+    disp, d, nbr_j, nbr_mask, _overflow = edges
+    dsafe = jnp.maximum(d, 1e-8)
+    unit = disp / dsafe[..., None]                               # (N, M, 3)
+    rbf = _rbf(d, cfg.n_rbf, cfg.cutoff)                         # (N, M, R)
+    env = _cosine_envelope(d, cfg.cutoff)[..., None]             # (N, M, 1)
+    return prepare_fused_geometry(unit, rbf, env, nbr_j, nbr_mask, cfg.n_rbf)
+
+
 def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None):
+                   edges=None, msg_geom=None):
     """Run the trunk; returns per-atom scalar features s (N, F) and the
-    edge data used (for diagnostics)."""
+    edge data used (for diagnostics). ``msg_geom`` optionally supplies a
+    precomputed :func:`prepare_message_geometry` result (pallas mode
+    only; ensemble members share it)."""
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.feat_dim
     N = positions.shape[0]
     disp, d, nbr_j, nbr_mask, _overflow = (
         edges if edges is not None else painn_edges(cfg, positions, alive, shifts)
     )
-    fmask = nbr_mask.astype(positions.dtype)[..., None]          # (N, M, 1)
-    dsafe = jnp.maximum(d, 1e-8)
-    unit = disp / dsafe[..., None]                               # (N, M, 3)
 
     mode = cfg.message_mode
     if mode == "auto":
@@ -164,6 +185,12 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         on_cpu = jax.default_backend() == "cpu"
         mode = "gather" if on_cpu else "pallas"
     hp = jax.lax.Precision.HIGHEST   # keep the one-hot matmuls true-f32
+    if mode != "pallas":
+        fmask = nbr_mask.astype(positions.dtype)[..., None]      # (N, M, 1)
+        dsafe = jnp.maximum(d, 1e-8)
+        unit = disp / dsafe[..., None]                           # (N, M, 3)
+        rbf = _rbf(d, cfg.n_rbf, cfg.cutoff)                     # (N, M, R)
+        env = _cosine_envelope(d, cfg.cutoff)[..., None]         # (N, M, 1)
     onehot = (
         jax.nn.one_hot(nbr_j, N, dtype=positions.dtype) * fmask  # (N, M, N)
         if mode == "dense"
@@ -174,20 +201,20 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     s = jnp.where(alive[:, None], s, 0.0)
     v = jnp.zeros((N, F, 3), positions.dtype)
 
-    rbf = _rbf(d, cfg.n_rbf, cfg.cutoff)                         # (N, M, R)
-    env = _cosine_envelope(d, cfg.cutoff)[..., None]             # (N, M, 1)
-
     if mode == "pallas":
         # fused VMEM-resident message block (ops/pallas_painn.py); the
-        # padded edge geometry is layer- and member-invariant
+        # padded edge geometry is layer- and member-invariant, so it is
+        # built once per structure (and shared across ensemble members
+        # when the caller passes msg_geom)
         from surface_sampling_tpu.ops.pallas_painn import (
             choose_message_block,
             painn_message_fused,
-            prepare_fused_geometry,
         )
 
-        rbf_p, envm_p, nbr_p, unit_p, n_pad = prepare_fused_geometry(
-            unit, rbf, env, nbr_j, nbr_mask, cfg.n_rbf
+        rbf_p, envm_p, nbr_p, unit_p, n_pad = (
+            msg_geom
+            if msg_geom is not None
+            else prepare_message_geometry(cfg, positions, (disp, d, nbr_j, nbr_mask, _overflow))
         )
         pad_n, r_pad = n_pad - N, rbf_p.shape[1]
         n_blk = choose_message_block(n_pad)
@@ -251,23 +278,27 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
 
 
 def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                edges=None):
+                edges=None, msg_geom=None):
     """Full forward: returns dict with per-atom energies (training units),
     total energy, and per-atom embeddings (final scalar features).
 
     Matmuls run at true f32 precision regardless of the backend default —
-    TPU's default bf16 passes shift the SrTiO3 pristine anchor by 0.03 eV
-    for a measured 1.7% speed difference, the wrong trade for energetics.
+    relaxed passes were measured and rejected on the flagship ensemble:
+    TPU's single-pass bf16 default shifts random-occupancy surface
+    energies by up to 0.69 eV (71 meV state-to-state spread), and
+    "tensorfloat32" lowered to the same single-pass error on v5e for a
+    ~0.6% speed difference — the wrong trade for energetics either way.
     """
     if edges is None:
         edges = painn_edges(cfg, positions, alive, shifts)
     overflow = edges[4]
     with jax.default_matmul_precision("float32"):
         s, (d, nbr_mask) = painn_features(
-            params, cfg, positions, numbers, alive, shifts, edges=edges
+            params, cfg, positions, numbers, alive, shifts, edges=edges,
+            msg_geom=msg_geom,
         )
-    h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
-    e_atom = _dense(params["readout"]["dense1"], h)[..., 0]      # (N,)
+        h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
+        e_atom = _dense(params["readout"]["dense1"], h)[..., 0]  # (N,)
     e_atom = jnp.where(alive, e_atom, 0.0)
     if cfg.excl_vol:
         # nff extension: pairwise (sigma/d)^power over directed pairs

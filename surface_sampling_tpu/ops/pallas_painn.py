@@ -54,15 +54,21 @@ def _msg_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
     n_blk = ds_ref.shape[0]
     M = E // n_blk
 
-    # radial filter, built in VMEM (never written to HBM)
-    w = jnp.dot(rbf_ref[:], dw_ref[:], preferred_element_type=jnp.float32)
+    # radial filter, built in VMEM (never written to HBM). Precision is
+    # pinned: Mosaic only lowers DEFAULT/HIGHEST dots, so an ambient
+    # default_matmul_precision("tensorfloat32") context (models/painn.py
+    # dense blocks) must not leak into the kernel trace.
+    w = jnp.dot(rbf_ref[:], dw_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     w = (w + db_ref[:]) * envm_ref[:]                        # (E, 3F)
 
     # neighbor routing as one-hot MXU dots (TPU has no fast gather);
     # masked edges are killed by envm=0, so the one-hot needs no mask.
     # bf16x2 = hi+lo split dots (see ops/pallas_routing.py for the trick
     # and the Mosaic precision constraint it depends on)
-    _route, _ = onehot_router(nbr_ref[:], n_pad, routing)
+    _route, _ = onehot_router(
+        nbr_ref[:], n_pad, routing, f32_precision=jax.lax.Precision.HIGHEST
+    )
 
     phij = _route(phi_ref[:])
     inv = phij * w                                           # (E, 3F)
@@ -131,7 +137,8 @@ def _msg_bwd_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
     )
 
     # ---- forward recompute (VMEM-resident) ----
-    wpre = jnp.dot(rbf_ref[:], dw_ref[:],
+    hi_p = jax.lax.Precision.HIGHEST  # pinned: Mosaic rejects HIGH dots
+    wpre = jnp.dot(rbf_ref[:], dw_ref[:], precision=hi_p,
                    preferred_element_type=jnp.float32) + db_ref[:]
     w = wpre * envm_ref[:]                                   # (E, 3F)
     phij = _route(phi_ref[:])
@@ -162,13 +169,13 @@ def _msg_bwd_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
     gwe = g_w * envm_ref[:]
     genvm_ref[:] = jnp.sum(g_w * wpre, axis=1, keepdims=True)
     grbf_ref[:] = jax.lax.dot_general(
-        gwe, dw_ref[:], (((1,), (1,)), ((), ())),
+        gwe, dw_ref[:], (((1,), (1,)), ((), ())), precision=hi_p,
         preferred_element_type=jnp.float32)                  # (E, R_pad)
 
     g_phi_blk = _scatter(g_phij)                             # (N_pad, 3F)
     g_vcat_blk = _scatter(jnp.concatenate(gvj_parts, axis=1))
     g_dw_blk = jax.lax.dot_general(
-        rbf_ref[:], gwe, (((0,), (0,)), ((), ())),
+        rbf_ref[:], gwe, (((0,), (0,)), ((), ())), precision=hi_p,
         preferred_element_type=jnp.float32)                  # (R_pad, 3F)
     g_db_blk = jnp.sum(gwe, axis=0, keepdims=True)
 
