@@ -335,12 +335,13 @@ def choose_message_block(n_pad: int) -> int:
     """Center-block size vs system size. The scoped-VMEM budget is 16 MB;
     the E_blk-proportional buffers (w/phij/vj/inv + one-hot) dominate.
     Empirical: n_blk=16 fits at N_pad=128 and ooms by 9% at N_pad=496
-    (v5e, F=128, M=64), so halve the block as N grows."""
-    if n_pad <= 256:
-        return 16
-    if n_pad <= 768:
-        return 8
-    return 4
+    (v5e, F=128, M=64), so halve the block as N grows. 8 is the floor:
+    Mosaic requires the second-minor block dim (unit3's center axis) to
+    be a multiple of 8, so n_blk=4 never lowers on real TPU — the
+    one-hot VMEM term keeps growing with n_pad, but at n_blk=8 it stays
+    under budget past 4k slots (the full-resident phi/vcat copies become
+    the binding term first)."""
+    return 16 if n_pad <= 256 else 8
 
 
 def prepare_fused_geometry(unit, rbf, env, nbr_j, nbr_mask, n_rbf,
