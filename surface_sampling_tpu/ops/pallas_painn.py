@@ -306,15 +306,18 @@ def _fused_fwd(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk, routing):
 
 
 def _bwd_block(n_pad: int, n_blk: int) -> int:
-    """Largest divisor of n_pad that is <= max(n_blk // 2, 1) — the
-    backward wants roughly half the forward block (it keeps ~2x the live
-    per-edge tensors in VMEM) but the grid must still tile n_pad exactly
-    (an uneven tiling would silently skip the tail centers' gradients)."""
-    target = max(n_blk // 2, 1)
-    for cand in range(target, 0, -1):
+    """Largest multiple-of-8 divisor of n_pad that is <= max(n_blk//2, 8)
+    — the backward wants roughly half the forward block (it keeps ~2x
+    the live per-edge tensors in VMEM) but the grid must still tile
+    n_pad exactly (an uneven tiling would silently skip the tail
+    centers' gradients), and Mosaic requires >= 8 on the center axis
+    (blocks of 4 never lower on real TPU; prepare_fused_geometry pads
+    n_pad to multiples of 16, so 8 always divides)."""
+    target = max(n_blk // 2, 8)
+    for cand in range(target, 7, -8):
         if n_pad % cand == 0:
             return cand
-    return 1
+    return 8
 
 
 def _fused_bwd(n_blk, routing, res, ct):

@@ -477,3 +477,23 @@ def test_relax_fixed_topology_matches_refreshed():
     # same minimum, tiny path differences allowed (meV scale)
     np.testing.assert_allclose(float(r1.potential_energy),
                                float(r2.potential_energy), atol=5e-3)
+
+
+def test_choose_message_block_respects_mosaic_floor():
+    """Mosaic requires the second-minor block dim (unit3's center axis)
+    to be a multiple of 8; a block of 4 never lowers on real TPU (CPU
+    interpret mode doesn't enforce it, so only this pin can catch a
+    regression). Blocks must also tile the padded atom count produced by
+    prepare_fused_geometry (multiples of 16)."""
+    from surface_sampling_tpu.ops.pallas_painn import choose_message_block
+
+    from surface_sampling_tpu.ops.pallas_painn import _bwd_block
+
+    for n_pad in (16, 128, 256, 496 + 16, 1120, 4096):
+        n_blk = choose_message_block(n_pad)
+        assert n_blk >= 8, (n_pad, n_blk)
+        assert n_blk % 8 == 0
+        padded = ((n_pad + 15) // 16) * 16
+        assert padded % n_blk == 0
+        bwd = _bwd_block(padded, n_blk)
+        assert bwd >= 8 and bwd % 8 == 0 and padded % bwd == 0, (n_pad, bwd)
