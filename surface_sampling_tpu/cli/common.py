@@ -417,9 +417,16 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         sweep_size=int(samp["sweep_size"]),
         canonical=bool(samp.get("canonical", False)),
         num_ads_atoms=int(samp.get("num_ads_atoms", 0)),
-        criterion="testing" if samp.get("testing") else (
+        # reference semantics: filter_distance>0 REPLACES Metropolis with
+        # the pure geometric criterion (mcmc.py:253-261). An explicit
+        # sampling_settings "criterion" overrides — notably
+        # "metropolis_distance" (beyond-reference): Boltzmann sampling
+        # under a hard-wall minimum-separation prior, the sane mode for
+        # UNRELAXED NN sampling (sub-angstrom overlaps are NN
+        # extrapolation territory; see core/events.py).
+        criterion=samp.get("criterion") or ("testing" if samp.get("testing") else (
             "distance" if samp.get("filter_distance", 0) > 0 else "metropolis"
-        ),
+        )),
         filter_distance=float(samp.get("filter_distance", 0) or 1.5),
         record_positions=bool(samp.get("record_positions", True)),
         require_per_atom_energies=bool(samp.get("require_per_atom_energies", False)),

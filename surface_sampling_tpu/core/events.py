@@ -149,7 +149,11 @@ def make_semigrand_step(
     """
     n_sites = d.site_coords.shape[0]
     n_codes = d.n_codes
-    dist_accept = make_distance_accept(d, filter_distance) if criterion == "distance" else None
+    dist_accept = (
+        make_distance_accept(d, filter_distance)
+        if criterion in ("distance", "metropolis_distance")
+        else None
+    )
 
     def step(state: MCState, temp, site_idx=None):
         key, k_site, k_code, k_acc = jax.random.split(state.key, 4)
@@ -171,6 +175,19 @@ def make_semigrand_step(
             accept = jnp.asarray(always_accept)
         elif criterion == "distance":
             accept = dist_accept(trial_ss)
+        elif criterion == "metropolis_distance":
+            # beyond-reference: Boltzmann sampling restricted to the
+            # non-overlapping configuration subspace (hard-wall prior on
+            # min adsorbate separation). The reference offers distance
+            # and Metropolis only as alternatives (mcmc.py:253-261); for
+            # unrelaxed NN sampling the hard wall keeps the chain out of
+            # sub-angstrom overlaps where the model extrapolates garbage
+            # below any sane OOB bound. Detailed balance holds: the
+            # constraint multiplies the target by an occupancy-state
+            # indicator, and moves into excluded states are rejected.
+            accept = metropolis_accept(
+                k_acc, state.energy, trial.surface_energy, temp
+            ) & dist_accept(trial_ss)
         else:
             raise ValueError(f"unknown criterion {criterion!r}")
 
@@ -367,7 +384,11 @@ def make_canonical_step(
     """
     n_sites = d.site_coords.shape[0]
     n_codes = d.n_codes
-    dist_accept = make_distance_accept(d, filter_distance) if criterion == "distance" else None
+    dist_accept = (
+        make_distance_accept(d, filter_distance)
+        if criterion in ("distance", "metropolis_distance")
+        else None
+    )
     if require_per_atom_energies and potential is None:
         raise ValueError("require_per_atom_energies needs the potential")
     if require_distance_decay and distance_weight_matrix is None:
@@ -423,6 +444,12 @@ def make_canonical_step(
             accept = jnp.asarray(always_accept)
         elif criterion == "distance":
             accept = dist_accept(trial_ss)
+        elif criterion == "metropolis_distance":
+            # see make_semigrand_step: Metropolis under a hard-wall
+            # minimum-separation prior
+            accept = metropolis_accept(
+                k_acc, state.energy, trial.surface_energy, temp
+            ) & dist_accept(trial_ss)
         else:
             raise ValueError(f"unknown criterion {criterion!r}")
         accept = accept & valid

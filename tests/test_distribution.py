@@ -236,3 +236,51 @@ def test_population_annealing_boltzmann_and_free_energy(enumerable_system):
         f"PA logZ {logz_est:.3f} vs exact {logz_exact:.3f}")
     # populations stayed healthy
     assert float(np.min(np.asarray(rec.ess))) > 0.2 * C
+
+
+def test_metropolis_distance_samples_constrained_boltzmann(enumerable_system):
+    """The combined criterion (beyond-reference: Metropolis under a
+    hard-wall minimum-separation prior, core/events.py) must sample the
+    Boltzmann distribution restricted to the allowed (non-overlapping)
+    subspace: p(s) propto exp(-E(s)/T) * 1[min pair distance > fd].
+    Detailed balance survives the indicator because excluded trial states
+    are rejected symmetrically."""
+    from surface_sampling_tpu.core.events import make_distance_accept
+
+    run, S, E = enumerable_system
+    temp = 1.5
+    # pick a filter that excludes some multi-adsorbate states but not all:
+    # ontop sites on the 2x2 fcc cell are ~2.56 A apart
+    fd = 2.8
+    dist_ok = np.array([
+        bool(make_distance_accept(run.d, fd)(
+            jnp.asarray([int(b) for b in np.binary_repr(i, S)], jnp.int32)))
+        for i in range(2**S)
+    ])
+    assert dist_ok.any() and not dist_ok.all()
+
+    cfg = EngineConfig(sweep_size=4, record_positions=False,
+                       criterion="metropolis_distance", filter_distance=fd)
+    crun = make_chain_run(make_run_fn(run.d, run.state_energy_fn, cfg))
+    cs = chain_states(run.d, jax.random.PRNGKey(2), 512)
+    e0 = jax.jit(jax.vmap(lambda s: run.state_energy_fn(s).surface_energy))(
+        cs.site_state)
+    cs = cs._replace(energy=e0)
+    _, recs = crun(cs, jnp.full(60, temp))
+    ss = np.asarray(recs.site_state)[:, 20:, :].reshape(-1, S)
+    idx = ss.dot(1 << np.arange(S)[::-1])
+    p_emp = np.bincount(idx, minlength=2**S).astype(float)
+    p_emp /= p_emp.sum()
+
+    # chains start from the empty state (allowed) and can never enter an
+    # excluded state
+    assert p_emp[~dist_ok].sum() == 0.0
+
+    w = np.exp(-(E - E.min()) / temp) * dist_ok
+    p_exact = w / w.sum()
+    l1 = np.abs(p_emp - p_exact).sum()
+    assert l1 < 0.05, f"L1(empirical, constrained Boltzmann) = {l1:.4f}"
+    # power check: the unconstrained Boltzmann distribution puts real
+    # mass on the excluded states; the constrained sampler puts exactly
+    # none there (asserted above), so the indicator is load-bearing
+    assert _exact(E, temp)[~dist_ok].sum() > 0.02
