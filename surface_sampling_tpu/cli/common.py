@@ -570,13 +570,37 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         with stats_path.open("a") as f:
             f.write("\n".join(rows) + "\n")
 
+    # elastic recovery: the remote-TPU path can kill a long device-program
+    # execution with a transient `UNAVAILABLE: TPU device error` (the tunnel
+    # recovers on its own). With chunk_retries = r (default 1) a failed chunk
+    # is re-executed up to r times from a host-side snapshot of the scan
+    # carry — bitwise identical to an undisturbed run, since the chunk is a
+    # pure function of (carry states, temps). Set 0 to fail fast.
+    chunk_retries = int(samp.get("chunk_retries", 1))
+
+    def run_chunk(states, lo, hi):
+        host_states = jax.device_get(states) if chunk_retries > 0 else None
+        for attempt in range(chunk_retries + 1):
+            try:
+                out_states, recs = crun(
+                    states, jnp.asarray(temps_seg[lo:hi], jnp.float32))
+                jax.block_until_ready(recs.energy)
+                return out_states, recs
+            except jax.errors.JaxRuntimeError:
+                if attempt >= chunk_retries:
+                    raise
+                logger.warning(
+                    "device error in sweeps %d-%d; retrying (%d/%d)",
+                    start_sweep + lo + 1, start_sweep + hi,
+                    attempt + 1, chunk_retries,
+                )
+                states = jax.tree.map(jnp.asarray, host_states)
+
     timer = PhaseTimer()
     rec_parts = []
     with timer.phase("compile+first_run"):
         for lo, hi in chunk_bounds:
-            out_states, recs = crun(
-                states, jnp.asarray(temps_seg[lo:hi], jnp.float32))
-            jax.block_until_ready(recs.energy)
+            out_states, recs = run_chunk(states, lo, hi)
             states = out_states
             rec_parts.append(recs)
             # stats flush BEFORE the checkpoint: a crash in between leaves
@@ -776,6 +800,29 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
     else:
         _truncate_stats(stats_path, start_round)
 
+    # transient-device-error retry, mirroring run_sampling.run_chunk: the
+    # chunk is a pure function of (states, key, round offset), so replaying
+    # it from a host snapshot is bitwise-neutral
+    chunk_retries = int(samp.get("chunk_retries", 1))
+
+    def run_chunk(states, key, lo, hi):
+        snap = jax.device_get((states, key)) if chunk_retries > 0 else None
+        for attempt in range(chunk_retries + 1):
+            try:
+                out_states, rec = trun_cache[hi - lo](
+                    states, ladder, key, jnp.asarray(start_round + lo, jnp.int32))
+                jax.block_until_ready(rec.energy)
+                return out_states, rec
+            except jax.errors.JaxRuntimeError:
+                if attempt >= chunk_retries:
+                    raise
+                logger.warning(
+                    "device error in rounds %d-%d; retrying (%d/%d)",
+                    start_round + lo + 1, start_round + hi,
+                    attempt + 1, chunk_retries,
+                )
+                states, key = jax.tree.map(jnp.asarray, snap)
+
     rec_parts = []
     trun_cache = {}
     for lo, hi in chunk_bounds:
@@ -783,9 +830,7 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
         # traced argument, not baked into the closure
         if hi - lo not in trun_cache:
             trun_cache[hi - lo] = make_tempered_run(sweep, n_rounds=hi - lo)
-        out_states, rec = trun_cache[hi - lo](
-            states, ladder, key, jnp.asarray(start_round + lo, jnp.int32))
-        jax.block_until_ready(rec.energy)
+        out_states, rec = run_chunk(states, key, lo, hi)
         states = out_states
         key = jnp.asarray(np.asarray(rec.swap_key)[-1], jnp.uint32)
         rec_parts.append(rec)

@@ -802,3 +802,62 @@ def test_predict_cli_nn_embeddings(tmp_path):
     assert p["energies"].shape == (1,) and np.isfinite(p["energies"]).all()
     assert p["energy_std"][0] > 0.0          # 2-member ensemble spread
     assert p["embeddings"].shape[0] == 1 and np.isfinite(p["embeddings"]).all()
+
+
+def test_chunk_retry_on_device_error(cu_setup, monkeypatch):
+    """A transient device error inside a chunk is retried from the host
+    snapshot of the scan carry (sampling_settings.chunk_retries, default 1)
+    and the recovered run is bitwise identical to an undisturbed one
+    (elastic recovery for the remote-TPU path, where long executions can
+    die with transient UNAVAILABLE faults)."""
+    import jax
+
+    import surface_sampling_tpu.parallel as par
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    tmp_path, slab_path, settings_path = cu_setup
+    base = json.loads(settings_path.read_text())
+
+    def run(folder, interval=None, fail_on_call=None, retries=None):
+        s = dict(base); s["sampling_settings"] = dict(base["sampling_settings"])
+        s["sampling_settings"]["total_sweeps"] = 6
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        if interval:
+            s["sampling_settings"]["checkpoint_interval"] = interval
+        if retries is not None:
+            s["sampling_settings"]["chunk_retries"] = retries
+        sp = tmp_path / f"s_{folder}.json"
+        sp.write_text(json.dumps(s))
+
+        real_make = par.make_chain_run
+        if fail_on_call is not None:
+            calls = {"n": 0}
+
+            def flaky_make(run_fn):
+                crun = real_make(run_fn)
+
+                def flaky(states, temps):
+                    calls["n"] += 1
+                    if calls["n"] == fail_on_call:
+                        raise jax.errors.JaxRuntimeError(
+                            "UNAVAILABLE: injected transient TPU device error")
+                    return crun(states, temps)
+
+                return flaky
+
+            monkeypatch.setattr(par, "make_chain_run", flaky_make)
+        try:
+            main(["--settings", str(sp), "--slab", str(slab_path)])
+        finally:
+            monkeypatch.setattr(par, "make_chain_run", real_make)
+        return np.load(tmp_path / folder / "history.npz")
+
+    plain = run("r_plain", interval=2)
+    # second chunk fails once; default chunk_retries=1 recovers bitwise
+    recovered = run("r_flaky", interval=2, fail_on_call=2)
+    np.testing.assert_array_equal(recovered["energy"], plain["energy"])
+    np.testing.assert_array_equal(recovered["site_state"], plain["site_state"])
+
+    # chunk_retries=0 fails fast
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        run("r_fatal", interval=2, fail_on_call=2, retries=0)
