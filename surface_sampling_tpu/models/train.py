@@ -84,6 +84,20 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
     """Energy+force loss; ``apply_fn(params, cfg, ...)`` may be any of the
     model families (painn_apply, chgnet_apply, mace_apply)."""
 
+    # The force loss differentiates the energy twice: grad wrt positions
+    # inside value_and_grad wrt params. The fused Pallas kernels carry a
+    # custom VJP that is itself non-differentiable, so the "pallas"/"auto"
+    # routing must resolve to a pure-XLA mode here (PaiNN's dense one-hot
+    # MXU routing / CHGNet's gather conv). MC inference keeps the fused
+    # kernels; only training pays the (still-MXU-friendly) pure path.
+    from dataclasses import replace as _dc_replace
+
+    if getattr(cfg, "message_mode", None) in ("auto", "pallas"):
+        dense_ok = jax.default_backend() != "cpu"
+        cfg = _dc_replace(cfg, message_mode="dense" if dense_ok else "gather")
+    if getattr(cfg, "conv_mode", None) in ("auto", "pallas"):
+        cfg = _dc_replace(cfg, conv_mode="gather")
+
     need_mag = tcfg.magmom_weight > 0.0
 
     def single_loss(params, positions, numbers, shifts, e_ref, f_ref,

@@ -533,3 +533,37 @@ def test_mace_static_table_matches_dynamic():
         e_d = float(pot_dyn.energy(pos, ti, alive, d.shifts))
         e_t = float(pot_tbl.energy(pos, ti, alive, d.shifts))
         np.testing.assert_allclose(e_d, e_t, rtol=1e-6, atol=1e-5)
+
+
+def test_loss_fn_resolves_pallas_routing_for_double_grad():
+    """The force loss is a second-order derivative (grad-of-grad through
+    the energy); the fused Pallas kernels' custom VJP is not itself
+    differentiable, so make_loss_fn must resolve "pallas"/"auto" routing
+    to a pure-XLA mode. Regression for the TPU-only failure
+    ('Linearization failed ... does not support reverse-mode autodiff')
+    that CPU tests could not see because "auto" resolves to "gather"
+    there."""
+    from surface_sampling_tpu.models.chgnet import CHGNetConfig, chgnet_apply, init_chgnet
+    from surface_sampling_tpu.models.train import PaddedBatch, make_loss_fn
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(0, 4.0, (1, 6, 3)), jnp.float32)
+    numbers = jnp.full((1, 6), 18, jnp.int32)
+    shifts = jnp.zeros((1, 1, 3))
+    batch = PaddedBatch(pos, numbers, shifts,
+                        jnp.zeros(1), jnp.zeros((1, 6, 3)))
+
+    cfg = PaiNNConfig(feat_dim=8, n_rbf=4, cutoff=6.0, n_layers=1,
+                      readout_hidden=8, max_neighbors=5,
+                      message_mode="pallas")
+    loss_fn = make_loss_fn(cfg, TrainConfig())
+    params = init_painn(jax.random.PRNGKey(0), cfg)
+    g = jax.grad(loss_fn)(params, batch)
+    chex.assert_tree_all_finite(g)
+
+    ccfg = CHGNetConfig(atom_fea_dim=8, bond_fea_dim=8, angle_fea_dim=8,
+                        n_conv=1, conv_mode="pallas")
+    closs = make_loss_fn(ccfg, TrainConfig(), apply_fn=chgnet_apply)
+    cparams = init_chgnet(jax.random.PRNGKey(1), ccfg)
+    cg = jax.grad(closs)(cparams, batch)
+    chex.assert_tree_all_finite(cg)
