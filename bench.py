@@ -61,10 +61,14 @@ def _run_mc(run, n_chains: int, sweeps: int, sweep_size: int):
     jax.block_until_ready(recs.energy)
     _log(f"compile+first run {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    out, recs = crun(states, temps)
-    jax.block_until_ready(recs.energy)
-    dt = time.perf_counter() - t0
+    # best-of-3 steady-state repetitions: single ~1 s executions through
+    # the remote-TPU path see occasional multi-ms scheduling noise
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, recs = crun(states, temps)
+        jax.block_until_ready(recs.energy)
+        dt = min(dt, time.perf_counter() - t0)
 
     best = float(np.min(np.asarray(recs.energy)))
     assert np.isfinite(best), "benchmark run produced non-finite energies"
