@@ -28,8 +28,12 @@ def onehot_router(nbr, n_pad: int, routing: str, f32_precision=None):
     ``nbr``: (E, 1) int32 neighbor index per edge (a loaded kernel ref
     value). ``route(x)`` computes onehot @ x ((n_pad, D) -> (E, D));
     ``scatter(g)`` computes onehot^T @ g ((E, D) -> (n_pad, D)).
-    ``routing``: "bf16x2" (hi+lo split dots) or anything else for plain
-    f32 dots at ``f32_precision`` (None = backend default).
+    ``routing``: "bf16x2" (hi+lo split dots, the near-f32 default),
+    "bf16" (single-pass pure-bf16 dots — drops the lo correction for
+    ~2x on the routing FLOPs at ~bf16 feature precision; an opt-in for
+    high-temperature sampling where ~1e-2 eV state-to-state noise is
+    far below T), or anything else for plain f32 dots at
+    ``f32_precision`` (None = backend default).
     """
     E = nbr.shape[0]
     colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
@@ -52,6 +56,17 @@ def onehot_router(nbr, n_pad: int, routing: str, f32_precision=None):
 
         route = lambda x: _split_dot(x, dn_route)
         scatter = lambda g: _split_dot(g, dn_scatter)
+    elif routing == "bf16":
+        oh16 = onehot.astype(jnp.bfloat16)
+
+        def _bf16_dot(x, dims):
+            return jax.lax.dot_general(
+                oh16, x.astype(jnp.bfloat16), dims,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        route = lambda x: _bf16_dot(x, dn_route)
+        scatter = lambda g: _bf16_dot(g, dn_scatter)
     else:
 
         def route(x):

@@ -241,7 +241,7 @@ def test_dense_message_mode_matches_gather(tiny_model):
     )
     np.testing.assert_allclose(
         np.asarray(out_g["per_atom_energy"]), np.asarray(out_d["per_atom_energy"]),
-        rtol=1e-5, atol=1e-5,
+        rtol=max(rtol, 1e-5), atol=atol,
     )
     f_g = jax.grad(lambda p: painn_apply(params, cfg_g, p, numbers, alive, shifts)["energy"])(pos)
     f_d = jax.grad(lambda p: painn_apply(params, cfg_d, p, numbers, alive, shifts)["energy"])(pos)
@@ -256,6 +256,17 @@ def test_dense_message_mode_matches_gather(tiny_model):
 
 @pytest.mark.parametrize("routing", ["f32", "bf16x2"])
 def test_pallas_message_mode_matches_gather(tiny_model, routing):
+    _check_pallas_matches_gather(tiny_model, routing, rtol=1e-6, atol=1e-5)
+
+
+def test_pallas_bf16_routing_optin(tiny_model):
+    """routing="bf16" (single-pass pure-bf16 dots, ops/pallas_routing.py)
+    is a speed opt-in: it must still track the gather formulation, just
+    at bf16 feature precision (loose tolerances)."""
+    _check_pallas_matches_gather(tiny_model, "bf16", rtol=0.05, atol=0.05)
+
+
+def _check_pallas_matches_gather(tiny_model, routing, rtol, atol):
     """message_mode="pallas" (ops/pallas_painn.py fused VMEM kernel — the
     TPU MC hot path; routing="f32" is bit-identical to dense on-chip:
     measured max |dE|=0 on the SrTiO3 ensemble batch, while the default
@@ -271,26 +282,28 @@ def test_pallas_message_mode_matches_gather(tiny_model, routing):
     out_g = painn_apply(params, cfg_g, pos, numbers, alive, shifts)
     out_p = painn_apply(params, cfg_p, pos, numbers, alive, shifts)
     np.testing.assert_allclose(
-        float(out_g["energy"]), float(out_p["energy"]), rtol=1e-6, atol=1e-5
+        float(out_g["energy"]), float(out_p["energy"]), rtol=rtol, atol=atol
     )
     np.testing.assert_allclose(
         np.asarray(out_g["per_atom_energy"]), np.asarray(out_p["per_atom_energy"]),
-        rtol=1e-5, atol=1e-5,
+        rtol=max(rtol, 1e-5), atol=atol,
     )
     # forces flow through the custom VJP (backward = JAX reference impl)
     f_g = jax.grad(lambda p: painn_apply(params, cfg_g, p, numbers, alive, shifts)["energy"])(pos)
     f_p = jax.grad(lambda p: painn_apply(params, cfg_p, p, numbers, alive, shifts)["energy"])(pos)
-    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_p), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_p),
+                               rtol=max(rtol, 1e-4), atol=atol)
     # weight gradients too (fine-tuning path)
     g_g = jax.grad(lambda w: painn_apply(w, cfg_g, pos, numbers, alive, shifts)["energy"])(params)
     g_p = jax.grad(lambda w: painn_apply(w, cfg_p, pos, numbers, alive, shifts)["energy"])(params)
     for a, b in zip(jax.tree.leaves(g_g), jax.tree.leaves(g_p)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=max(rtol, 1e-4), atol=atol)
 
     alive2 = alive.at[2].set(False)
     e_g = float(painn_apply(params, cfg_g, pos, numbers, alive2, shifts)["energy"])
     e_p = float(painn_apply(params, cfg_p, pos, numbers, alive2, shifts)["energy"])
-    np.testing.assert_allclose(e_g, e_p, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(e_g, e_p, rtol=rtol, atol=atol)
 
 
 def test_srtio3_supercell_extensive():
