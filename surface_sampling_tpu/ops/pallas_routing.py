@@ -35,6 +35,11 @@ def onehot_router(nbr, n_pad: int, routing: str, f32_precision=None):
     far below T), or anything else for plain f32 dots at
     ``f32_precision`` (None = backend default).
     """
+    if routing not in ("bf16x2", "bf16", "f32"):
+        raise ValueError(
+            f"unknown routing mode {routing!r}: expected one of "
+            "'bf16x2', 'bf16', 'f32'"
+        )
     E = nbr.shape[0]
     colid = jax.lax.broadcasted_iota(jnp.int32, (E, n_pad), 1)
     onehot = jnp.where(nbr == colid, 1.0, 0.0)               # (E, n_pad)

@@ -241,7 +241,7 @@ def test_dense_message_mode_matches_gather(tiny_model):
     )
     np.testing.assert_allclose(
         np.asarray(out_g["per_atom_energy"]), np.asarray(out_d["per_atom_energy"]),
-        rtol=max(rtol, 1e-5), atol=atol,
+        rtol=1e-5, atol=1e-5,
     )
     f_g = jax.grad(lambda p: painn_apply(params, cfg_g, p, numbers, alive, shifts)["energy"])(pos)
     f_d = jax.grad(lambda p: painn_apply(params, cfg_d, p, numbers, alive, shifts)["energy"])(pos)
