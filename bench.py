@@ -74,7 +74,16 @@ def _run_mc(run, n_chains: int, sweeps: int, sweep_size: int):
     assert np.isfinite(best), "benchmark run produced non-finite energies"
     _log(f"steady state {dt * 1e3:.0f} ms for {n_chains * sweeps * sweep_size} steps; "
          f"best surface energy {best:.3f} eV")
-    return n_chains * sweeps * sweep_size / dt
+    steps_per_sec = n_chains * sweeps * sweep_size / dt
+    # second half of the BASELINE.json metric string ("Energy evals/sec +
+    # MC sweeps/hr"): a sweep in the reference's sense is one MC step per
+    # site (scripts/sample_surface.py sweep loop), so sweeps/hr follows
+    # from steps/s and the site count
+    n_sites = int(run.d.site_coords.shape[0])
+    _log(f"MC sweeps/hr (1 sweep = {n_sites} site steps, all chains): "
+         f"{steps_per_sec / n_sites * 3600.0:.0f} "
+         f"(per chain: {steps_per_sec / n_sites / n_chains * 3600.0:.0f})")
+    return steps_per_sec
 
 
 def bench_painn() -> dict:

@@ -468,6 +468,20 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
                     "checkpoint has no swap_key: it was not written by a "
                     "tempering run (or predates tempering resume)"
                 )
+        elif samp.get("population_annealing", False):
+            if "pa_key" not in ckpt_extra:
+                raise ValueError(
+                    "checkpoint has no pa_key: it was not written by a "
+                    "population-annealing run"
+                )
+            n_prev = min(start_sweep, len(temps_prev), len(temps))
+            if not np.allclose(temps[:n_prev], temps_prev[:n_prev],
+                               rtol=1e-9, atol=1e-12):
+                raise ValueError(
+                    "temperature schedule mismatch: the first "
+                    f"{n_prev} sweeps of the new schedule differ from the "
+                    "checkpointed run — resume requires the same settings"
+                )
         else:
             n_prev = min(start_sweep, len(temps_prev), len(temps))
             if not np.allclose(temps[:n_prev], temps_prev[:n_prev],
@@ -505,6 +519,24 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
         states = states._replace(energy=e0)
 
+    if samp.get("tempering", False) and samp.get("population_annealing", False):
+        raise ValueError(
+            "tempering=true and population_annealing=true are mutually "
+            "exclusive sampling modes — pick one"
+        )
+    if samp.get("population_annealing", False):
+        if cfg.mtm_trials > 1:
+            raise ValueError(
+                "mtm_trials is not supported with population_annealing=true: "
+                "the PA runner builds single-try steps — drop one of the two "
+                "settings"
+            )
+        return _run_population_annealing(
+            asys, run_folder, states, temps, cfg, samp, logger, seed,
+            start_sweep=start_sweep,
+            pa_key=(None if resume is None else ckpt_extra.get("pa_key")),
+            prev_temps=(None if resume is None else temps_prev),
+        )
     if samp.get("tempering", False):
         if cfg.mtm_trials > 1:
             raise ValueError(
@@ -862,6 +894,193 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
         "frac_accept_hist": swap,
         "adsorption_count_hist": np.zeros_like(swap),
         "best_energy": best,
+        "run_folder": run_folder,
+    }
+
+
+def _run_population_annealing(asys, run_folder, states, temps, cfg, samp,
+                              logger, seed, start_sweep: int = 0,
+                              pa_key=None, prev_temps=None):
+    """Population-annealing variant of run_sampling
+    (parallel/population.py): the chain batch is one importance-
+    reweighted, resampled population following the anneal schedule.
+    Config keys: ``population_annealing: true`` +
+    ``resample_threshold`` (ESS/C trigger, default 0.5).
+
+    Beyond the reference's capabilities, the run produces a free-energy
+    estimate: cumulative dlogZ = log[Z(T_end)/Z(T_start)]
+    (pa_free_energy.json), plus per-sweep ESS / resampling telemetry in
+    stats.csv and sampling_quality.json.
+
+    Resume: ``pa_key``/``start_sweep`` come from a prior checkpoint; the
+    continuation reweights from the checkpointed sweep's temperature
+    (the ``t_prev`` argument of the PA runner), so chunking and resume
+    agree with an uninterrupted schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.core import make_sweep_fn
+    from surface_sampling_tpu.core.events import make_canonical_step, make_semigrand_step
+    from surface_sampling_tpu.core.state import realize_numbers, realize_positions
+    from surface_sampling_tpu.io import save_checkpoint
+    from surface_sampling_tpu.parallel import make_population_annealing_run
+    from surface_sampling_tpu.structure.io import write_cif
+    from surface_sampling_tpu.utils.plot import plot_summary_stats
+
+    d = asys.run.d
+    se_fn = asys.run.state_energy_fn
+    n_chains = int(np.asarray(states.site_state).shape[0])
+    threshold = float(samp.get("resample_threshold", 0.5))
+    if cfg.canonical:
+        step_fn = make_canonical_step(d, se_fn, criterion=cfg.criterion,
+                                      filter_distance=cfg.filter_distance)
+    else:
+        step_fn = make_semigrand_step(d, se_fn, criterion=cfg.criterion,
+                                      filter_distance=cfg.filter_distance)
+    sweep = make_sweep_fn(step_fn, cfg.sweep_size)
+    n_rounds = len(temps)
+    n_seg = n_rounds - start_sweep
+    temps_seg = np.asarray(temps, np.float64)[start_sweep:]
+    logger.info(
+        "Population annealing: %d chains, %d sweeps %.3f -> %.3f, "
+        "resample at ESS/C < %.2f",
+        n_chains, n_seg, temps_seg[0], temps_seg[-1], threshold,
+    )
+    key = (jnp.asarray(pa_key, jnp.uint32) if pa_key is not None
+           else jax.random.PRNGKey(seed + 2))
+
+    ckpt_every = int(samp.get("checkpoint_interval", 0) or 0)
+    if not 0 < ckpt_every < n_seg:
+        chunk_bounds = [(0, n_seg)]
+    else:
+        chunk_bounds = [(lo, min(lo + ckpt_every, n_seg))
+                        for lo in range(0, n_seg, ckpt_every)]
+    header = "sweep,temp,energy_mean,energy_min,ess_frac,dlogz,resampled"
+    stats_path = run_folder / "stats.csv"
+    if not (start_sweep > 0 and stats_path.exists()):
+        stats_path.write_text(header + "\n")
+    else:
+        _truncate_stats(stats_path, start_sweep)
+
+    chunk_retries = int(samp.get("chunk_retries", 1))
+    parun_cache = {}
+
+    def run_chunk(states, key, lo, hi):
+        # chunk purity: (states, key, t_prev) fully determine the chunk,
+        # so a transient-device-error replay is bitwise-neutral
+        if hi - lo not in parun_cache:
+            parun_cache[hi - lo] = make_population_annealing_run(
+                sweep, resample_threshold=threshold)
+        t_prev = (
+            None if start_sweep + lo == 0
+            else jnp.asarray(float(np.asarray(temps)[start_sweep + lo - 1]),
+                             jnp.float32)
+        )
+        snap = jax.device_get((states, key)) if chunk_retries > 0 else None
+        for attempt in range(chunk_retries + 1):
+            try:
+                out_states, rec = parun_cache[hi - lo](
+                    states, jnp.asarray(temps_seg[lo:hi], jnp.float32), key,
+                    t_prev)
+                jax.block_until_ready(rec.energy)
+                return out_states, rec
+            except jax.errors.JaxRuntimeError:
+                if attempt >= chunk_retries:
+                    raise
+                logger.warning(
+                    "device error in sweeps %d-%d; retrying (%d/%d)",
+                    start_sweep + lo + 1, start_sweep + hi,
+                    attempt + 1, chunk_retries,
+                )
+                states, key = jax.tree.map(jnp.asarray, snap)
+
+    rec_parts = []
+    for lo, hi in chunk_bounds:
+        out_states, rec = run_chunk(states, key, lo, hi)
+        states = out_states
+        # continue the exact resampling-key sequence (bitwise-neutral
+        # chunking, mirroring tempering's swap_key carry)
+        key = jnp.asarray(np.asarray(rec.final_key), jnp.uint32)
+        rec_parts.append(rec)
+        e = np.asarray(rec.energy)
+        ess = np.asarray(rec.ess) / n_chains
+        dz = np.asarray(rec.dlogz)
+        rs = np.asarray(rec.resampled)
+        with stats_path.open("a") as f:
+            f.write("\n".join(
+                f"{start_sweep + lo + i + 1},{temps_seg[lo + i]:.6f},"
+                f"{e[i].mean():.6f},{e[i].min():.6f},{ess[i]:.4f},"
+                f"{dz[i]:.6f},{int(rs[i])}" for i in range(hi - lo)) + "\n")
+        save_checkpoint(run_folder / "checkpoint.npz", out_states,
+                        start_sweep + hi, np.asarray(temps),
+                        extra={"pa_key": np.asarray(key)})
+        if len(chunk_bounds) > 1:
+            logger.info("checkpoint at sweep %d/%d", start_sweep + hi, n_rounds)
+
+    energy = np.concatenate([np.asarray(r.energy) for r in rec_parts], axis=0)
+    ess = np.concatenate([np.asarray(r.ess) for r in rec_parts], axis=0)
+    dlogz = np.concatenate([np.asarray(r.dlogz) for r in rec_parts], axis=0)
+    resampled = np.concatenate(
+        [np.asarray(r.resampled) for r in rec_parts], axis=0)
+    site_state = np.concatenate(
+        [np.asarray(r.site_state) for r in rec_parts], axis=0)
+
+    # the free-energy artifact: log[Z(T_end)/Z(T_start)] over this
+    # segment (for a resumed run the earlier segments' contributions are
+    # already in the previous stats.csv rows; sum the dlogz column for
+    # the full-schedule estimate)
+    dlogz_total = float(dlogz.sum())
+    (run_folder / "pa_free_energy.json").write_text(json.dumps({
+        "log_Z_ratio": dlogz_total,
+        "t_start": float(temps_seg[0]),
+        "t_end": float(temps_seg[-1]),
+        "start_sweep": int(start_sweep),
+        "n_chains": n_chains,
+        "ess_frac_min": float(ess.min() / n_chains),
+        "resample_fraction": float(resampled.mean()),
+        "note": "log_Z_ratio = sum_k dlogz over this segment; "
+                "F(T_end) - via Z ratios - is -T_end*(log_Z_ratio + log Z(T_start))",
+    }))
+    (run_folder / "sampling_quality.json").write_text(json.dumps({
+        "ess_frac_final": float(ess[-1] / n_chains),
+        "ess_frac_min": float(ess.min() / n_chains),
+        "resample_fraction": float(resampled.mean()),
+        "log_Z_ratio": dlogz_total,
+        "n_chains": n_chains, "sweeps": int(len(temps_seg)),
+    }))
+    plot_summary_stats(
+        energy.mean(axis=1), ess / n_chains, resampled.astype(float),
+        len(temps_seg), save_folder=run_folder,
+    )
+
+    # best structure across the whole population history
+    flat = energy.reshape(-1)
+    best = int(np.argmin(flat))
+    bs, bc = divmod(best, n_chains)
+    ss_best = jnp.asarray(site_state[bs, bc])
+    numbers = np.asarray(realize_numbers(d, ss_best))
+    pos = np.asarray(realize_positions(d, ss_best))
+    keep = numbers > 0
+    write_cif(run_folder / f"best_energy_{flat[best]:.3f}.cif",
+              Structure(numbers[keep], pos[keep], asys.spec.cell))
+
+    np.savez_compressed(
+        run_folder / "history.npz",
+        site_state=site_state, energy=energy, ess=ess, dlogz=dlogz,
+        resampled=resampled, temps=temps_seg,
+        start_sweep=np.asarray(start_sweep))
+    logger.info(
+        "Best surface energy %.4f eV; log[Z(%.3g)/Z(%.3g)] = %.3f "
+        "(segment); min ESS/C %.2f; resampled %.0f%% of sweeps",
+        flat[best], temps_seg[-1], temps_seg[0], dlogz_total,
+        float(ess.min() / n_chains), 100 * resampled.mean(),
+    )
+    return {
+        "energy_hist": energy.T,
+        "frac_accept_hist": np.tile(ess[None, :] / n_chains, (1, 1)),
+        "adsorption_count_hist": np.zeros((1, len(temps_seg))),
+        "best_energy": float(flat[best]),
+        "log_Z_ratio": dlogz_total,
         "run_folder": run_folder,
     }
 

@@ -36,8 +36,12 @@ from surface_sampling_tpu.core.state import MCState
 class PARecord(NamedTuple):
     energy: jnp.ndarray       # (R, C) per-sweep end energies
     ess: jnp.ndarray          # (R,) effective sample size of the weights
-    dlogz: jnp.ndarray        # (R,) per-step log[Z(T_k)/Z(T_{k-1})] estimate
+    dlogz: jnp.ndarray        # (R,) per-step log[Z(T_k)/T(T_{k-1})] estimate
     resampled: jnp.ndarray    # (R,) bool — whether this step resampled
+    site_state: jnp.ndarray   # (R, C, S) per-sweep end site occupancies
+    final_key: jax.Array      # resampling-PRNG carry after the last step —
+                              # hand to the next chunk for bitwise-neutral
+                              # chunking/resume (cli.common)
 
 
 def _systematic_resample(key, log_w, n: int):
@@ -67,14 +71,22 @@ def make_population_annealing_run(
 
     ``resample_threshold``: resample only when ESS/C < threshold
     (1.0 = always resample, 0.0 = never — pure reweighting estimator).
+
+    ``run`` additionally accepts ``t_prev``, the temperature the incoming
+    population is equilibrated at: the first schedule entry then
+    reweights from t_prev -> temps[0]. Default (None) reweights the first
+    entry from itself (zero-weight step) — the fresh-start semantics.
+    Chunked drivers (cli.common checkpoint_interval) pass the previous
+    chunk's last temperature so the cross-chunk reweight is not skipped.
     """
     vsweep = jax.vmap(sweep_fn, in_axes=(0, None))
 
-    def run(states: MCState, temps, key):
+    def run(states: MCState, temps, key, t_prev=None):
         C = states.energy.shape[0]
         beta = 1.0 / jnp.maximum(temps, 1e-12)
-        # first entry reweights from itself (zero weight step)
-        beta_prev = jnp.concatenate([beta[:1], beta[:-1]])
+        b0 = beta[:1] if t_prev is None else 1.0 / jnp.maximum(
+            jnp.asarray(t_prev, beta.dtype)[None], 1e-12)
+        beta_prev = jnp.concatenate([b0, beta[:-1]])
 
         def step(carry, bt):
             states, key = carry
@@ -97,11 +109,13 @@ def make_population_annealing_run(
                 key=states.key,  # keys stay with the chain slot
             )
             states, _ = vsweep(states, 1.0 / b_k)
-            return (states, key), (states.energy, ess, dlogz, do_rs)
+            return (states, key), (states.energy, ess, dlogz, do_rs,
+                                   states.site_state)
 
-        (states, _), (e, ess, dlogz, rs) = jax.lax.scan(
+        (states, key), (e, ess, dlogz, rs, ss) = jax.lax.scan(
             step, (states, key), (beta_prev, beta)
         )
-        return states, PARecord(energy=e, ess=ess, dlogz=dlogz, resampled=rs)
+        return states, PARecord(energy=e, ess=ess, dlogz=dlogz, resampled=rs,
+                                site_state=ss, final_key=key)
 
     return jax.jit(run)

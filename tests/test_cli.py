@@ -187,6 +187,69 @@ def test_sample_surface_cli_tempering(cu_setup):
     assert (run / "checkpoint.npz").exists()
 
 
+def test_sample_surface_cli_population_annealing(cu_setup):
+    """sampling_settings.population_annealing drives the PA runner
+    (parallel/population.py) from the config layer like tempering does,
+    producing the free-energy estimate artifact (pa_free_energy.json)
+    plus per-sweep ESS/resampling telemetry."""
+    tmp_path, slab_path, settings_path = cu_setup
+    import json as _json
+
+    s = _json.loads(settings_path.read_text())
+    s["sampling_settings"].update(
+        population_annealing=True, n_chains=8, total_sweeps=5,
+        resample_threshold=0.7,
+        run_folder=str(tmp_path / "run_pa"))
+    p2 = tmp_path / "settings_pa.json"
+    p2.write_text(_json.dumps(s))
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    main(["--settings", str(p2), "--slab", str(slab_path)])
+    run = tmp_path / "run_pa"
+    text = (run / "stats.csv").read_text()
+    assert text.startswith("sweep,temp,energy_mean,energy_min,ess_frac,dlogz")
+    fe = json.loads((run / "pa_free_energy.json").read_text())
+    assert np.isfinite(fe["log_Z_ratio"])
+    assert 0 < fe["ess_frac_min"] <= 1.0
+    sq = json.loads((run / "sampling_quality.json").read_text())
+    assert sq["log_Z_ratio"] == fe["log_Z_ratio"]
+    assert (run / "checkpoint.npz").exists()
+    assert list(run.glob("best_energy_*.cif"))
+    h = np.load(run / "history.npz")
+    assert h["energy"].shape == (5, 8)
+    assert h["dlogz"].shape == (5,)
+
+
+def test_population_annealing_checkpoint_interval_bitwise(cu_setup):
+    """checkpoint_interval chunking is bitwise-neutral for PA runs: the
+    chain states AND the resampling key are the exact carry across
+    chunks, and each chunk reweights from the previous chunk's last
+    temperature (the t_prev argument)."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    base = json.loads(settings_path.read_text())
+    base["sampling_settings"].update(
+        population_annealing=True, n_chains=4, total_sweeps=6,
+        resample_threshold=1.0)   # resample every sweep: keys must line up
+
+    def run(folder, interval=None):
+        s = dict(base); s["sampling_settings"] = dict(base["sampling_settings"])
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        if interval:
+            s["sampling_settings"]["checkpoint_interval"] = interval
+        sp = tmp_path / f"s_{folder}.json"
+        sp.write_text(json.dumps(s))
+        main(["--settings", str(sp), "--slab", str(slab_path)])
+        return np.load(tmp_path / folder / "history.npz")
+
+    plain = run("pa_plain")
+    chunked = run("pa_chunk", interval=2)
+    np.testing.assert_array_equal(chunked["energy"], plain["energy"])
+    np.testing.assert_array_equal(chunked["dlogz"], plain["dlogz"])
+    np.testing.assert_array_equal(chunked["ess"], plain["ess"])
+
+
 def test_sample_bulk_cli(tmp_path):
     """Bulk-defect sampling: all lattice sites prefilled and exchangeable
     (scripts/sample_bulk.py analog)."""

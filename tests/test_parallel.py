@@ -65,6 +65,33 @@ def test_sharded_chains_on_mesh():
     )
 
 
+_COLLECTIVE_HLO_OPS = (
+    "all-reduce", "all-gather", "all-to-all", "collective-permute",
+    "reduce-scatter", "collective-broadcast",
+)
+
+
+def test_sharded_sweep_hlo_has_no_collectives():
+    """Pin the zero-collective hot-loop claim (parallel/chains.py): the
+    COMPILED HLO of the sharded MC sweep must contain no cross-device
+    collectives — chains are independent and outputs stay sharded, so
+    scaling over ICI/DCN is communication-free by construction, not by
+    assertion."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    sys, run_fn, cfg = _run_pieces()
+    mesh = chain_mesh(8)
+    n_chains = 8
+    states = chain_states(sys.run.d, jax.random.PRNGKey(2), n_chains)
+    e0 = jax.vmap(lambda ss: sys.run.state_energy_fn(ss).surface_energy)(states.site_state)
+    states = states._replace(energy=e0)
+    states = shard_chain_states(states, mesh)
+    temps = jnp.asarray(geometric_schedule(1.0, 2, 0.9), jnp.float32)
+    srun = make_sharded_chain_run(run_fn, mesh)
+    hlo = srun.lower(states, temps).compile().as_text()
+    found = [op for op in _COLLECTIVE_HLO_OPS if op in hlo]
+    assert not found, f"sharded sweep HLO contains collectives: {found}"
+
+
 def test_parallel_tempering_au():
     sys = au110_eam()
     d = sys.run.d
