@@ -147,6 +147,142 @@ def sw_tables_from_kim(data: dict) -> SWTables:
     return sw_tables({"elements": elements, "entries": entries})
 
 
+# canonical ThreeBodyCluster per-triplet field order (with costheta0;
+# 8-number files omit it and default to the SW tetrahedral -1/3)
+_KIM_FILE_FIELDS9 = ("A", "B", "p", "q", "sigma", "lambda", "gamma",
+                     "costheta0", "cutoff")
+_KIM_ALIASES = {
+    "costheta_0": "costheta0", "cos0": "costheta0", "costheta": "costheta0",
+    "lam": "lambda", "gam": "gamma", "sig": "sigma", "rcut": "cutoff",
+    "cut": "cutoff", "a_kim": "A", "b_kim": "B",
+}
+
+
+def _kim_header_fields(text: str):
+    """Field order declared in a comment header, if any: a comment line
+    naming >= 6 of the known ThreeBodyCluster fields fixes the column
+    order (many KIM parameter files carry exactly such a line)."""
+    known = set(_KIM_FILE_FIELDS9)
+    for line in text.splitlines():
+        s = line.strip()
+        if not s.startswith(("#", "!", "//")):
+            continue
+        toks = [
+            _KIM_ALIASES.get(t.strip("():,[]").lower(), t.strip("():,[]"))
+            for t in s.lstrip("#!/ ").replace("=", " ").split()
+        ]
+        named = [t if t in ("A", "B") else t.lower() for t in toks]
+        hits = [t for t in named if t in known or t in ("A", "B")]
+        if len([h for h in hits if h in known]) >= 6:
+            return tuple(h for h in hits if h in known)
+    return None
+
+
+def parse_kim_threebody(text: str, elements=None, fields=None) -> SWTables:
+    """Parse an OpenKIM *ThreeBodyCluster* model parameter file — the
+    format the reference's Si(111) 5x5 relaxation model ships its
+    constants in (``ThreeBodyCluster_SRS_StephensonRadnySmith_1996_Si``;
+    /root/reference/tutorials/Si_111_5x5/lammps_opt_template.txt:18 names
+    the model, whose ``.params`` file is not redistributable here — drop
+    it next to the tutorial or point ``SST_SRS_PARAMS`` at it and
+    tests/test_manybody_potentials.py's skip-if-absent golden activates).
+
+    Layout handled (whitespace/comment tolerant):
+
+      * optional leading species block: an integer count followed by
+        that many element symbols (the common KIM convention);
+      * per-triplet entries, either LABELED (``E1 E2 E3`` followed by
+        the numbers, any triplet order — LAMMPS-.sw style) or BARE
+        numbers (single-species files: exactly one entry);
+      * 9 numbers per entry in the driver order A B p q sigma lambda
+        gamma costheta0 cutoff, or 8 with costheta0 omitted (defaults
+        to -1/3). A comment header naming the columns overrides the
+        order; ``fields=`` overrides both.
+
+    Returns SWTables in the LAMMPS reduced convention via
+    :func:`sw_tables_from_kim` (exact mapping documented there).
+    """
+    if fields is None:
+        fields = _kim_header_fields(text) or _KIM_FILE_FIELDS9
+    fields = tuple(fields)
+    tokens: list[str] = []
+    for line in text.splitlines():
+        for stop in ("#", "!", "//"):
+            line = line.split(stop)[0]
+        tokens.extend(line.split())
+
+    def is_num(t):
+        try:
+            float(t)
+            return True
+        except ValueError:
+            return False
+
+    pos = 0
+    species = None
+    # optional "N species..." prologue: integer then N non-numeric symbols
+    if tokens and is_num(tokens[0]) and float(tokens[0]).is_integer():
+        n = int(float(tokens[0]))
+        cand = tokens[1 : 1 + n]
+        if len(cand) == n and all(not is_num(t) for t in cand):
+            species = [t for t in cand]
+            pos = 1 + n
+    entries = {}
+    labeled = pos < len(tokens) and not is_num(tokens[pos])
+    nf, nf8 = len(fields), len(fields) - (1 if "costheta0" in fields else 0)
+    while pos < len(tokens):
+        if labeled:
+            e1, e2, e3 = tokens[pos : pos + 3]
+            pos += 3
+        else:
+            if species is None or len(species) != 1:
+                raise ValueError(
+                    "bare-number KIM entries need a single-species file "
+                    "(or label each triplet E1 E2 E3 ...)"
+                )
+            e1 = e2 = e3 = species[0]
+        nums = []
+        while pos < len(tokens) and is_num(tokens[pos]) and len(nums) < nf:
+            nums.append(float(tokens[pos]))
+            pos += 1
+        if len(nums) == nf:
+            kv = dict(zip(fields, nums))
+        elif len(nums) == nf8:
+            kv = dict(zip([f for f in fields if f != "costheta0"], nums))
+        else:
+            raise ValueError(
+                f"KIM entry ({e1},{e2},{e3}) has {len(nums)} numbers; "
+                f"expected {nf} ({' '.join(fields)}) or {nf8} (costheta0 "
+                "defaulting to -1/3)"
+            )
+        entries[(e1, e2, e3)] = kv
+    if not entries:
+        raise ValueError("no parameter entries found in KIM file")
+    elements = list(elements) if elements else (
+        species or sorted({e for k in entries for e in k}))
+    return sw_tables_from_kim({"elements": elements, "entries": entries})
+
+
+def load_kim_threebody(path: str | Path, elements=None, fields=None) -> SWTables:
+    return parse_kim_threebody(Path(path).read_text(), elements, fields)
+
+
+def load_sw_any(path: str | Path, elements=None) -> SWTables:
+    """Load either a LAMMPS ``.sw`` file or a KIM ThreeBodyCluster
+    parameter file, sniffing by extension then content: ``.sw`` parses as
+    LAMMPS; anything else tries the KIM layout first and falls back to
+    LAMMPS. This is what ``systems.si111_sw(relax_model=path)`` uses, so
+    the SRS drop-in works with the file in either convention."""
+    p = Path(path)
+    text = p.read_text()
+    if p.suffix == ".sw":
+        return parse_sw(text, elements)
+    try:
+        return parse_kim_threebody(text, elements)
+    except (ValueError, IndexError):
+        return parse_sw(text, elements)
+
+
 def make_sw(tables: SWTables, max_neighbors: int = 16, dtype=jnp.float32,
             static_nbr=None) -> Potential:
     """Build the jittable Stillinger-Weber Potential. ``static_nbr`` ranks

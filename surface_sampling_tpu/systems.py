@@ -161,10 +161,11 @@ def si111_sw(
     SW_StillingerWeber_1985, ``run 0``). The tutorial RELAXES under a
     different model, the SRS-1996 modified SW (lammps_opt_template.txt:18,
     KIM ThreeBodyCluster_SRS_StephensonRadnySmith_1996_Si); pass
-    ``relax_model=`` an ``SWTables`` (``load_sw(path)`` for a LAMMPS
-    ``.sw`` file, or ``sw_tables_from_kim`` on constants transcribed
-    from the KIM ThreeBodyCluster parameter file — the SRS constants are
-    not redistributable here) to enable that dual-potential split;
+    ``relax_model=`` an ``SWTables`` or a file path — a LAMMPS ``.sw``
+    file OR the KIM model's ThreeBodyCluster parameter file itself
+    (``potentials.sw.parse_kim_threebody`` reads the ``.params`` layout;
+    the SRS constants are not redistributable here, so dropping the file
+    is all that's left) — to enable that dual-potential split;
     relaxation then minimizes
     the relax model while acceptance stays on SW85 energies of the
     relaxed geometry.
@@ -201,9 +202,11 @@ def si111_sw(
                       static_nbr=nbr)
     relax_pot = None
     if relax_model is not None:
-        from surface_sampling_tpu.potentials.sw import SWTables, load_sw
+        from surface_sampling_tpu.potentials.sw import SWTables, load_sw_any
 
-        rt = relax_model if isinstance(relax_model, SWTables) else load_sw(relax_model)
+        # path: LAMMPS .sw or a KIM ThreeBodyCluster .params drop-in
+        # (load_sw_any sniffs; parse_kim_threebody documents the layout)
+        rt = relax_model if isinstance(relax_model, SWTables) else load_sw_any(relax_model)
         from surface_sampling_tpu.core.static_neighbors import build_static_neighbor_table
 
         rnbr = build_static_neighbor_table(spec, rt.cutoff, relax_slack=0.6)

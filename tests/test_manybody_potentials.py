@@ -88,6 +88,155 @@ def test_sw_tables_from_kim_matches_lammps_convention():
         sw_tables_from_kim(bad)
 
 
+def _sw85_kim_numbers():
+    """SW85 forward-mapped into the un-reduced ThreeBodyCluster constants
+    (same mapping as test_sw_tables_from_kim_matches_lammps_convention)."""
+    from surface_sampling_tpu.potentials.sw import SW_SI_1985
+
+    v = dict(SW_SI_1985["entries"][("Si", "Si", "Si")])
+    return {
+        "A": v["A"] * v["eps"] * v["sig"] ** v["q"],
+        "B": v["B"] * v["sig"] ** (v["p"] - v["q"]),
+        "p": v["p"], "q": v["q"], "sigma": v["sig"],
+        "lambda": v["lam"] * v["eps"], "gamma": v["gam"] * v["sig"],
+        "costheta0": v["cos0"], "cutoff": v["a"] * v["sig"],
+    }
+
+
+def _sw_energy(tables):
+    st = bulk("Si", "diamond", a=5.431).repeat(2)
+    rng = np.random.default_rng(7)
+    pos = st.positions + rng.normal(0.0, 0.05, st.positions.shape)
+    return float(make_sw(tables, max_neighbors=20, dtype=jnp.float64).energy(
+        jnp.asarray(pos), jnp.zeros(len(st), jnp.int32),
+        jnp.ones(len(st), bool), jnp.asarray(pair_shifts(st.cell, tables.cutoff)),
+    ))
+
+
+def test_parse_kim_threebody_file_layouts():
+    """The KIM ThreeBodyCluster parameter-FILE parser handles the layouts
+    a dropped .params file can come in: species prologue + bare numbers
+    (driver field order), labeled triplets, a comment header declaring a
+    scrambled column order, and the 8-number form without costheta0 —
+    all reproducing SW85 energies through the documented mapping."""
+    from surface_sampling_tpu.potentials.sw import parse_kim_threebody
+
+    k = _sw85_kim_numbers()
+    with jax.enable_x64(True):
+        e_ref = _sw_energy(sw_tables())
+        order9 = ["A", "B", "p", "q", "sigma", "lambda", "gamma",
+                  "costheta0", "cutoff"]
+        # 1) species prologue + bare numbers in driver order
+        bare = "# SRS-like file\n1\nSi\n" + " ".join(
+            f"{k[f]:.12g}" for f in order9) + "\n"
+        np.testing.assert_allclose(
+            _sw_energy(parse_kim_threebody(bare)), e_ref, rtol=1e-9)
+        # 2) labeled triplet, no prologue
+        labeled = "Si Si Si " + " ".join(f"{k[f]:.12g}" for f in order9)
+        np.testing.assert_allclose(
+            _sw_energy(parse_kim_threebody(labeled)), e_ref, rtol=1e-9)
+        # 3) comment header declares a scrambled column order
+        scram = ["cutoff", "sigma", "A", "B", "p", "q", "lambda", "gamma",
+                 "costheta_0"]
+        hdr = ("# columns: " + " ".join(scram) + "\n1\nSi\n"
+               + " ".join(f"{k[f if f != 'costheta_0' else 'costheta0']:.12g}"
+                          for f in scram))
+        np.testing.assert_allclose(
+            _sw_energy(parse_kim_threebody(hdr)), e_ref, rtol=1e-9)
+        # 4) 8 numbers, costheta0 omitted -> tetrahedral default
+        order8 = [f for f in order9 if f != "costheta0"]
+        bare8 = "1\nSi\n" + " ".join(f"{k[f]:.12g}" for f in order8)
+        np.testing.assert_allclose(
+            _sw_energy(parse_kim_threebody(bare8)), e_ref, rtol=1e-9)
+    # malformed: wrong number count
+    with pytest.raises(ValueError, match="expected"):
+        parse_kim_threebody("1\nSi\n1.0 2.0 3.0")
+    # bare numbers with two species is ambiguous
+    with pytest.raises(ValueError, match="single-species"):
+        parse_kim_threebody("2\nSi C\n" + " ".join(["1.0"] * 9))
+
+
+def test_load_sw_any_sniffs_both_conventions(tmp_path):
+    from surface_sampling_tpu.potentials.sw import load_sw_any
+
+    k = _sw85_kim_numbers()
+    order9 = ["A", "B", "p", "q", "sigma", "lambda", "gamma", "costheta0",
+              "cutoff"]
+    pk = tmp_path / "srs.params"
+    pk.write_text("1\nSi\n" + " ".join(f"{k[f]:.12g}" for f in order9))
+    v = sw_tables().params
+    psw = tmp_path / "si.sw"
+    psw.write_text(
+        "Si Si Si " + " ".join(
+            f"{float(v[f][0, 0, 0]):.12g}"
+            for f in ("eps", "sig", "a", "lam", "gam", "cos0",
+                      "A", "B", "p", "q", "tol"))
+    )
+    with jax.enable_x64(True):
+        e_ref = _sw_energy(sw_tables())
+        np.testing.assert_allclose(_sw_energy(load_sw_any(pk)), e_ref, rtol=1e-9)
+        np.testing.assert_allclose(_sw_energy(load_sw_any(psw)), e_ref, rtol=1e-9)
+
+
+import os as _os
+from pathlib import Path as _Path
+
+_SRS_CANDIDATES = [
+    _Path(__file__).parents[1]
+    / "surface_sampling_tpu/potentials/data/srs_1996_si.params",
+]
+if _os.environ.get("SST_SRS_PARAMS"):
+    _SRS_CANDIDATES.insert(0, _Path(_os.environ["SST_SRS_PARAMS"]))
+_SRS_FILE = next((p for p in _SRS_CANDIDATES if p.exists()), None)
+
+
+@pytest.mark.skipif(_SRS_FILE is None, reason=(
+    "SRS-1996 KIM parameter file not present (not redistributable "
+    "offline): drop ThreeBodyCluster_SRS_StephensonRadnySmith_1996_Si's "
+    ".params file at surface_sampling_tpu/potentials/data/srs_1996_si."
+    "params or point SST_SRS_PARAMS at it to activate the dual-potential "
+    "tutorial golden"))
+def test_si111_srs_dual_potential_golden():
+    """With the (user-dropped) SRS parameter file, the Si(111) 5x5
+    tutorial's dual-potential split runs exactly as the reference does:
+    relax under SRS-1996, accept on SW85 energies of the relaxed
+    geometry (lammps_opt_template.txt:18 vs lammps_energy_template.txt:18).
+    The pristine SW85 acceptance anchor must be unchanged and an SRS
+    relaxation must lower the SRS energy of a perturbed slab."""
+    import jax.numpy as jnp
+
+    sys_ = si111_sw(relax=RelaxConfig(steps=20, fmax=0.02),
+                    relax_model=_SRS_FILE)
+    assert sys_.run.relax_potential is not None
+    # SW85 acceptance energy of the pristine tutorial slab is the anchor
+    from surface_sampling_tpu.core.state import (
+        realize_alive, realize_positions, realize_type_idx,
+    )
+
+    d = sys_.run.d
+    ss0 = jnp.zeros(len(sys_.spec.site_coords), jnp.int32)
+    pos = realize_positions(d, ss0)
+    e_sw = float(sys_.potential.energy(
+        pos, realize_type_idx(d, ss0), realize_alive(d, ss0), d.shifts))
+    assert abs(e_sw - (-379.42511)) < 5e-3
+    # SRS relaxation reduces SRS energy on a perturbed geometry
+    rp = sys_.run.relax_potential
+    rng = np.random.default_rng(0)
+    pos_p = jnp.asarray(np.asarray(pos) + rng.normal(0, 0.03, pos.shape))
+    alive = realize_alive(d, ss0)
+    ti = realize_type_idx(d, ss0)
+    e0 = float(rp.energy(pos_p, ti, alive, d.shifts))
+    from surface_sampling_tpu.core.relax import FireConfig, fire_relax
+    from surface_sampling_tpu.core.state import realize_free_mask
+
+    free = realize_free_mask(d, ss0)
+    out = fire_relax(
+        lambda p: rp.energy(p, ti, alive, d.shifts),
+        pos_p, free_mask=free, cfg=FireConfig(steps=30, fmax=0.02))
+    e1 = float(rp.energy(out.positions, ti, alive, d.shifts))
+    assert e1 < e0
+
+
 def test_tersoff_gan_cohesive_energy():
     """Nord et al. J. Phys. Condens. Matter 15, 5649 (2003): wurtzite GaN
     cohesive energy -4.526 eV/atom near a=3.19."""

@@ -234,6 +234,76 @@ def test_mace_npz_roundtrip_and_cli(tmp_path):
     assert (tmp_path / "run" / "stats.csv").exists()
 
 
+def test_mace_state_dict_converter_roundtrip(tmp_path):
+    """convert_mace.py (the MACE sibling of convert_nff/convert_chgnet):
+    params -> torch-style state dict -> params is exact, through both the
+    in-memory dict, an npz, and a torch-pickled .pt; official-package
+    alias names map; unknown foreign keys are refused (strict)."""
+    import pytest
+
+    from surface_sampling_tpu.models.convert_mace import (
+        convert_mace_state_dict,
+        export_mace_state_dict,
+        load_mace_state_dict,
+    )
+    from surface_sampling_tpu.models.mace import MACEConfig, init_mace, mace_apply
+
+    for eq in (False, True):
+        cfg = MACEConfig(feat_dim=8, n_rbf=4, cutoff=4.0, n_layers=2,
+                         max_neighbors=8, l_max=2, equivariant_messages=eq)
+        params = init_mace(jax.random.PRNGKey(7), cfg)
+        sd = export_mace_state_dict(params)
+        assert sd["layers.0.rad0.weight"].shape == (8, 4)  # torch (out, in)
+        params2, cfg2 = convert_mace_state_dict(sd)        # dims inferred
+        assert (cfg2.feat_dim, cfg2.n_rbf, cfg2.n_layers, cfg2.l_max,
+                cfg2.equivariant_messages) == (8, 4, 2, 2, eq)
+        chex.assert_trees_all_close(
+            jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, params2))
+
+    # same energies through the converted params
+    pos = jnp.asarray(np.random.default_rng(0).uniform(0, 4, (6, 3)), jnp.float32)
+    nums = jnp.full(6, 29, jnp.int32)
+    alive = jnp.ones(6, bool)
+    shifts = jnp.zeros((1, 3))
+    e1 = float(mace_apply(params, cfg, pos, nums, alive, shifts)["energy"])
+    # geometry hyperparams (cutoff/max_neighbors) are not in a state
+    # dict — evaluate under the true cfg; weights are what converted
+    e2 = float(mace_apply(params2, cfg, pos, nums, alive, shifts)["energy"])
+    assert e1 == e2
+
+    # npz and torch .pt loading paths
+    np.savez(tmp_path / "sd.npz", **sd)
+    p3, _ = load_mace_state_dict(tmp_path / "sd.npz", cfg)
+    chex.assert_trees_all_close(
+        jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, p3))
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               tmp_path / "sd.pt")
+    p4, _ = load_mace_state_dict(tmp_path / "sd.pt", cfg)
+    chex.assert_trees_all_close(
+        jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, p4))
+
+    # official mace-package alias names for the 1:1 pieces
+    sd_alias = dict(sd)
+    sd_alias["node_embedding.linear.weight"] = sd_alias.pop("atom_embed")
+    sd_alias["atomic_energies_fn.atomic_energies"] = sd_alias.pop("atom_ref")
+    for t in range(cfg.n_layers):
+        sd_alias[f"readouts.{t}.linear.weight"] = sd_alias.pop(
+            f"layers.{t}.readout.weight")
+        sd_alias[f"readouts.{t}.linear.bias"] = sd_alias.pop(
+            f"layers.{t}.readout.bias")
+    p5, _ = convert_mace_state_dict(sd_alias, cfg)
+    chex.assert_trees_all_close(
+        jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, p5))
+
+    # foreign keys with no counterpart are refused, not dropped
+    sd_bad = dict(sd)
+    sd_bad["interactions.0.conv_tp.weight"] = np.zeros((2, 2))
+    with pytest.raises(ValueError, match="no counterpart"):
+        convert_mace_state_dict(sd_bad, cfg)
+
+
 def test_mace_equivariant_messages(lj_dataset):
     """equivariant_messages=True: vector/tensor node features are carried
     across layers through parity-even CG paths. The energy must stay exactly
