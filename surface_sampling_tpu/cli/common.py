@@ -306,9 +306,32 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
             )
 
             cfg_nn = nn_args["cfg"]
+            if calc_s.get("pallas_routing") and hasattr(cfg_nn, "pallas_routing"):
+                # guarded speed opt-in: "bf16" = single-pass pure-bf16
+                # routing dots (~2x the routing FLOPs at ~1e-2 eV error —
+                # see ops/pallas_routing.py and docs/BENCHMARKS.md; fast
+                # modes must over-reject, never under-reject: bf16 noise
+                # is symmetric state-to-state, use only at high T)
+                import dataclasses as _dc
+
+                cfg_nn = _dc.replace(
+                    cfg_nn, pallas_routing=str(calc_s["pallas_routing"]))
+                nn_args = dict(nn_args, cfg=cfg_nn)
             cut = getattr(cfg_nn, "cutoff", None) or cfg_nn.atom_graph_cutoff
             slack = 0.6 if calc_s.get("relax_atoms", False) else 0.1
             nbr = build_static_neighbor_table(spec, cut, relax_slack=slack)
+            if fam == "painn":
+                # supercell fast path: block-banded routing in the fused
+                # kernel whenever the geometry's candidate windows are
+                # narrower than the cell (ops/banding.py; None otherwise)
+                from surface_sampling_tpu.ops.banding import (
+                    build_routing_band_for_spec,
+                )
+
+                nn_args = dict(
+                    nn_args,
+                    routing_band=build_routing_band_for_spec(spec, nbr),
+                )
             potential = _nn_builder(fam)(static_nbr=nbr, **nn_args)
             break
 

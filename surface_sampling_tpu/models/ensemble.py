@@ -22,14 +22,14 @@ def stack_params(params_list):
 
 
 def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None):
+                   edges=None, band=None):
     """Forward all members; returns per-member outputs plus ensemble stats.
 
     energy/energy_std: scalar mean and std over members (the reference's
     EnsembleNFF semantics); forces_std is computed by callers from grads
     when needed. Embedding is the member-mean of final scalar features.
-    ``edges`` lets callers reuse a precomputed (e.g. static-table) edge set.
-    """
+    ``edges`` lets callers reuse a precomputed (e.g. static-table) edge
+    set; ``band`` enables block-banded routing (supercells)."""
     from surface_sampling_tpu.models.painn import (
         painn_edges,
         prepare_message_geometry,
@@ -42,7 +42,7 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
     # member-invariant too — build it once, not once per member (~6% of
     # the flagship ensemble evaluation)
     msg_geom = (
-        prepare_message_geometry(cfg, positions, edges)
+        prepare_message_geometry(cfg, positions, edges, band=band)
         if resolve_message_mode(cfg) == "pallas"
         else None
     )

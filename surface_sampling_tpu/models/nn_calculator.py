@@ -32,6 +32,7 @@ def make_painn_potential(
     ensemble: bool = False,
     stoidict: dict | None = None,
     static_nbr=None,
+    routing_band=None,
 ) -> Potential:
     """Wrap PaiNN as a Potential over (positions, type_idx, alive, shifts).
 
@@ -51,8 +52,16 @@ def make_painn_potential(
             positions passed in must then be slot-realized geometries of
             that spec (the MC hot path); arbitrary geometries (training,
             datasets) should omit it.
+        routing_band: optional ops.banding.RoutingBand (built from the
+            same static table) — block-banded routing inside the fused
+            Pallas kernel, the supercell fast path.
     """
     factor = UNIT_FACTORS[units]
+    band = None
+    if routing_band is not None:
+        from surface_sampling_tpu.ops.pallas_painn import stage_band
+
+        band = stage_band(routing_band)
     if static_nbr is not None:
         from surface_sampling_tpu.ops.neighbors import (
             make_table_edge_fn,
@@ -87,9 +96,9 @@ def make_painn_potential(
             edges = edge_fn(positions, alive) if edge_fn is not None else None
         if ensemble:
             return ensemble_apply(params, cfg, positions, numbers, alive, shifts,
-                                  edges=edges)
+                                  edges=edges, band=band)
         return painn_apply(params, cfg, positions, numbers, alive, shifts,
-                           edges=edges)
+                           edges=edges, band=band)
 
     def energy(positions, type_idx, alive, shifts, edges=None):
         e = outputs(positions, type_idx, alive, shifts,

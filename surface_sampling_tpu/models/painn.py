@@ -144,12 +144,16 @@ def resolve_message_mode(cfg: PaiNNConfig) -> str:
     return "gather" if jax.default_backend() == "cpu" else "pallas"
 
 
-def prepare_message_geometry(cfg: PaiNNConfig, positions, edges):
+def prepare_message_geometry(cfg: PaiNNConfig, positions, edges, band=None):
     """Pad + flatten the edge geometry for the fused Pallas message kernel
     (ops/pallas_painn.prepare_fused_geometry) — layer- AND member-
     invariant, so ensemble callers build it once per structure instead of
     once per member (ensemble.ensemble_apply). Only meaningful when the
-    resolved message mode is "pallas"."""
+    resolved message mode is "pallas".
+
+    ``band`` (ops.banding.RoutingBand or staged DeviceBand, optional)
+    switches the fused kernel to block-banded routing — the supercell
+    fast path (routing dots of width W instead of n_pad)."""
     from surface_sampling_tpu.ops.pallas_painn import prepare_fused_geometry
 
     disp, d, nbr_j, nbr_mask, _overflow = edges
@@ -157,15 +161,22 @@ def prepare_message_geometry(cfg: PaiNNConfig, positions, edges):
     unit = disp / dsafe[..., None]                               # (N, M, 3)
     rbf = _rbf(d, cfg.n_rbf, cfg.cutoff)                         # (N, M, R)
     env = _cosine_envelope(d, cfg.cutoff)[..., None]             # (N, M, 1)
-    return prepare_fused_geometry(unit, rbf, env, nbr_j, nbr_mask, cfg.n_rbf)
+    return prepare_fused_geometry(unit, rbf, env, nbr_j, nbr_mask, cfg.n_rbf,
+                                  band=band)
 
 
 def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None, msg_geom=None):
+                   edges=None, msg_geom=None, band=None, collect_layers=False):
     """Run the trunk; returns per-atom scalar features s (N, F) and the
     edge data used (for diagnostics). ``msg_geom`` optionally supplies a
     precomputed :func:`prepare_message_geometry` result (pallas mode
-    only; ensemble members share it)."""
+    only; ensemble members share it); ``band`` switches the fused kernel
+    to block-banded routing (ignored when msg_geom is given — the band
+    is already baked into it).
+
+    ``collect_layers`` additionally returns the INPUT features of every
+    message block — stacked s_in (L, N, F) and v_in (L, N, F, 3) — the
+    caches core/incremental.py's delta-evaluation MC path maintains."""
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.feat_dim
     N = positions.shape[0]
@@ -209,17 +220,28 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         from surface_sampling_tpu.ops.pallas_painn import (
             choose_message_block,
             painn_message_fused,
+            painn_message_fused_banded,
         )
 
-        rbf_p, envm_p, nbr_p, unit_p, n_pad = (
+        rbf_p, envm_p, nbr_p, unit_p, n_pad, dband = (
             msg_geom
             if msg_geom is not None
-            else prepare_message_geometry(cfg, positions, (disp, d, nbr_j, nbr_mask, _overflow))
+            else prepare_message_geometry(
+                cfg, positions, (disp, d, nbr_j, nbr_mask, _overflow),
+                band=band)
         )
         pad_n, r_pad = n_pad - N, rbf_p.shape[1]
         n_blk = choose_message_block(n_pad)
+        if dband is not None and dband.n_blk != n_blk:
+            raise ValueError(
+                f"routing band was built for n_blk={dband.n_blk} but the "
+                f"kernel uses n_blk={n_blk} at n_pad={n_pad}")
 
+    s_layers, v_layers = [], []
     for mp, up in zip(params["message"], params["update"]):
+        if collect_layers:
+            s_layers.append(s)
+            v_layers.append(v)
         # ---- message block ------------------------------------------------
         phi = _dense(mp["inv_dense1"], jax.nn.silu(_dense(mp["inv_dense0"], s)))  # (N, 3F)
         if mode == "pallas":
@@ -228,10 +250,28 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             vcat_p = jnp.pad(vcat, ((0, pad_n), (0, 0)))
             dw = jnp.pad(mp["dist_embed"]["w"], ((0, r_pad - cfg.n_rbf), (0, 0)))
             db = mp["dist_embed"]["b"][None, :]
-            ds_p, dv3 = painn_message_fused(
-                phi_p, vcat_p, rbf_p, envm_p, nbr_p, unit_p, dw, db,
-                n_blk, cfg.pallas_routing
-            )
+            if dband is None:
+                ds_p, dv3 = painn_message_fused(
+                    phi_p, vcat_p, rbf_p, envm_p, nbr_p, unit_p, dw, db,
+                    n_blk, cfg.pallas_routing
+                )
+            else:
+                # block-banded supercell path: features in sorted order
+                # with the wrap halo appended; outputs mapped back. The
+                # surrounding permute/concat ops are plain jnp, so
+                # autodiff folds the halo cotangents back automatically.
+                phi_s = phi_p[dband.perm]
+                vcat_s = vcat_p[dband.perm]
+                if dband.halo:
+                    phi_s = jnp.concatenate([phi_s, phi_s[:dband.halo]])
+                    vcat_s = jnp.concatenate([vcat_s, vcat_s[:dband.halo]])
+                ds_s, dv3_s = painn_message_fused_banded(
+                    phi_s, vcat_s, rbf_p, envm_p, nbr_p, unit_p, dw, db,
+                    dband.win_start, n_blk, dband.window, n_pad,
+                    cfg.pallas_routing
+                )
+                ds_p = ds_s[dband.inv_perm]
+                dv3 = dv3_s[:, dband.inv_perm]
             ds = ds_p[:N]                                        # (N, F)
             dv = jnp.stack([dv3[0, :N], dv3[1, :N], dv3[2, :N]], axis=-1)
         else:
@@ -274,11 +314,13 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         s = jnp.where(alive[:, None], s, 0.0)
         v = jnp.where(alive[:, None, None], v, 0.0)
 
+    if collect_layers:
+        return s, (d, nbr_mask), (jnp.stack(s_layers), jnp.stack(v_layers))
     return s, (d, nbr_mask)
 
 
 def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                edges=None, msg_geom=None):
+                edges=None, msg_geom=None, band=None):
     """Full forward: returns dict with per-atom energies (training units),
     total energy, and per-atom embeddings (final scalar features).
 
@@ -295,7 +337,7 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     with jax.default_matmul_precision("float32"):
         s, (d, nbr_mask) = painn_features(
             params, cfg, positions, numbers, alive, shifts, edges=edges,
-            msg_geom=msg_geom,
+            msg_geom=msg_geom, band=band,
         )
         h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
         e_atom = _dense(params["readout"]["dense1"], h)[..., 0]  # (N,)

@@ -85,16 +85,18 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
     model families (painn_apply, chgnet_apply, mace_apply)."""
 
     # The force loss differentiates the energy twice: grad wrt positions
-    # inside value_and_grad wrt params. The fused Pallas kernels carry a
-    # custom VJP that is itself non-differentiable, so the "pallas"/"auto"
-    # routing must resolve to a pure-XLA mode here (PaiNN's dense one-hot
-    # MXU routing / CHGNet's gather conv). MC inference keeps the fused
-    # kernels; only training pays the (still-MXU-friendly) pure path.
+    # inside value_and_grad wrt params. PaiNN's fused Pallas message op
+    # is second-order differentiable (its VJP is _message_bwd_op, whose
+    # own VJP is the fused bwd2 kernel — ops/pallas_painn.py), so
+    # training rides the fused kernels on TPU; "auto" still resolves to
+    # the gather path on CPU (interpret-mode kernels are slow there).
+    # CHGNet's fused conv carries only a first-order VJP, so its
+    # "pallas"/"auto" still resolves to the pure-XLA gather conv.
     from dataclasses import replace as _dc_replace
 
-    if getattr(cfg, "message_mode", None) in ("auto", "pallas"):
-        dense_ok = jax.default_backend() != "cpu"
-        cfg = _dc_replace(cfg, message_mode="dense" if dense_ok else "gather")
+    if getattr(cfg, "message_mode", None) == "auto":
+        pallas_ok = jax.default_backend() != "cpu"
+        cfg = _dc_replace(cfg, message_mode="pallas" if pallas_ok else "gather")
     if getattr(cfg, "conv_mode", None) in ("auto", "pallas"):
         cfg = _dc_replace(cfg, conv_mode="gather")
 

@@ -35,6 +35,7 @@ routing="f32" for near-exact).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -243,6 +244,573 @@ def _message_bwd_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
     )(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv)
 
 
+# ----------------------------------------------------------------------
+# Second-order fused backward (bwd-of-bwd) — fine-tuning's force loss.
+#
+# The force loss is grad-of-grad: value_and_grad over params of a loss
+# containing F = -dE/dx, i.e. the outer reverse pass must differentiate
+# the inner reverse pass. The message op is MULTILINEAR in its inputs
+# (every output monomial is a product of routing-gathered features and
+# edge geometry), so the VJP of its VJP closes over the same fused-
+# kernel family: one more kernel with the same block structure computes
+# all second-order cotangents in a single VMEM-resident pass. With it,
+# models/train.py keeps message_mode="pallas" for training instead of
+# falling back to the pure-XLA dense path (reference fine-tunes via
+# torch autograd's create_graph=True, nff train loop; here the second
+# order is an explicit fused kernel).
+#
+# Derivation sketch (per edge; ∘ = elementwise, R = routing matrix):
+#   forward: wpre = rbf·dw + db, w = wpre∘envm, P = R·phi, V = R·vcat,
+#            inv = P∘w = [c_vv | c_s | c_u],
+#            ds = Σ_m c_s,  dv_x = Σ_m (c_u∘u_x + c_vv∘V_x)
+#   bwd B(inputs, ct): standard cotangents (see _msg_bwd_kernel).
+#   bwd2: given cotangents cg for B's outputs, the scalar
+#   S = <cg, B(inputs, ct)> expands into Q = Cφ∘w + H∘P and
+#   T = [Σ_x Cv_x∘gdv_x | 0 | Σ_x cu_x⊗gdv_x] with
+#   G = crbf·dw + rbf·cdw + cdb, H = G∘envm + ce∘wpre,
+#   Cφ = R·cphi, Cv = R·cvcat; all input/ct grads are elementwise
+#   combinations of (Q, T, g_inv, P, V, wpre, envm) plus routing dots —
+#   exactly the ops the forward/backward kernels already use.
+# ----------------------------------------------------------------------
+def _msg_bwd2_kernel(phi_ref, vcat_ref, cphi_ref, cvcat_ref, rbf_ref,
+                     envm_ref, nbr_ref, unit_ref, dw_ref, db_ref, gds_ref,
+                     gdv_ref, crbf_ref, cenvm_ref, cunit_ref, cdw_ref,
+                     cdb_ref,
+                     dphi_ref, dvcat_ref, drbf_ref, denvm_ref, dunit_ref,
+                     ddw_ref, ddb_ref, dgds_ref, dgdv_ref, *,
+                     routing="bf16x2"):
+    E, _ = rbf_ref.shape
+    n_pad, f3 = phi_ref.shape
+    F = f3 // 3
+    n_blk = gds_ref.shape[0]
+    M = E // n_blk
+
+    _route, _scatter = onehot_router(
+        nbr_ref[:], n_pad, routing, f32_precision=jax.lax.Precision.HIGHEST
+    )
+    hi_p = jax.lax.Precision.HIGHEST
+
+    # ---- forward recompute ----
+    wpre = jnp.dot(rbf_ref[:], dw_ref[:], precision=hi_p,
+                   preferred_element_type=jnp.float32) + db_ref[:]
+    w = wpre * envm_ref[:]                                   # (E, 3F)
+    P = _route(phi_ref[:])
+    V = _route(vcat_ref[:])
+    inv = P * w
+    c_vv = inv[:, :F].reshape(n_blk, M, F)
+    c_u = inv[:, 2 * F:].reshape(n_blk, M, F)
+
+    # ---- first-order cotangent recompute: g_inv ----
+    gds_e = jnp.broadcast_to(gds_ref[:][:, None, :], (n_blk, M, F))
+    g_cvv = jnp.zeros((n_blk, M, F), jnp.float32)
+    g_cu = jnp.zeros((n_blk, M, F), jnp.float32)
+    for x in range(3):
+        gdvx = gdv_ref[x][:, None, :]                        # (n_blk, 1, F)
+        ux = unit_ref[x][..., None]                          # (n_blk, M, 1)
+        vjx = V[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        g_cvv = g_cvv + gdvx * vjx
+        g_cu = g_cu + gdvx * ux
+    g_inv = jnp.concatenate(
+        [g_cvv.reshape(E, F), gds_e.reshape(E, F), g_cu.reshape(E, F)],
+        axis=1)                                              # (E, 3F)
+
+    # ---- second-order coefficient tensors ----
+    Cphi = _route(cphi_ref[:])
+    Cv = _route(cvcat_ref[:])
+    G = (jnp.dot(crbf_ref[:], dw_ref[:], precision=hi_p,
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(rbf_ref[:], cdw_ref[:], precision=hi_p,
+                   preferred_element_type=jnp.float32)
+         + cdb_ref[:])                                       # (E, 3F)
+    H = G * envm_ref[:] + cenvm_ref[:] * wpre
+    Q = Cphi * w + H * P                                     # (E, 3F)
+    Q_vv = Q[:, :F].reshape(n_blk, M, F)
+    Q_s = Q[:, F:2 * F].reshape(n_blk, M, F)
+    Q_u = Q[:, 2 * F:].reshape(n_blk, M, F)
+
+    t_vv = jnp.zeros((n_blk, M, F), jnp.float32)
+    t_u = jnp.zeros((n_blk, M, F), jnp.float32)
+    dgdv_parts = []
+    dvcat_parts = []
+    for x in range(3):
+        gdvx = gdv_ref[x][:, None, :]
+        ux = unit_ref[x][..., None]
+        cux = cunit_ref[x][..., None]                        # (n_blk, M, 1)
+        vjx = V[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        cvx = Cv[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        t_vv = t_vv + cvx * gdvx
+        t_u = t_u + cux * gdvx
+        # grads wrt the first-order cotangents gdv (the JVP-of-forward
+        # with tangents cg, by transpose of B's linearity in ct)
+        dgdv_parts.append(jnp.sum(
+            Q_vv * vjx + Q_u * ux + cvx * c_vv + cux * c_u, axis=1))
+        # grads wrt unit and vcat
+        dunit_ref[x] = jnp.sum(Q_u * gdvx, axis=2)           # (n_blk, M)
+        dvcat_parts.append((Q_vv * gdvx).reshape(E, F))
+    T = jnp.concatenate(
+        [t_vv.reshape(E, F), jnp.zeros((E, F), jnp.float32),
+         t_u.reshape(E, F)], axis=1)                         # (E, 3F)
+
+    dgds_ref[:] = jnp.sum(Q_s, axis=1)
+    for x in range(3):
+        dgdv_ref[x] = dgdv_parts[x]
+
+    # ---- grads wrt the forward inputs ----
+    dphi_blk = _scatter(H * g_inv + T * w)                   # (n_pad, 3F)
+    dvcat_blk = _scatter(jnp.concatenate(dvcat_parts, axis=1))
+    TP = T * P
+    Z = envm_ref[:] * P * g_inv                              # ∂S/∂G
+    dwpre = Cphi * envm_ref[:] * g_inv + cenvm_ref[:] * P * g_inv + TP * envm_ref[:]
+    denvm_ref[:] = jnp.sum(
+        Cphi * wpre * g_inv + G * P * g_inv + TP * wpre,
+        axis=1, keepdims=True)
+    drbf_ref[:] = (
+        jax.lax.dot_general(dwpre, dw_ref[:], (((1,), (1,)), ((), ())),
+                            precision=hi_p,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(Z, cdw_ref[:], (((1,), (1,)), ((), ())),
+                              precision=hi_p,
+                              preferred_element_type=jnp.float32))
+    ddw_blk = (
+        jax.lax.dot_general(rbf_ref[:], dwpre, (((0,), (0,)), ((), ())),
+                            precision=hi_p,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(crbf_ref[:], Z, (((0,), (0,)), ((), ())),
+                              precision=hi_p,
+                              preferred_element_type=jnp.float32))
+    ddb_blk = jnp.sum(dwpre, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dphi_ref[:] = jnp.zeros_like(dphi_ref)
+        dvcat_ref[:] = jnp.zeros_like(dvcat_ref)
+        ddw_ref[:] = jnp.zeros_like(ddw_ref)
+        ddb_ref[:] = jnp.zeros_like(ddb_ref)
+
+    dphi_ref[:] += dphi_blk
+    dvcat_ref[:] += dvcat_blk
+    ddw_ref[:] += ddw_blk
+    ddb_ref[:] += ddb_blk
+
+
+def _message_bwd2_pallas(phi, vcat, cphi, cvcat, rbf, envm, nbr, unit3, dw,
+                         db, gds, gdv, crbf, cenvm, cunit3, cdw, cdb, *,
+                         n_blk, routing):
+    n_pad, f3 = phi.shape
+    F = f3 // 3
+    _, _, M = unit3.shape
+    e_blk = n_blk * M
+    r_pad = rbf.shape[1]
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    blk3 = lambda i: (0, i, 0)
+    return pl.pallas_call(
+        functools.partial(_msg_bwd2_kernel, routing=routing),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), blk3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, f3), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad, f3), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad * M, r_pad), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad * M, 1), phi.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, M), phi.dtype),
+            jax.ShapeDtypeStruct((r_pad, f3), phi.dtype),
+            jax.ShapeDtypeStruct((1, f3), phi.dtype),
+            jax.ShapeDtypeStruct((n_pad, F), phi.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, F), phi.dtype),
+        ],
+        interpret=interpret,
+    )(phi, vcat, cphi, cvcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
+      crbf, cenvm, cunit3, cdw, cdb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def _message_bwd_op(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
+                    n_blk, routing):
+    """Differentiable wrapper of the fused backward kernel: the inner
+    reverse pass of force losses appears in the outer training graph as
+    this op, and its own custom VJP (the bwd2 kernel above) is what
+    makes grad-of-grad ride the fused kernels end to end."""
+    return _message_bwd_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db,
+                               gds, gdv, n_blk=n_blk, routing=routing)
+
+
+def _bwd_op_fwd(phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
+                n_blk, routing):
+    # recursive decorated call — see _fused_fwd for why (third-order
+    # traces would otherwise hit the raw pallas call with JVP tracers)
+    out = _message_bwd_op(phi, vcat, rbf, envm, nbr, unit3, dw, db,
+                          gds, gdv, n_blk, routing)
+    return out, (phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv)
+
+
+def _bwd_op_bwd(n_blk, routing, res, cg):
+    phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv = res
+    cphi, cvcat, crbf, cenvm, cunit3, cdw, cdb = cg
+    (dphi, dvcat, drbf, denvm, dunit3, ddw, ddb, dgds, dgdv) = (
+        _message_bwd2_pallas(
+            phi, vcat, cphi, cvcat, rbf, envm, nbr, unit3, dw, db, gds,
+            gdv, crbf, cenvm, cunit3, cdw, cdb, n_blk=n_blk,
+            routing=routing))
+    g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    return (dphi, dvcat, drbf, denvm, g_nbr, dunit3, ddw, ddb, dgds, dgdv)
+
+
+_message_bwd_op.defvjp(_bwd_op_fwd, _bwd_op_bwd)
+
+
+# ----------------------------------------------------------------------
+# Block-banded (windowed) routing variants — supercell sizes.
+#
+# Identical math to the kernels above, but the slots are spatially
+# sorted (ops/banding.py) so each center block's neighbors live in a
+# W-wide contiguous window of the feature tables: the routing dots
+# shrink from (E_blk, n_pad) to (E_blk, W). phi/vcat arrive EXTENDED
+# with a halo (rows [0, H) appended after n_pad-1) so periodic-wrap
+# windows stay contiguous; nbr carries sorted RANKS and the in-kernel
+# column index is (rank - win_start) mod n_pad, guaranteed < W for
+# every candidate by the host-side band construction.
+# ----------------------------------------------------------------------
+def _msg_kernel_banded(ws_ref, phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref,
+                       unit_ref, dw_ref, db_ref, ds_ref, dv_ref, *,
+                       routing, n_pad, window):
+    E, _ = rbf_ref.shape
+    f3 = phi_ref.shape[1]
+    F = f3 // 3
+    n_blk = ds_ref.shape[0]
+    M = E // n_blk
+
+    # win starts ship PRE-DIVIDED by 8 (ws8): Mosaic must statically
+    # prove the dynamic-slice start is a sublane multiple, and
+    # `ws8 * 8` is provable where a raw table value is not. They also
+    # ship 2-D (1, NB): vmapping the call (incremental MC over chains)
+    # batches SMEM operands too, and only a trailing (1, NB) block
+    # keeps the last-two-dims rule satisfied under that batching.
+    s = ws_ref[0, pl.program_id(0)] * 8
+    phi_win = phi_ref[pl.ds(s, window), :]                   # (W, 3F)
+    vcat_win = vcat_ref[pl.ds(s, window), :]
+
+    w = jnp.dot(rbf_ref[:], dw_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    w = (w + db_ref[:]) * envm_ref[:]                        # (E, 3F)
+
+    col = nbr_ref[:] - s
+    col = jnp.where(col < 0, col + n_pad, col)               # (E, 1)
+    _route, _ = onehot_router(
+        col, window, routing, f32_precision=jax.lax.Precision.HIGHEST
+    )
+
+    phij = _route(phi_win)
+    inv = phij * w
+    c_vv = inv[:, :F].reshape(n_blk, M, F)
+    c_s = inv[:, F:2 * F].reshape(n_blk, M, F)
+    c_unit = inv[:, 2 * F:].reshape(n_blk, M, F)
+    ds_ref[:] = jnp.sum(c_s, axis=1)
+
+    vj = _route(vcat_win)
+    for x in range(3):
+        ux = unit_ref[x]                                     # (n_blk, M)
+        vjx = vj[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        dv_ref[x] = jnp.sum(c_unit * ux[..., None] + c_vv * vjx, axis=1)
+
+
+def _message_pallas_banded(phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db,
+                           win_start, *, n_blk, window, n_pad, routing):
+    n_ext, f3 = phi_ext.shape
+    F = f3 // 3
+    _, _, M = unit3.shape
+    e_blk = n_blk * M
+    r_pad = rbf.shape[1]
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        functools.partial(_msg_kernel_banded, routing=routing, n_pad=n_pad,
+                          window=window),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ext, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ext, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, F), phi_ext.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, F), phi_ext.dtype),
+        ],
+        interpret=interpret,
+    )((win_start // 8)[None, :], phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db)
+
+
+def painn_message_subset(phi_ext, vcat_ext, rbf_sel, envm_sel, nbr_sel,
+                         unit_sel, dw, db, ws_sel, *, n_blk, window, n_pad,
+                         routing="bf16x2"):
+    """Subset-grid banded message pass — the delta-locality MC hot op
+    (core/incremental.py): same kernel as painn_message_fused_banded but
+    the grid runs over NB SELECTED center blocks (a move's hop ball at
+    block granularity) instead of all of them.
+
+    The per-block edge geometry (rbf/envm/nbr/unit) arrives PRE-GATHERED
+    in compact block order — (NB*n_blk*M, ...) rows / (3, NB*n_blk, M) —
+    and ``ws_sel`` is the (NB,) window start of each selected block
+    (win_start[blocks]). phi_ext/vcat_ext stay full sorted+halo tables
+    (windows overlap too much to pre-gather). Forward-only: rigid MC
+    needs no gradients. Returns compact ds (NB*n_blk, F),
+    dv (3, NB*n_blk, F).
+    """
+    NB = ws_sel.shape[0]
+    n_ext, f3 = phi_ext.shape
+    F = f3 // 3
+    _, _, M = unit_sel.shape
+    e_blk = n_blk * M
+    r_pad = rbf_sel.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        functools.partial(_msg_kernel_banded, routing=routing, n_pad=n_pad,
+                          window=window),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ext, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ext, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB * n_blk, F), phi_ext.dtype),
+            jax.ShapeDtypeStruct((3, NB * n_blk, F), phi_ext.dtype),
+        ],
+        interpret=interpret,
+    )((ws_sel // 8)[None, :], phi_ext, vcat_ext, rbf_sel, envm_sel, nbr_sel, unit_sel, dw, db)
+
+
+def _msg_bwd_kernel_banded(ws_ref, phi_ref, vcat_ref, rbf_ref, envm_ref,
+                           nbr_ref, unit_ref, dw_ref, db_ref, gds_ref, gdv_ref,
+                           gphi_ref, gvcat_ref, grbf_ref, genvm_ref, gunit_ref,
+                           gdw_ref, gdb_ref, *, routing, n_pad, window):
+    """Banded fused backward: forward recomputed over the block's window;
+    phi/vcat cotangents scatter-accumulate into the window slice of the
+    pinned extended-length outputs (grid steps run sequentially on TPU,
+    so overlapping windows accumulate correctly)."""
+    E, _ = rbf_ref.shape
+    f3 = phi_ref.shape[1]
+    F = f3 // 3
+    n_blk = gds_ref.shape[0]
+    M = E // n_blk
+
+    # win starts ship PRE-DIVIDED by 8 and 2-D (1, NB) — see
+    # _msg_kernel_banded
+    s = ws_ref[0, pl.program_id(0)] * 8
+    phi_win = phi_ref[pl.ds(s, window), :]
+    vcat_win = vcat_ref[pl.ds(s, window), :]
+    col = nbr_ref[:] - s
+    col = jnp.where(col < 0, col + n_pad, col)
+    _route, _scatter = onehot_router(
+        col, window, routing, f32_precision=jax.lax.Precision.HIGHEST
+    )
+
+    hi_p = jax.lax.Precision.HIGHEST
+    wpre = jnp.dot(rbf_ref[:], dw_ref[:], precision=hi_p,
+                   preferred_element_type=jnp.float32) + db_ref[:]
+    w = wpre * envm_ref[:]
+    phij = _route(phi_win)
+    vj = _route(vcat_win)
+    inv = phij * w
+    c_vv = inv[:, :F].reshape(n_blk, M, F)
+    c_unit = inv[:, 2 * F:].reshape(n_blk, M, F)
+
+    gds_e = jnp.broadcast_to(gds_ref[:][:, None, :], (n_blk, M, F))
+    g_c_unit = jnp.zeros((n_blk, M, F), jnp.float32)
+    g_c_vv = jnp.zeros((n_blk, M, F), jnp.float32)
+    gvj_parts = []
+    for x in range(3):
+        gdvx = gdv_ref[x][:, None, :]
+        ux = unit_ref[x][..., None]
+        vjx = vj[:, x * F:(x + 1) * F].reshape(n_blk, M, F)
+        g_c_unit = g_c_unit + gdvx * ux
+        g_c_vv = g_c_vv + gdvx * vjx
+        gunit_ref[x] = jnp.sum(gdvx * c_unit, axis=2)
+        gvj_parts.append((gdvx * c_vv).reshape(E, F))
+    g_inv = jnp.concatenate(
+        [g_c_vv.reshape(E, F), gds_e.reshape(E, F), g_c_unit.reshape(E, F)],
+        axis=1)
+
+    g_phij = g_inv * w
+    g_w = g_inv * phij
+    gwe = g_w * envm_ref[:]
+    genvm_ref[:] = jnp.sum(g_w * wpre, axis=1, keepdims=True)
+    grbf_ref[:] = jax.lax.dot_general(
+        gwe, dw_ref[:], (((1,), (1,)), ((), ())), precision=hi_p,
+        preferred_element_type=jnp.float32)
+
+    g_phi_win = _scatter(g_phij)                             # (W, 3F)
+    g_vcat_win = _scatter(jnp.concatenate(gvj_parts, axis=1))
+    g_dw_blk = jax.lax.dot_general(
+        rbf_ref[:], gwe, (((0,), (0,)), ((), ())), precision=hi_p,
+        preferred_element_type=jnp.float32)
+    g_db_blk = jnp.sum(gwe, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gphi_ref[:] = jnp.zeros_like(gphi_ref)
+        gvcat_ref[:] = jnp.zeros_like(gvcat_ref)
+        gdw_ref[:] = jnp.zeros_like(gdw_ref)
+        gdb_ref[:] = jnp.zeros_like(gdb_ref)
+
+    gphi_ref[pl.ds(s, window), :] += g_phi_win
+    gvcat_ref[pl.ds(s, window), :] += g_vcat_win
+    gdw_ref[:] += g_dw_blk
+    gdb_ref[:] += g_db_blk
+
+
+def _message_bwd_pallas_banded(phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw,
+                               db, win_start, gds, gdv, *, n_blk, window,
+                               n_pad, routing):
+    n_ext, f3 = phi_ext.shape
+    F = f3 // 3
+    _, _, M = unit3.shape
+    e_blk = n_blk * M
+    r_pad = rbf.shape[1]
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_msg_bwd_kernel_banded, routing=routing,
+                          n_pad=n_pad, window=window),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ext, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ext, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_ext, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ext, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), full, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ext, f3), phi_ext.dtype),
+            jax.ShapeDtypeStruct((n_ext, f3), phi_ext.dtype),
+            jax.ShapeDtypeStruct((n_pad * M, r_pad), phi_ext.dtype),
+            jax.ShapeDtypeStruct((n_pad * M, 1), phi_ext.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, M), phi_ext.dtype),
+            jax.ShapeDtypeStruct((r_pad, f3), phi_ext.dtype),
+            jax.ShapeDtypeStruct((1, f3), phi_ext.dtype),
+        ],
+        interpret=interpret,
+    )((win_start // 8)[None, :], phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db, gds, gdv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def painn_message_fused_banded(phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw,
+                               db, win_start, n_blk, window, n_pad,
+                               routing="bf16x2"):
+    """Banded fused PaiNN message block (see painn_message_fused for the
+    math and argument semantics; differences for the banded path):
+
+        phi_ext/vcat_ext: (n_pad + halo, 3F) features in SORTED slot
+            order with the wrap halo appended (rows [0, halo) copied).
+        nbr: (E, 1) int32 SORTED RANK of each edge's neighbor.
+        win_start: (n_pad // n_blk,) int32 8-aligned window starts from
+            ops.banding.build_routing_band.
+        window: static window width W (every candidate satisfies
+            (rank - win_start) mod n_pad < W — host-verified).
+
+    Returns ds (n_pad, F), dv (3, n_pad, F) in SORTED order.
+    """
+    return _message_pallas_banded(
+        phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db, win_start,
+        n_blk=n_blk, window=window, n_pad=n_pad, routing=routing)
+
+
+def _fused_banded_fwd(phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db,
+                      win_start, n_blk, window, n_pad, routing):
+    # recursive decorated call — see _fused_fwd for why
+    out = painn_message_fused_banded(
+        phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db, win_start,
+        n_blk, window, n_pad, routing)
+    return out, (phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db, win_start)
+
+
+def _fused_banded_bwd(n_blk, window, n_pad, routing, res, ct):
+    phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db, win_start = res
+    gds, gdv = ct
+    g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = (
+        _message_bwd_pallas_banded(
+            phi_ext, vcat_ext, rbf, envm, nbr, unit3, dw, db, win_start,
+            gds, gdv, n_blk=_bwd_block(n_pad, n_blk), window=window,
+            n_pad=n_pad, routing=routing))
+    g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    g_ws = np.zeros(win_start.shape, dtype=jax.dtypes.float0)
+    return (g_phi, g_vcat, g_rbf, g_envm, g_nbr, g_unit3, g_dw, g_db, g_ws)
+
+
+painn_message_fused_banded.defvjp(_fused_banded_fwd, _fused_banded_bwd)
+
+
 def _message_ref(phi, vcat, rbf, envm, nbr, unit3, dw, db):
     """Pure-JAX reference of the fused op (same padded inputs/outputs);
     used for parity tests (and as the VJP oracle the fused backward
@@ -300,8 +868,12 @@ def painn_message_fused(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk=16,
 
 
 def _fused_fwd(phi, vcat, rbf, envm, nbr, unit3, dw, db, n_blk, routing):
-    out = _message_pallas(phi, vcat, rbf, envm, nbr, unit3, dw, db,
-                          n_blk=n_blk, routing=routing)
+    # calls the DECORATED op (not the raw pallas call): under an outer
+    # differentiation trace (grad-of-grad force losses) the fwd runs on
+    # that trace's tracers, and only the custom-vjp rule knows how to
+    # linearize the kernel — the raw pallas_call has no JVP rule
+    out = painn_message_fused(phi, vcat, rbf, envm, nbr, unit3, dw, db,
+                              n_blk, routing)
     return out, (phi, vcat, rbf, envm, nbr, unit3, dw, db)
 
 
@@ -323,9 +895,13 @@ def _bwd_block(n_pad: int, n_blk: int) -> int:
 def _fused_bwd(n_blk, routing, res, ct):
     phi, vcat, rbf, envm, nbr, unit3, dw, db = res
     gds, gdv = ct
-    g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = _message_bwd_pallas(
+    # routed through the DIFFERENTIABLE wrapper (not the raw pallas
+    # call): force losses put this bwd inside the outer training graph,
+    # and _message_bwd_op's own custom VJP (the fused bwd2 kernel) is
+    # what lets grad-of-grad stay on the fused kernels
+    g_phi, g_vcat, g_rbf, g_envm, g_unit3, g_dw, g_db = _message_bwd_op(
         phi, vcat, rbf, envm, nbr, unit3, dw, db, gds, gdv,
-        n_blk=_bwd_block(phi.shape[0], n_blk), routing=routing,
+        _bwd_block(phi.shape[0], n_blk), routing,
     )
     g_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
     return g_phi, g_vcat, g_rbf, g_envm, g_nbr, g_unit3, g_dw, g_db
@@ -347,26 +923,67 @@ def choose_message_block(n_pad: int) -> int:
     return 16 if n_pad <= 256 else 8
 
 
+class DeviceBand(NamedTuple):
+    """Device-staged pieces of an ops.banding.RoutingBand (static ints
+    kept as Python ints so they stay compile-time constants)."""
+
+    perm: jnp.ndarray        # (n_pad,) sorted order
+    inv_perm: jnp.ndarray    # (n_pad,)
+    rank: jnp.ndarray        # (n_pad,) slot -> sorted position
+    win_start: jnp.ndarray   # (n_pad // n_blk,) int32
+    window: int
+    halo: int
+    n_blk: int
+
+
+def stage_band(band) -> "DeviceBand | None":
+    """ops.banding.RoutingBand (host numpy) -> DeviceBand (device)."""
+    if band is None:
+        return None
+    return DeviceBand(
+        perm=jnp.asarray(band.perm, jnp.int32),
+        inv_perm=jnp.asarray(band.inv_perm, jnp.int32),
+        rank=jnp.asarray(band.rank, jnp.int32),
+        win_start=jnp.asarray(band.win_start, jnp.int32),
+        window=int(band.window),
+        halo=int(band.halo),
+        n_blk=int(band.n_blk),
+    )
+
+
 def prepare_fused_geometry(unit, rbf, env, nbr_j, nbr_mask, n_rbf,
-                           n_blk=16):
+                           n_blk=16, band=None):
     """Pad + flatten per-structure edge geometry for the fused kernel.
 
     Inputs are the (N, M[, ...]) arrays painn_features already builds;
     returns (rbf_p (E, R_pad), envm_p (E, 1), nbr_p (E, 1), unit_p
-    (3, N_pad, M), n_pad). Shared across layers AND ensemble members —
-    build once per structure.
+    (3, N_pad, M), n_pad, band). Shared across layers AND ensemble
+    members — build once per structure.
+
+    ``band`` (a DeviceBand or host RoutingBand, optional) switches the
+    geometry to the block-banded layout: rows are permuted into sorted
+    spatial order and nbr carries sorted ranks, for
+    painn_message_fused_banded.
     """
     N, M = nbr_j.shape
     n_pad = ((N + n_blk - 1) // n_blk) * n_blk
     r_pad = ((n_rbf + 7) // 8) * 8
     pad_n = n_pad - N
     dtype = rbf.dtype
+    if band is not None and not isinstance(band, DeviceBand):
+        band = stage_band(band)
     envm = env[..., 0] * nbr_mask.astype(dtype)              # (N, M)
     rbf_p = jnp.pad(rbf, ((0, pad_n), (0, 0), (0, r_pad - n_rbf)))
-    rbf_p = rbf_p.reshape(n_pad * M, r_pad)
-    envm_p = jnp.pad(envm, ((0, pad_n), (0, 0))).reshape(n_pad * M, 1)
-    nbr_p = jnp.pad(nbr_j, ((0, pad_n), (0, 0))).reshape(n_pad * M, 1)
-    nbr_p = nbr_p.astype(jnp.int32)
+    envm_p = jnp.pad(envm, ((0, pad_n), (0, 0)))             # (N_pad, M)
+    nbr_p = jnp.pad(nbr_j, ((0, pad_n), (0, 0))).astype(jnp.int32)
     unit_p = jnp.pad(unit, ((0, pad_n), (0, 0), (0, 0)))     # (N_pad, M, 3)
+    if band is not None:
+        rbf_p = rbf_p[band.perm]
+        envm_p = envm_p[band.perm]
+        nbr_p = band.rank[nbr_p[band.perm]]                  # values -> ranks
+        unit_p = unit_p[band.perm]
+    rbf_p = rbf_p.reshape(n_pad * M, r_pad)
+    envm_p = envm_p.reshape(n_pad * M, 1)
+    nbr_p = nbr_p.reshape(n_pad * M, 1)
     unit_p = jnp.moveaxis(unit_p, 2, 0)                      # (3, N_pad, M)
-    return rbf_p, envm_p, nbr_p, unit_p, n_pad
+    return rbf_p, envm_p, nbr_p, unit_p, n_pad, band

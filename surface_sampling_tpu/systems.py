@@ -228,6 +228,7 @@ def srtio3_001_painn(
     n_models: int = 3,
     max_neighbors: int = 64,
     supercell: tuple[int, int] = (1, 1),
+    pallas_routing: str | None = None,
     dtype=None,
 ) -> ExampleSystem:
     """SrTiO3(001) 2x2 slab with the reference's trained PaiNN ensemble —
@@ -276,6 +277,11 @@ def srtio3_001_painn(
         p, cfg = load_params_npz(model_dir / f"srtio3_painn_{i:02d}.npz")
         plist.append(p)
     cfg = _dc.replace(cfg, max_neighbors=max_neighbors)
+    if pallas_routing is not None:
+        # "bf16" = single-pass pure-bf16 routing dots, the guarded
+        # high-temperature speed opt-in (ops/pallas_routing.py); default
+        # stays the near-f32 bf16x2 split
+        cfg = _dc.replace(cfg, pallas_routing=pallas_routing)
     params = stack_params(plist) if n_models > 1 else plist[0]
 
     type_numbers = [Z_FROM_SYMBOL[s] for s in ("Sr", "Ti", "O")]
@@ -292,6 +298,11 @@ def srtio3_001_painn(
 
     slack = 0.6 if relax is not None else 0.1
     static_nbr = build_static_neighbor_table(spec, cfg.cutoff, relax_slack=slack)
+    # supercells: block-banded routing in the fused kernel (the 1x1 cell
+    # is laterally fully connected at this cutoff — band is None there)
+    from surface_sampling_tpu.ops.banding import build_routing_band_for_spec
+
+    routing_band = build_routing_band_for_spec(spec, static_nbr)
     pot = make_painn_potential(
         params,
         cfg,
@@ -300,8 +311,17 @@ def srtio3_001_painn(
         ensemble=n_models > 1,
         stoidict=offset_data["stoidict"],
         static_nbr=static_nbr,
+        routing_band=routing_band,
     )
     se_fn = make_offset_surface_energy(spec, chem_pots, offset_data, offset_units="atomic")
+    if routing_band is not None and relax is None:
+        # everything core.incremental.make_incremental_painn needs to build
+        # the delta-evaluation (cached-feature) MC engine for this system
+        pot.__dict__["inc_args"] = dict(
+            spec=spec, params=params, cfg=cfg, static_nbr=static_nbr,
+            band=routing_band, type_numbers=type_numbers, units="kcal/mol",
+            stoidict=offset_data["stoidict"], surface_energy_fn=se_fn,
+        )
     run = MCMCRun(spec, pot, surface_energy_fn=se_fn, relax=relax, dtype=dtype or jnp.float32)
     return ExampleSystem(spec, pot, run)
 

@@ -221,3 +221,29 @@ def test_make_chem_pot_surface_energy():
     counts = np.zeros(len(spec.element_zs)); counts[i_cu] = 2; counts[i_o] = 1
     got = float(se(jnp.asarray(-10.0), jnp.asarray(counts)))
     assert np.isclose(got, -10.0 - (2 * -3.5 + 1 * -1.25))
+
+
+def test_notebook_tutorials_generated_and_valid():
+    """The notebook-form tutorials (reference tutorials/*.ipynb parity:
+    example, SrTiO3_001, GaN_0001, latent_space_clustering,
+    prepare_surface) are committed under notebooks/ and regenerate
+    deterministically from the example scripts via tools/make_notebooks."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    import sys
+
+    sys.path.insert(0, str(repo / "tools"))
+    import make_notebooks as mn
+
+    for nb_name, script in mn.MAPPING.items():
+        nb_path = repo / "notebooks" / nb_name
+        assert nb_path.exists(), nb_name
+        nb = json.loads(nb_path.read_text())
+        assert nb["nbformat"] == 4
+        kinds = [c["cell_type"] for c in nb["cells"]]
+        assert kinds[0] == "markdown" and "code" in kinds
+        # committed file matches a fresh render of the script
+        cells = mn.script_to_cells(repo / "examples" / script)
+        assert [c["source"] for c in cells] == [c["source"] for c in nb["cells"]]

@@ -259,6 +259,84 @@ def test_pallas_message_mode_matches_gather(tiny_model, routing):
     _check_pallas_matches_gather(tiny_model, routing, rtol=1e-6, atol=1e-5)
 
 
+def _elongated_system(key, n=48, box=(40.0, 6.0, 6.0), cutoff=4.0):
+    """Synthetic periodic system whose candidate windows are much
+    narrower than the cell (neighbors span < ~1/4 of the x-sorted index
+    range) — the banded-routing regime."""
+    from surface_sampling_tpu.ops.neighbors import pair_shifts
+
+    k1, _ = jax.random.split(key)
+    pos = jax.random.uniform(k1, (n, 3)) * jnp.asarray(box)
+    numbers = jnp.asarray(([8, 22, 38, 8] * ((n + 3) // 4))[:n], jnp.int32)
+    alive = jnp.ones(n, bool)
+    cell = np.diag(box)
+    shifts = jnp.asarray(pair_shifts(cell, cutoff), jnp.float32)
+    return pos, numbers, alive, shifts
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_banded_routing_matches_gather(tiny_model, routing):
+    """Block-banded routing (ops/banding.py + painn_message_fused_banded)
+    must reproduce the gather formulation — energies, per-atom energies,
+    forces through the banded custom VJP, and dead-slot masking — on a
+    system with genuine periodic wrap in the windows."""
+    import dataclasses as dc
+
+    from surface_sampling_tpu.models.painn import painn_edges
+    from surface_sampling_tpu.ops.banding import build_routing_band
+    from surface_sampling_tpu.ops.pallas_painn import choose_message_block
+
+    params, cfg = tiny_model
+    pos, numbers, alive, shifts = _elongated_system(jax.random.PRNGKey(11))
+    N = pos.shape[0]
+    n_pad = ((N + 15) // 16) * 16
+    n_blk = choose_message_block(n_pad)
+    # candidate table := the full in-range edge set at these positions
+    # (a superset of every runtime-selected neighbor, like the spec's
+    # static table is for slot-realized geometries)
+    _, _, nbr_j, nbr_mask, _ = painn_edges(cfg, positions=pos, alive=alive,
+                                           shifts=shifts)
+    band = build_routing_band(np.asarray(pos), np.asarray(nbr_j),
+                              np.asarray(nbr_mask), n_blk, n_pad)
+    assert band is not None and band.window < n_pad, (
+        "test geometry must produce a genuine band")
+    assert band.halo > 0, "test geometry must exercise the wrap halo"
+
+    cfg_g = dc.replace(cfg, message_mode="gather")
+    cfg_b = dc.replace(cfg, message_mode="pallas", pallas_routing=routing)
+    out_g = painn_apply(params, cfg_g, pos, numbers, alive, shifts)
+    out_b = painn_apply(params, cfg_b, pos, numbers, alive, shifts, band=band)
+    rtol, atol = (1e-6, 1e-5) if routing == "f32" else (1e-4, 1e-3)
+    np.testing.assert_allclose(
+        float(out_g["energy"]), float(out_b["energy"]), rtol=rtol, atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(out_g["per_atom_energy"]),
+        np.asarray(out_b["per_atom_energy"]), rtol=1e-4, atol=atol)
+
+    f_g = jax.grad(lambda p: painn_apply(params, cfg_g, p, numbers, alive,
+                                         shifts)["energy"])(pos)
+    f_b = jax.grad(lambda p: painn_apply(params, cfg_b, p, numbers, alive,
+                                         shifts, band=band)["energy"])(pos)
+    np.testing.assert_allclose(np.asarray(f_g), np.asarray(f_b),
+                               rtol=1e-3, atol=5e-4 if routing != "f32" else 1e-5)
+
+    # weight gradients ride the banded backward too
+    gw_g = jax.grad(lambda pr: painn_apply(pr, cfg_g, pos, numbers, alive,
+                                           shifts)["energy"])(params)
+    gw_b = jax.grad(lambda pr: painn_apply(pr, cfg_b, pos, numbers, alive,
+                                           shifts, band=band)["energy"])(params)
+    for a, b in zip(jax.tree.leaves(gw_g), jax.tree.leaves(gw_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+    # dead slots stay dead through the banded path
+    alive2 = alive.at[5].set(False)
+    e_g = float(painn_apply(params, cfg_g, pos, numbers, alive2, shifts)["energy"])
+    e_b = float(painn_apply(params, cfg_b, pos, numbers, alive2, shifts,
+                            band=band)["energy"])
+    np.testing.assert_allclose(e_g, e_b, rtol=rtol, atol=atol)
+
+
 def test_pallas_bf16_routing_optin(tiny_model):
     """routing="bf16" (single-pass pure-bf16 dots, ops/pallas_routing.py)
     is a speed opt-in: it must still track the gather formulation, just
@@ -409,6 +487,97 @@ def test_pallas_message_backward_kernel(routing):
         ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=tol, atol=tol, err_msg=name)
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_pallas_message_second_order(routing):
+    """grad-of-grad through the fused op (force-loss structure: an outer
+    reverse pass over the inner VJP) must match the pure-JAX reference's
+    second order — this pins the _message_bwd_op custom VJP / bwd2
+    kernel that keeps fine-tuning on the fused kernels."""
+    from surface_sampling_tpu.ops import pallas_painn as pp
+
+    key = jax.random.PRNGKey(17)
+    n_pad, F, M, R = 32, 16, 8, 8
+    E = n_pad * M
+    ks = jax.random.split(key, 13)
+    phi = jax.random.normal(ks[0], (n_pad, 3 * F))
+    vcat = jax.random.normal(ks[1], (n_pad, 3 * F))
+    rbf = jax.random.normal(ks[2], (E, R))
+    envm = jnp.abs(jax.random.normal(ks[3], (E, 1)))
+    nbr = jax.random.randint(ks[4], (E, 1), 0, n_pad)
+    unit3 = jax.random.normal(ks[5], (3, n_pad, M))
+    dw = jax.random.normal(ks[6], (R, 3 * F))
+    db = jax.random.normal(ks[7], (1, 3 * F))
+    wds = jax.random.normal(ks[8], (n_pad, F))
+    wdv = jax.random.normal(ks[9], (3, n_pad, F))
+    # probe cotangents for the 7 differentiable first-order grads
+    cg = [jax.random.normal(k, a.shape) for k, a in zip(
+        jax.random.split(ks[10], 7),
+        (phi, vcat, rbf, envm, unit3, dw, db))]
+    args = (phi, vcat, rbf, envm, unit3, dw, db)
+
+    def make_outer(f):
+        def inner(*a):
+            ds, dv = f(a[0], a[1], a[2], a[3], nbr, a[4], a[5], a[6])
+            return jnp.sum(ds * wds) + jnp.sum(dv * wdv)
+
+        def outer(*a):
+            g = jax.grad(inner, argnums=tuple(range(7)))(*a)
+            return sum(jnp.sum(gi * ci) for gi, ci in zip(g, cg))
+
+        return outer
+
+    fused = lambda p, v, r, e, n, u, w_, b_: pp.painn_message_fused(
+        p, v, r, e, n, u, w_, b_, 8, routing)
+    ref_outer = make_outer(pp._message_ref)
+    fus_outer = make_outer(fused)
+    np.testing.assert_allclose(float(ref_outer(*args)),
+                               float(fus_outer(*args)),
+                               rtol=1e-3 if routing != "f32" else 1e-5)
+    g_ref = jax.grad(ref_outer, argnums=tuple(range(7)))(*args)
+    g_fus = jax.grad(fus_outer, argnums=tuple(range(7)))(*args)
+    tol = 1e-4 if routing == "f32" else 5e-3
+    for name, a, b in zip(
+        ["phi", "vcat", "rbf", "envm", "unit3", "dw", "db"], g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol, err_msg=name)
+
+
+def test_training_loss_grad_on_fused_kernels(tiny_model):
+    """End-to-end force-loss gradient (value_and_grad over params of a
+    loss containing grad-over-positions) with message_mode="pallas" must
+    match the gather formulation — training now stays on the fused
+    kernels (VJP + bwd2) instead of falling back to pure XLA."""
+    import dataclasses as dc
+
+    from surface_sampling_tpu.models.train import TrainConfig, make_loss_fn
+    from surface_sampling_tpu.models.train import PaddedBatch
+
+    params, cfg = tiny_model
+    key = jax.random.PRNGKey(23)
+    pos, numbers, alive, shifts = _elongated_system(key, n=12,
+                                                    box=(12.0, 8.0, 8.0))
+    B = 2
+    batch = PaddedBatch(
+        positions=np.tile(np.asarray(pos)[None], (B, 1, 1)),
+        numbers=np.tile(np.asarray(numbers)[None], (B, 1)),
+        shifts=np.tile(np.asarray(shifts)[None], (B, 1, 1)),
+        energy=np.asarray([1.0, 2.0]),
+        forces=np.asarray(jax.random.normal(key, (B, 12, 3))),
+        magmoms=None,
+        magmom_mask=None,
+    )
+    tcfg = TrainConfig(energy_weight=0.3, force_weight=0.7)
+    loss_g = make_loss_fn(dc.replace(cfg, message_mode="gather"), tcfg)
+    loss_p = make_loss_fn(
+        dc.replace(cfg, message_mode="pallas", pallas_routing="f32"), tcfg)
+    lg, gg = jax.value_and_grad(loss_g)(params, batch)
+    lp, gp = jax.value_and_grad(loss_p)(params, batch)
+    np.testing.assert_allclose(float(lg), float(lp), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_edge_topology_roundtrip_matches_table_list():

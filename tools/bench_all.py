@@ -146,6 +146,122 @@ def bench_painn():
     return _throughput(srtio3_001_painn().run, 128)
 
 
+def bench_painn_super(supercell, n_chains, banded=True):
+    """Supercell flagship rows (SURVEY §5.7's scaling axis). ``banded``
+    toggles the block-banded fused routing (ops/banding.py) the system
+    builder enables by default — banded=False measures the unbanded
+    kernel for the docs comparison."""
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    sys = srtio3_001_painn(supercell=supercell)
+    if not banded:
+        # rebuild the potential without the routing band
+        import dataclasses as _dc
+        import json as _json
+        from pathlib import Path
+
+        import surface_sampling_tpu.systems as systems_mod
+        from surface_sampling_tpu.core import MCMCRun, make_offset_surface_energy
+        from surface_sampling_tpu.core.static_neighbors import (
+            build_static_neighbor_table,
+        )
+        from surface_sampling_tpu.models.convert_nff import load_params_npz
+        from surface_sampling_tpu.models.ensemble import stack_params
+        from surface_sampling_tpu.models.nn_calculator import make_painn_potential
+
+        base = Path(systems_mod.__file__).parent
+        plist, cfg = [], None
+        for i in range(1, 4):
+            p, cfg = load_params_npz(base / "models" / "data" / f"srtio3_painn_{i:02d}.npz")
+            plist.append(p)
+        cfg = _dc.replace(cfg, max_neighbors=64)
+        offset_data = _json.loads((base / "systems_data" / "srtio3_offset_data.json").read_text())
+        nbr = build_static_neighbor_table(sys.spec, cfg.cutoff, relax_slack=0.1)
+        pot = make_painn_potential(
+            stack_params(plist), cfg, [38, 22, 8], units="kcal/mol",
+            ensemble=True, stoidict=offset_data["stoidict"], static_nbr=nbr)
+        se_fn = make_offset_surface_energy(sys.spec, {"Sr": -2.0, "Ti": 0.0, "O": 0.0},
+                                           offset_data, offset_units="atomic")
+        run = MCMCRun(sys.spec, pot, surface_energy_fn=se_fn)
+        return _throughput(run, n_chains)
+    return _throughput(sys.run, n_chains)
+
+
+def bench_painn_super_inc(supercell, n_chains, sweep_size=32, n_sweeps=4):
+    """Delta-locality MC throughput (core/incremental.py): steps/s of the
+    cached-feature semigrand chain, where a move recomputes only its
+    hop-ball blocks via the subset-grid banded kernel. The comparable
+    full-path number is the same cell's evals_per_sec row — incremental
+    steps/s should stay roughly flat with cell size at fixed density
+    (VERDICT round-2 item 3)."""
+    import numpy as np
+
+    from surface_sampling_tpu.core.incremental import (
+        make_incremental_painn_from_system,
+        make_incremental_run,
+        make_incremental_semigrand_step,
+    )
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    sys = srtio3_001_painn(supercell=supercell)
+    eng = make_incremental_painn_from_system(sys)
+    step = make_incremental_semigrand_step(eng)
+    run = jax.jit(jax.vmap(make_incremental_run(step, sweep_size),
+                           in_axes=(0, None)))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    rng = np.random.default_rng(0)
+    ss0 = jnp.asarray(
+        rng.integers(0, eng.n_codes, (n_chains, eng.n_sites)), jnp.int32)
+    states = jax.vmap(eng.init_state)(keys, ss0)
+    temps = jnp.full((n_sweeps,), 0.8, jnp.float32)
+    t0 = time.perf_counter()
+    out, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    compile_s = time.perf_counter() - t0
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    dt = (time.perf_counter() - t0) / iters
+    steps = n_chains * sweep_size * n_sweeps
+    return {
+        "chains": n_chains,
+        "steps_per_sec": round(steps / dt, 1),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_painn_bf16(supercell=(1, 1), n_chains=128):
+    """Single-pass pure-bf16 routing opt-in (ops/pallas_routing.py
+    "bf16"): ~2x on the routing dots at ~1e-2 eV-scale state-to-state
+    error — the guarded high-temperature speed mode. Also reports the
+    measured surface-energy deviation vs the bf16x2 default over a batch
+    of random physical-ish states (the error artifact for the opt-in)."""
+    import numpy as np
+
+    from surface_sampling_tpu.parallel import chain_states
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    sys_fast = srtio3_001_painn(supercell=supercell, pallas_routing="bf16")
+    row = _throughput(sys_fast.run, n_chains)
+    sys_ref = srtio3_001_painn(supercell=supercell)
+    f_fast = jax.jit(jax.vmap(
+        lambda ss: sys_fast.run.state_energy_fn(ss).surface_energy))
+    f_ref = jax.jit(jax.vmap(
+        lambda ss: sys_ref.run.state_energy_fn(ss).surface_energy))
+    ss = chain_states(sys_ref.run.d, jax.random.PRNGKey(3),
+                      min(n_chains, 64)).site_state
+    e_fast, e_ref = np.asarray(f_fast(ss)), np.asarray(f_ref(ss))
+    d = e_fast - e_ref
+    row["abs_err_mean_eV"] = round(float(np.abs(d).mean()), 5)
+    row["abs_err_max_eV"] = round(float(np.abs(d).max()), 5)
+    # state-to-state spread (what Metropolis dE actually sees)
+    row["err_spread_eV"] = round(float(d.std()), 5)
+    return row
+
+
 def bench_painn_relaxed():
     from surface_sampling_tpu.core import RelaxConfig
     from surface_sampling_tpu.systems import srtio3_001_painn
@@ -281,6 +397,16 @@ FAMILIES = {
     "si_relaxed": bench_si_relaxed,
     "si_sw_rigid": bench_si_sw_rigid,
     "painn": bench_painn,
+    "painn_2x2super": lambda: bench_painn_super((2, 2), 16),
+    "painn_2x2super_c32": lambda: bench_painn_super((2, 2), 32),
+    "painn_2x2super_unbanded": lambda: bench_painn_super((2, 2), 16, banded=False),
+    "painn_bf16": lambda: bench_painn_bf16((1, 1), 128),
+    "painn_2x2super_bf16": lambda: bench_painn_bf16((2, 2), 16),
+    "painn_3x3super_bf16": lambda: bench_painn_bf16((3, 3), 8),
+    "painn_3x3super": lambda: bench_painn_super((3, 3), 8),
+    "painn_3x3super_unbanded": lambda: bench_painn_super((3, 3), 8, banded=False),
+    "painn_2x2super_inc": lambda: bench_painn_super_inc((2, 2), 16),
+    "painn_3x3super_inc": lambda: bench_painn_super_inc((3, 3), 8),
     "painn_relaxed": bench_painn_relaxed,
     "painn_train": bench_painn_train,
     "chgnet": bench_chgnet,
