@@ -331,6 +331,9 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
                 nn_args = dict(
                     nn_args,
                     routing_band=build_routing_band_for_spec(spec, nbr),
+                    # rigid static-edge fast path (ops/static_edges.py);
+                    # only consumed on the non-relax evaluation path
+                    spec=None if calc_s.get("relax_atoms", False) else spec,
                 )
             potential = _nn_builder(fam)(static_nbr=nbr, **nn_args)
             break

@@ -243,7 +243,18 @@ def make_state_energy_fn(
         e_of = make_e_of(potential)
         e_bound = jnp.asarray(energy_threshold(pos0.shape[0]), pos0.dtype)
         if fire_cfg is None:
-            e_pot = e_of(pos0)
+            # rigid fast path: potentials built with a static candidate
+            # table on code-independent geometry expose rigid_energy
+            # (ops/static_edges.py) — the per-move edge build collapses
+            # to exact bf16 one-hot MXU dots over host-precomputed
+            # payloads. pos0 IS the static geometry here (unrelaxed
+            # slot realization), so the paths agree (pinned in
+            # tests/test_static_edges.py).
+            rigid = getattr(potential, "__dict__", {}).get("rigid_energy")
+            if rigid is not None and symmetric is None:
+                e_pot = rigid(type_idx, alive)
+            else:
+                e_pot = e_of(pos0)
             nan = jnp.isnan(e_pot)
             oob = (jnp.abs(e_pot) > e_bound) | nan
             e_pot = jnp.where(oob, e_bound, e_pot)

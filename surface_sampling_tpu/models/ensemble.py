@@ -22,14 +22,16 @@ def stack_params(params_list):
 
 
 def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None, band=None):
+                   edges=None, band=None, msg_geom=None):
     """Forward all members; returns per-member outputs plus ensemble stats.
 
     energy/energy_std: scalar mean and std over members (the reference's
     EnsembleNFF semantics); forces_std is computed by callers from grads
     when needed. Embedding is the member-mean of final scalar features.
     ``edges`` lets callers reuse a precomputed (e.g. static-table) edge
-    set; ``band`` enables block-banded routing (supercells)."""
+    set; ``band`` enables block-banded routing (supercells); ``msg_geom``
+    a pre-built fused-kernel geometry (e.g. ops/static_edges.py's rigid
+    fast path — band is then already baked in)."""
     from surface_sampling_tpu.models.painn import (
         painn_edges,
         prepare_message_geometry,
@@ -41,11 +43,12 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
     # the padded kernel geometry (rbf/envelope/unit/neighbor layout) is
     # member-invariant too — build it once, not once per member (~6% of
     # the flagship ensemble evaluation)
-    msg_geom = (
-        prepare_message_geometry(cfg, positions, edges, band=band)
-        if resolve_message_mode(cfg) == "pallas"
-        else None
-    )
+    if msg_geom is None:
+        msg_geom = (
+            prepare_message_geometry(cfg, positions, edges, band=band)
+            if resolve_message_mode(cfg) == "pallas"
+            else None
+        )
     outs = jax.vmap(
         lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges,
                               msg_geom=msg_geom)

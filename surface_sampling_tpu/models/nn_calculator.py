@@ -33,6 +33,7 @@ def make_painn_potential(
     stoidict: dict | None = None,
     static_nbr=None,
     routing_band=None,
+    spec=None,
 ) -> Potential:
     """Wrap PaiNN as a Potential over (positions, type_idx, alive, shifts).
 
@@ -55,6 +56,13 @@ def make_painn_potential(
         routing_band: optional ops.banding.RoutingBand (built from the
             same static table) — block-banded routing inside the fused
             Pallas kernel, the supercell fast path.
+        spec: optional core.spec.SurfaceSpec. When both ``spec`` and
+            ``static_nbr`` are given and the spec's slot geometry is
+            code-independent, the potential additionally carries a
+            ``rigid_energy(type_idx, alive)`` hook backed by fully static
+            edge geometry (ops/static_edges.py) — the per-move edge build
+            collapses to three exact bf16 MXU dots. core/energy.py's
+            non-relax state evaluation uses the hook automatically.
     """
     factor = UNIT_FACTORS[units]
     band = None
@@ -115,6 +123,41 @@ def make_painn_potential(
         energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff, name="painn"
     )
     pot.__dict__["outputs"] = outputs  # embeddings/std for analysis layers
+    if spec is not None and static_nbr is not None:
+        from surface_sampling_tpu.ops.static_edges import (
+            _static_positions,
+            build_static_edge_pack,
+            static_edge_geometry,
+        )
+
+        pack = build_static_edge_pack(spec, static_nbr, cfg, band=routing_band)
+        if pack is not None:
+            import dataclasses as _dc
+
+            static_pos = jnp.asarray(_static_positions(spec), jnp.float32)
+            # the static msg_geom only feeds the fused kernel — pin the
+            # mode so CPU's "auto"->"gather" resolution can't fall back
+            # onto the (dummy) disp/nbr_j fields of the edges tuple
+            cfg_rigid = _dc.replace(cfg, message_mode="pallas")
+
+            def rigid_outputs(type_idx, alive):
+                numbers = znums[type_idx] * alive.astype(jnp.int32)
+                msg_geom, edges = static_edge_geometry(pack, alive)
+                if ensemble:
+                    return ensemble_apply(
+                        params, cfg_rigid, static_pos, numbers, alive, None,
+                        edges=edges, band=band, msg_geom=msg_geom)
+                return painn_apply(
+                    params, cfg_rigid, static_pos, numbers, alive, None,
+                    edges=edges, msg_geom=msg_geom)
+
+            def rigid_energy(type_idx, alive):
+                e = rigid_outputs(type_idx, alive)["energy"] * factor
+                return e + comp_offset(type_idx, alive, static_pos.dtype)
+
+            pot.__dict__["rigid_energy"] = rigid_energy
+            pot.__dict__["rigid_outputs"] = rigid_outputs
+            pot.__dict__["static_edge_pack"] = pack
     if topo_fn is not None:
         # relax-loop hooks: refresh the edge TOPOLOGY once per relaxation
         # (reference dynamics.py:129 semantics), recompute geometry per

@@ -312,6 +312,7 @@ def srtio3_001_painn(
         stoidict=offset_data["stoidict"],
         static_nbr=static_nbr,
         routing_band=routing_band,
+        spec=None if relax is not None else spec,
     )
     se_fn = make_offset_surface_energy(spec, chem_pots, offset_data, offset_units="atomic")
     if routing_band is not None and relax is None:
