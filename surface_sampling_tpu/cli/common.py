@@ -296,6 +296,7 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         from surface_sampling_tpu.models.mace import make_mace_potential
         return make_mace_potential
 
+    painn_nn_args = painn_static_nbr = None
     if calc_s.get("fast", True):
         for fam in ("painn", "chgnet", "mace"):
             nn_args = getattr(potential, "__dict__", {}).get(f"{fam}_args")
@@ -335,6 +336,7 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
                     # only consumed on the non-relax evaluation path
                     spec=None if calc_s.get("relax_atoms", False) else spec,
                 )
+                painn_nn_args, painn_static_nbr = nn_args, nbr
             potential = _nn_builder(fam)(static_nbr=nbr, **nn_args)
             break
 
@@ -348,6 +350,27 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
             calc_s.get("chem_pots", {}),
             offset_data,
             offset_units=calc_s.get("offset_units", "atomic"),
+        )
+
+    # delta-energy MC hook (core/incremental.py): rigid banded PaiNN
+    # systems assembled through the CLI carry the same inc_args the
+    # library path attaches (systems.srtio3_001_painn), making
+    # sampling_settings.incremental=true available to run_sampling
+    if (
+        painn_nn_args is not None
+        and painn_nn_args.get("routing_band") is not None
+        and not calc_s.get("relax_atoms", False)
+    ):
+        potential.__dict__["inc_args"] = dict(
+            spec=spec,
+            params=painn_nn_args["params"],
+            cfg=painn_nn_args["cfg"],
+            static_nbr=painn_static_nbr,
+            band=painn_nn_args["routing_band"],
+            type_numbers=painn_nn_args["type_numbers"],
+            units=painn_nn_args["units"],
+            stoidict=painn_nn_args.get("stoidict"),
+            surface_energy_fn=surface_energy_fn,
         )
 
     relax = None
@@ -550,6 +573,13 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             "tempering=true and population_annealing=true are mutually "
             "exclusive sampling modes — pick one"
         )
+    if samp.get("incremental", False) and (
+        samp.get("tempering", False) or samp.get("population_annealing", False)
+    ):
+        raise ValueError(
+            "incremental=true runs on the plain annealed path — drop "
+            "tempering/population_annealing or the incremental flag"
+        )
     if samp.get("population_annealing", False):
         if cfg.mtm_trials > 1:
             raise ValueError(
@@ -579,8 +609,75 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
 
     temps_seg = np.asarray(temps)[start_sweep:sweeps]
     n_seg = len(temps_seg)
-    run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential,
-                         distance_weight_matrix=dwm)
+    if samp.get("incremental", False):
+        # delta-energy locality (core/incremental.py): each MC move
+        # recomputes only the changed site's hop balls against per-layer
+        # feature caches — the supercell fast path. Caches are rebuilt
+        # from the occupancy at every chunk boundary (one full evaluation
+        # per chain), so a chunk stays a pure function of (carry, temps)
+        # and chunking / checkpoint / --resume semantics are unchanged.
+        inc_args = getattr(asys.potential, "__dict__", {}).get("inc_args")
+        if inc_args is None:
+            raise ValueError(
+                "sampling_settings.incremental=true needs a rigid banded "
+                "PaiNN assembly (supercell geometry wide enough to band, "
+                "calc_settings fast path on, relax_atoms off) — this "
+                "system carries no inc_args hook"
+            )
+        if cfg.mtm_trials > 1:
+            raise ValueError(
+                "incremental=true builds single-try steps — drop mtm_trials")
+        if cfg.criterion != "metropolis":
+            raise ValueError(
+                "incremental=true supports only the metropolis criterion "
+                f"(got {cfg.criterion!r})"
+            )
+        if cfg.require_per_atom_energies or cfg.require_distance_decay:
+            raise ValueError(
+                "incremental=true uses the symmetric unweighted proposals "
+                "— drop require_per_atom_energies/require_distance_decay"
+            )
+        from dataclasses import replace as _dc_replace
+
+        from surface_sampling_tpu.core.engine import SweepRecord
+        from surface_sampling_tpu.core.incremental import (
+            make_incremental_canonical_step,
+            make_incremental_painn,
+            make_incremental_run,
+            make_incremental_semigrand_step,
+        )
+
+        # positions realize from the occupancy on export (rigid lattice)
+        cfg = _dc_replace(cfg, record_positions=False)
+        engine = make_incremental_painn(d=d, **inc_args)
+        inc_step = (
+            make_incremental_canonical_step(engine)
+            if cfg.canonical
+            else make_incremental_semigrand_step(engine)
+        )
+        inc_run = make_incremental_run(inc_step, cfg.sweep_size)
+
+        def run_fn(state, temps_c):
+            inc0 = engine.init_state(state.key, state.site_state)
+            inc1, rec = inc_run(inc0, temps_c)
+            out = state._replace(
+                site_state=inc1.site_state, energy=inc1.energy, key=inc1.key
+            )
+            return out, SweepRecord(
+                site_state=rec.site_state,
+                energy=rec.energy,
+                accept_rate=rec.accept_rate,
+                n_ads=rec.n_ads,
+                positions=jnp.zeros(
+                    (temps_c.shape[0], 0, 3), state.relaxed_positions.dtype
+                ),
+                oob_rate=rec.oob_rate,
+            )
+
+        logger.info("incremental (delta-energy) MC engine active")
+    else:
+        run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential,
+                             distance_weight_matrix=dwm)
     crun = make_chain_run(run_fn)
     logger.info(
         "Running %d chains x %d sweeps x %d steps on %s",

@@ -210,6 +210,10 @@ def make_incremental_painn(
             "cells too small to band are too small for delta locality too"
         )
     ensemble = np.asarray(params["atom_embed"]).ndim == 3
+    # CLI-loaded checkpoints arrive as numpy (convert_nff.load_params_npz);
+    # the delta path indexes atom_embed with traced ints, which numpy
+    # arrays reject — stage everything on device once here
+    params = jax.tree.map(jnp.asarray, params)
     L = cfg.n_layers
     P, S, G = spec.n_pristine, spec.n_sites, spec.group_size
     N = P + S * G
@@ -548,6 +552,7 @@ class IncSweepRecord(NamedTuple):
     accept_rate: jnp.ndarray   # (R,)
     n_ads: jnp.ndarray         # (R,)
     site_state: jnp.ndarray    # (R, S)
+    oob_rate: jnp.ndarray      # (R,) fraction of trial moves OOB-clamped
 
 
 def make_incremental_run(step_fn: Callable, sweep_size: int) -> Callable:
@@ -572,6 +577,7 @@ def make_incremental_run(step_fn: Callable, sweep_size: int) -> Callable:
                 accept_rate=jnp.mean(infos.accepted.astype(jnp.float32)),
                 n_ads=infos.n_ads[-1].astype(jnp.float32),
                 site_state=st.site_state,
+                oob_rate=jnp.mean(infos.oob.astype(jnp.float32)),
             )
             return st, rec
 

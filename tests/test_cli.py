@@ -924,3 +924,119 @@ def test_chunk_retry_on_device_error(cu_setup, monkeypatch):
     # chunk_retries=0 fails fast
     with pytest.raises(jax.errors.JaxRuntimeError):
         run("r_fatal", interval=2, fail_on_call=2, retries=0)
+
+
+def _incremental_setup(tmp_path):
+    """Elongated Ti strip (bands at cutoff 4 A) + a toy trained-PaiNN npz:
+    the smallest CLI-reachable system for sampling_settings.incremental."""
+    import jax
+
+    from surface_sampling_tpu.models.convert_nff import save_params_npz
+    from surface_sampling_tpu.models.painn import PaiNNConfig, init_painn
+    from surface_sampling_tpu.structure import Structure
+
+    rng = np.random.default_rng(5)
+    xs = np.arange(21) * 2.0 + 0.3
+    pos = np.stack([xs, np.full(21, 2.0), np.full(21, 5.0)], axis=1)
+    pos[:, 1] += rng.uniform(-0.3, 0.3, 21)
+    slab = Structure.from_symbols(["Ti"] * 21, pos, np.diag([42.0, 4.2, 16.0]))
+    slab_path = tmp_path / "slab.cif"
+    write_cif(slab_path, slab)
+
+    cfg = PaiNNConfig(feat_dim=16, n_rbf=6, cutoff=4.0, n_layers=2,
+                      readout_hidden=8, max_neighbors=10, excl_vol=True,
+                      sigma=1.2, power=8.0)
+    params = init_painn(jax.random.PRNGKey(0), cfg)
+    model_path = tmp_path / "toy_painn.npz"
+    save_params_npz(model_path, params, cfg)
+
+    settings = {
+        "system_settings": {"surface_name": "toy_inc", "planar_distance": 1.9,
+                            "cutoff": 4.0},
+        "sampling_settings": {
+            "total_sweeps": 4, "sweep_size": 3, "start_temp": 1.0,
+            "alpha": 0.99, "adsorbates": ["O", "Sr"], "n_chains": 2,
+            "incremental": True, "run_folder": str(tmp_path / "run_inc"),
+        },
+        "calc_settings": {
+            "calc_name": "nff", "model_paths": [str(model_path)],
+            "elements": ["Ti", "O", "Sr"], "model_units": "kcal/mol",
+        },
+    }
+    return slab, slab_path, settings
+
+
+def test_sample_surface_cli_incremental(tmp_path):
+    """sampling_settings.incremental=true drives the delta-energy
+    (cached-feature) MC engine through the standard CLI
+    (core/incremental.py — the supercell fast path; the reference
+    recomputes the whole slab per move, mcmc/mcmc.py:233). Artifacts match
+    the standard run's schema and the final checkpoint energies equal a
+    fresh FULL evaluation of the final occupancies — cache exactness
+    through the whole CLI run, chunking included."""
+    import jax
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.cli.common import assemble_system
+    from surface_sampling_tpu.cli.sample_surface import main
+    from surface_sampling_tpu.io import load_checkpoint
+
+    slab, slab_path, settings = _incremental_setup(tmp_path)
+    settings["sampling_settings"]["checkpoint_interval"] = 2  # 2 chunks
+    sp = tmp_path / "settings_inc.json"
+    sp.write_text(json.dumps(settings))
+    main(["--settings", str(sp), "--slab", str(slab_path)])
+
+    run = tmp_path / "run_inc"
+    hist = np.load(run / "history.npz")
+    assert hist["energy"].shape == (2, 4)
+    assert np.isfinite(hist["energy"]).all()
+    rows = (run / "stats.csv").read_text().strip().splitlines()
+    assert len(rows) == 5
+    assert list(run.glob("best_energy_*.cif"))
+
+    # the assembled potential carries the inc hook the run used
+    asys = assemble_system(json.loads(sp.read_text()), slab)
+    assert "inc_args" in asys.potential.__dict__
+
+    # exactness: checkpointed energies == full evaluation of the occupancy
+    states, idx, _, _ = load_checkpoint(run / "checkpoint.npz")
+    assert idx == 4
+    se_full = jax.jit(jax.vmap(
+        lambda ss: asys.run.state_energy_fn(ss).surface_energy
+    ))(jnp.asarray(states.site_state))
+    np.testing.assert_allclose(np.asarray(states.energy),
+                               np.asarray(se_full), rtol=1e-5, atol=1e-4)
+    # history's last sweep agrees with the checkpoint
+    np.testing.assert_allclose(hist["energy"][:, -1],
+                               np.asarray(states.energy), rtol=1e-6)
+
+
+def test_sample_surface_cli_incremental_guards(tmp_path):
+    """incremental=true refuses unsupported mode combinations with clear
+    errors (tempering/PA, MTM, non-metropolis criteria, non-banding or
+    non-PaiNN systems)."""
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    slab, slab_path, settings = _incremental_setup(tmp_path)
+
+    def run_with(samp_extra, calc_extra=None, folder="run_g"):
+        s = json.loads(json.dumps(settings))
+        s["sampling_settings"].update(samp_extra)
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        if calc_extra:
+            s["calc_settings"].update(calc_extra)
+        sp = tmp_path / f"s_{folder}.json"
+        sp.write_text(json.dumps(s))
+        main(["--settings", str(sp), "--slab", str(slab_path)])
+
+    with pytest.raises(ValueError, match="plain annealed path"):
+        run_with({"tempering": True}, folder="g_temp")
+    with pytest.raises(ValueError, match="mtm_trials"):
+        run_with({"mtm_trials": 4}, folder="g_mtm")
+    with pytest.raises(ValueError, match="metropolis"):
+        run_with({"criterion": "distance", "filter_distance": 1.0},
+                 folder="g_crit")
+    # fast path off -> no inc hook -> clear refusal
+    with pytest.raises(ValueError, match="inc_args"):
+        run_with({}, calc_extra={"fast": False}, folder="g_nofast")
