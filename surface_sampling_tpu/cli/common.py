@@ -627,10 +627,10 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         if cfg.mtm_trials > 1:
             raise ValueError(
                 "incremental=true builds single-try steps — drop mtm_trials")
-        if cfg.criterion != "metropolis":
+        if cfg.criterion not in ("metropolis", "metropolis_distance"):
             raise ValueError(
-                "incremental=true supports only the metropolis criterion "
-                f"(got {cfg.criterion!r})"
+                "incremental=true supports the metropolis and "
+                f"metropolis_distance criteria (got {cfg.criterion!r})"
             )
         if cfg.require_per_atom_energies or cfg.require_distance_decay:
             raise ValueError(
@@ -650,11 +650,10 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
         # positions realize from the occupancy on export (rigid lattice)
         cfg = _dc_replace(cfg, record_positions=False)
         engine = make_incremental_painn(d=d, **inc_args)
-        inc_step = (
-            make_incremental_canonical_step(engine)
-            if cfg.canonical
-            else make_incremental_semigrand_step(engine)
-        )
+        _mk_step = (make_incremental_canonical_step if cfg.canonical
+                    else make_incremental_semigrand_step)
+        inc_step = _mk_step(engine, d=d, criterion=cfg.criterion,
+                            filter_distance=cfg.filter_distance)
         inc_run = make_incremental_run(inc_step, cfg.sweep_size)
 
         def run_fn(state, temps_c):

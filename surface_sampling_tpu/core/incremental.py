@@ -123,6 +123,12 @@ class IncCaches(NamedTuple):
     v: jnp.ndarray        # (L, n_pad, F, 3) vector inputs
     e_atom: jnp.ndarray   # (n_pad,) raw per-atom energies (training units,
                           # incl. the excl_vol term; 0 on pad rows)
+    # static-geometry fast mode only ((L, 0, ...) empties otherwise):
+    # the kernel-input projections of s/v in SORTED (band) order, so a
+    # delta step recomputes the F->F/F->3F denses only on its ball rows
+    # instead of all n_pad rows (the dominant delta-FLOP term otherwise)
+    phi: jnp.ndarray      # (L, n_pad, F) sorted
+    vcat: jnp.ndarray     # (L, n_pad, 3F) sorted
 
 
 class IncState(NamedTuple):
@@ -172,6 +178,7 @@ def make_incremental_painn(
     stoidict: dict | None = None,
     surface_energy_fn: Callable | None = None,
     inc_tables: IncTables | None = None,
+    static_geometry: str = "auto",
 ) -> IncEngine:
     """Build the delta-evaluation engine for a (possibly ensemble) PaiNN
     system on a rigid lattice.
@@ -227,6 +234,34 @@ def make_incremental_painn(
         inc_tables = build_inc_tables(spec, static_nbr, band, L)
     blocks_tbl = [jnp.asarray(b, jnp.int32) for b in inc_tables.blocks]
 
+    # static-geometry fast mode (ops/static_edges.py): on code-independent
+    # rigid lattices the per-edge payload is a device constant, so a delta
+    # step builds geometry for its ball rows only — O(ball*Mc) bf16 dots —
+    # instead of the full dynamic edge build + geometry prep (which is
+    # O(N*Mc) per step and dominates delta cost at supercell sizes)
+    from surface_sampling_tpu.ops.static_edges import (
+        build_static_edge_pack,
+        static_edge_geometry,
+        static_edge_geometry_rows,
+    )
+
+    pack = None
+    if static_geometry not in ("auto", "off"):
+        raise ValueError("static_geometry must be 'auto' or 'off'")
+    if static_geometry == "auto":
+        pack = build_static_edge_pack(spec, static_nbr, cfg, band=band)
+        if pack is not None and pack.n_pad != n_pad:
+            raise ValueError("static edge pack n_pad mismatch")
+    # the static msg_geom only feeds the fused kernel — pin the mode so
+    # CPU's "auto"->"gather" resolution can't fall back onto the (dummy)
+    # disp/nbr_j fields of the static edges tuple (nn_calculator.py:141
+    # does the same for the rigid full-eval fast path)
+    cfg_fwd = cfg
+    if pack is not None:
+        import dataclasses as _dc
+
+        cfg_fwd = _dc.replace(cfg, message_mode="pallas")
+
     tbl_j = jnp.asarray(static_nbr.slot_j, jnp.int32)
     tbl_shift = jnp.asarray(static_nbr.shift, jnp.float32)
     tbl_valid = jnp.asarray(static_nbr.valid)
@@ -268,7 +303,7 @@ def make_incremental_painn(
         padded to n_pad (see IncCaches)."""
         with jax.default_matmul_precision("float32"):
             s, (dd, nbr_mask), (s_l, v_l) = painn_features(
-                p, cfg, positions, numbers, alive, None, edges=edges,
+                p, cfg_fwd, positions, numbers, alive, None, edges=edges,
                 msg_geom=msg_geom, collect_layers=True)
             h = jax.nn.silu(_dense(p["readout"]["dense0"], s))
             e_atom = _dense(p["readout"]["dense1"], h)[..., 0]
@@ -276,10 +311,36 @@ def make_incremental_painn(
         e_atom = e_atom + _excl_rows(dd, nbr_mask, e_atom.dtype) * alive.astype(
             e_atom.dtype)
         pad_n = n_pad - N
+        s_pad = jnp.pad(s_l, ((0, 0), (0, pad_n), (0, 0)))
+        v_pad = jnp.pad(v_l, ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+        if pack is not None:
+            # kernel-input projections, cached in sorted order so a delta
+            # recomputes them on its ball rows only; the raw v cache is
+            # then redundant (vcat is the same data in kernel layout) —
+            # store it empty to halve the accept-select HBM traffic
+            phis, vcats = [], []
+            for l in range(L):
+                mp = p["message"][l]
+                with jax.default_matmul_precision("float32"):
+                    phi = _dense(mp["inv_dense1"],
+                                 jax.nn.silu(_dense(mp["inv_dense0"],
+                                                    s_pad[l])))
+                vc = jnp.concatenate(
+                    [v_pad[l][..., 0], v_pad[l][..., 1], v_pad[l][..., 2]],
+                    axis=1)
+                phis.append(phi[dband.perm])
+                vcats.append(vc[dband.perm])
+            phi_c, vcat_c = jnp.stack(phis), jnp.stack(vcats)
+            v_pad = jnp.zeros((L, 0) + v_pad.shape[2:], v_pad.dtype)
+        else:
+            phi_c = jnp.zeros((L, 0, s_pad.shape[-1]), s_pad.dtype)
+            vcat_c = jnp.zeros((L, 0, 3 * s_pad.shape[-1]), s_pad.dtype)
         return IncCaches(
-            s=jnp.pad(s_l, ((0, 0), (0, pad_n), (0, 0))),
-            v=jnp.pad(v_l, ((0, 0), (0, pad_n), (0, 0), (0, 0))),
+            s=s_pad,
+            v=v_pad,
             e_atom=jnp.pad(e_atom, (0, pad_n)),
+            phi=phi_c,
+            vcat=vcat_c,
         )
 
     def energy_full(site_state):
@@ -288,9 +349,15 @@ def make_incremental_painn(
         alive = realize_alive(d, site_state)
         numbers = znums[type_idx] * alive.astype(jnp.int32)
         counts = element_counts(d, site_state, dtype=positions.dtype)
-        edges = edge_fn(positions, alive)
+        if pack is not None:
+            # same host-f64 payload the delta steps select from, so the
+            # caches a delta refreshes are consistent with init rows
+            msg_geom, edges = static_edge_geometry(pack, alive)
+        else:
+            edges = edge_fn(positions, alive)
+            msg_geom = prepare_message_geometry(cfg, positions, edges,
+                                                band=dband)
         overflow = edges[4]
-        msg_geom = prepare_message_geometry(cfg, positions, edges, band=dband)
         if ensemble:
             caches = jax.vmap(
                 lambda p: _member_full(p, positions, numbers, alive, edges,
@@ -367,7 +434,121 @@ def make_incremental_painn(
                 e_rows = jnp.where(arows, e_rows, 0.0)
                 e_rows = e_rows + excl_rows_last * arows.astype(e_rows.dtype)
                 e_atom = e_atom.at[slots].set(e_rows)
-        return IncCaches(s=new_s, v=new_v, e_atom=e_atom)
+        return IncCaches(s=new_s, v=new_v, e_atom=e_atom,
+                         phi=caches.phi, vcat=caches.vcat)
+
+    def _member_delta_static(p, caches, ws_l, geom_l, slots_l, rows_l,
+                             s0_full, excl_rows_last, alive_pad):
+        """Static-geometry member delta: the kernel-input projections come
+        from the sorted phi/vcat caches, recomputed only on the ball rows
+        — so the per-move member cost is O(ball) denses + the subset
+        kernel, with no full-width per-layer work at all (the dynamic
+        variant's O(n_pad*F^2) phi/vcat denses dominate delta cost at
+        supercell sizes). Layer-l's recompute rows are a superset of the
+        rows layer l-1 scattered (hop balls grow monotonically), so cache
+        rows outside the ball are valid by construction."""
+        F = caches.s.shape[-1]
+        new_s = caches.s.at[0].set(s0_full)
+        phi_ls = [caches.phi[l] for l in range(L)]
+        vcat_ls = [caches.vcat[l] for l in range(L)]
+        e_atom = caches.e_atom
+        for l in range(L):
+            mp = p["message"][l]
+            up = p["update"][l]
+            rows, slots = rows_l[l], slots_l[l]
+            s_rows = new_s[l][slots]                      # (n_sel, F)
+            with jax.default_matmul_precision("float32"):
+                phi_rows = _dense(mp["inv_dense1"],
+                                  jax.nn.silu(_dense(mp["inv_dense0"],
+                                                     s_rows)))
+            phi_full = phi_ls[l].at[rows].set(phi_rows)
+            phi_ls[l] = phi_full
+            vcat_full = vcat_ls[l]
+            vc_rows = vcat_full[rows]                     # (n_sel, 3F)
+            v_rows = jnp.stack(
+                [vc_rows[:, :F], vc_rows[:, F:2 * F], vc_rows[:, 2 * F:]],
+                axis=-1)                                  # (n_sel, F, 3)
+            phi_s, vcat_s = phi_full, vcat_full
+            if dband.halo:
+                phi_s = jnp.concatenate([phi_s, phi_s[:dband.halo]])
+                vcat_s = jnp.concatenate([vcat_s, vcat_s[:dband.halo]])
+            rbf_sel, envm_sel, nbr_sel, unit_sel, r_pad = geom_l[l]
+            with jax.default_matmul_precision("float32"):
+                dw = jnp.pad(mp["dist_embed"]["w"],
+                             ((0, r_pad - cfg.n_rbf), (0, 0)))
+                db = mp["dist_embed"]["b"][None, :]
+                ds_c, dv_c = painn_message_subset(
+                    phi_s, vcat_s, rbf_sel, envm_sel, nbr_sel, unit_sel,
+                    dw, db, ws_l[l], n_blk=n_blk, window=dband.window,
+                    n_pad=n_pad, routing=cfg.pallas_routing)
+                s_mid = s_rows + ds_c
+                v_mid = v_rows + jnp.stack(
+                    [dv_c[0], dv_c[1], dv_c[2]], axis=-1)
+                s_out, v_out = _update_block(up, s_mid, v_mid)
+            arows = alive_pad[slots]
+            s_out = jnp.where(arows[:, None], s_out, 0.0)
+            v_out = jnp.where(arows[:, None, None], v_out, 0.0)
+            if l + 1 < L:
+                new_s = new_s.at[l + 1, slots].set(s_out)
+                vcat_out = jnp.concatenate(
+                    [v_out[..., 0], v_out[..., 1], v_out[..., 2]], axis=1)
+                vcat_ls[l + 1] = vcat_ls[l + 1].at[rows].set(vcat_out)
+            else:
+                with jax.default_matmul_precision("float32"):
+                    h = jax.nn.silu(_dense(p["readout"]["dense0"], s_out))
+                    e_rows = _dense(p["readout"]["dense1"], h)[..., 0]
+                e_rows = jnp.where(arows, e_rows, 0.0)
+                e_rows = e_rows + excl_rows_last * arows.astype(e_rows.dtype)
+                e_atom = e_atom.at[slots].set(e_rows)
+        return IncCaches(s=new_s, v=caches.v, e_atom=e_atom,
+                         phi=jnp.stack(phi_ls), vcat=jnp.stack(vcat_ls))
+
+    def delta_static(caches, ss_trial, sites2):
+        """Trial evaluation, static-geometry mode: per-row edge build from
+        the rigid payload (ops/static_edges.py) + cached projections —
+        zero O(N) compute on the hot path beyond the occupancy realizers."""
+        type_idx = realize_type_idx(d, ss_trial)
+        alive = realize_alive(d, ss_trial)
+        numbers = znums[type_idx] * alive.astype(jnp.int32)
+        counts = element_counts(d, ss_trial, dtype=jnp.float32)
+        pad_n = n_pad - N
+        alive_pad = jnp.pad(alive, (0, pad_n))
+        numbers_pad = jnp.pad(numbers, (0, pad_n))
+
+        geom_l, ws_l, slots_l, rows_l = [], [], [], []
+        overflow = jnp.asarray(False)
+        excl_rows_last = None
+        for l in range(L):
+            blocks = jnp.concatenate(
+                [blocks_tbl[l][sites2[0]], blocks_tbl[l][sites2[1]]])
+            rows = (blocks[:, None] * n_blk
+                    + jnp.arange(n_blk, dtype=blocks.dtype)).reshape(-1)
+            (rbf_sel, envm_sel, nbr_sel, unit_sel, r_rows, flag_rows,
+             ov) = static_edge_geometry_rows(pack, alive, rows)
+            overflow = overflow | ov
+            geom_l.append((rbf_sel, envm_sel, nbr_sel, unit_sel,
+                           pack.r_pad))
+            ws_l.append(dband.win_start[blocks])
+            rows_l.append(rows)
+            slots_l.append(dband.perm[rows])
+            if l == L - 1:
+                excl_rows_last = _excl_rows(r_rows, flag_rows, jnp.float32)
+
+        def one(p, c):
+            emb = p["atom_embed"][jnp.clip(numbers_pad, 0, cfg.max_z - 1)]
+            s0 = jnp.where(alive_pad[:, None], jnp.asarray(emb), 0.0)
+            return _member_delta_static(p, c, ws_l, geom_l, slots_l, rows_l,
+                                        s0, excl_rows_last, alive_pad)
+
+        if ensemble:
+            new_caches = jax.vmap(one)(params, caches)
+            e_raw = jnp.sum(new_caches.e_atom, axis=1)
+        else:
+            new_caches = one(params, caches)
+            e_raw = jnp.sum(new_caches.e_atom)[None]
+        e_raw = jnp.where(overflow, 1e6, e_raw)
+        se, oob = _finish(e_raw, type_idx, alive, counts)
+        return se, new_caches, oob
 
     def delta(caches, ss_trial, sites2):
         """Trial evaluation: recompute the hop balls of ``sites2`` (a
@@ -442,7 +623,8 @@ def make_incremental_painn(
                         energy=se, key=key, caches=caches)
 
     return IncEngine(init_state=init_state, energy_full=energy_full,
-                     delta=delta, n_sites=S, n_codes=spec.n_codes)
+                     delta=delta_static if pack is not None else delta,
+                     n_sites=S, n_codes=spec.n_codes)
 
 
 def make_incremental_painn_from_system(system, d=None) -> IncEngine:
@@ -464,9 +646,34 @@ def make_incremental_painn_from_system(system, d=None) -> IncEngine:
 # proposal semantics identical to core/events.py — same reference
 # counterparts — with the full evaluation swapped for engine.delta)
 # ----------------------------------------------------------------------
-def make_incremental_semigrand_step(engine: IncEngine) -> Callable:
+def _make_dist_accept(d, criterion, filter_distance):
+    """Optional hard-wall factor for the incremental steps. The full-state
+    candidate-pair check (events.make_distance_accept) is O(C*G^2) gathers
+    + one min — noise next to even a delta NN evaluation — so the
+    incremental path reuses it unchanged rather than localizing it."""
+    if criterion == "metropolis":
+        return None
+    if criterion != "metropolis_distance":
+        raise ValueError(
+            "incremental steps support criterion='metropolis' or "
+            f"'metropolis_distance' (got {criterion!r})"
+        )
+    if d is None:
+        raise ValueError("criterion='metropolis_distance' needs the "
+                         "DeviceSpec (d=) for the candidate-pair table")
+    from surface_sampling_tpu.core.events import make_distance_accept
+
+    return make_distance_accept(d, filter_distance)
+
+
+def make_incremental_semigrand_step(
+    engine: IncEngine, d=None, criterion: str = "metropolis",
+    filter_distance: float = 1.5,
+) -> Callable:
     """Metropolis semigrand Change step over cached features
-    (events.make_semigrand_step with state_energy_fn -> engine.delta)."""
+    (events.make_semigrand_step with state_energy_fn -> engine.delta);
+    ``criterion="metropolis_distance"`` adds the hard-wall minimum-
+    separation prior exactly as the full-evaluation step does."""
     from surface_sampling_tpu.core.events import StepInfo, metropolis_accept
     from surface_sampling_tpu.core.state import (
         change_site,
@@ -474,6 +681,7 @@ def make_incremental_semigrand_step(engine: IncEngine) -> Callable:
     )
 
     n_sites, n_codes = engine.n_sites, engine.n_codes
+    dist_accept = _make_dist_accept(d, criterion, filter_distance)
 
     def step(state: IncState, temp):
         key, k_site, k_code, k_acc = jax.random.split(state.key, 4)
@@ -485,6 +693,8 @@ def make_incremental_semigrand_step(engine: IncEngine) -> Callable:
         sites2 = jnp.stack([site, site])
         se, new_caches, oob = engine.delta(state.caches, trial_ss, sites2)
         accept = metropolis_accept(k_acc, state.energy, se, temp)
+        if dist_accept is not None:
+            accept = accept & dist_accept(trial_ss)
         new_state = IncState(
             site_state=jnp.where(accept, trial_ss, state.site_state),
             energy=jnp.where(accept, se, state.energy),
@@ -501,9 +711,13 @@ def make_incremental_semigrand_step(engine: IncEngine) -> Callable:
     return step
 
 
-def make_incremental_canonical_step(engine: IncEngine) -> Callable:
+def make_incremental_canonical_step(
+    engine: IncEngine, d=None, criterion: str = "metropolis",
+    filter_distance: float = 1.5,
+) -> Callable:
     """Metropolis canonical Exchange step over cached features
-    (events.make_canonical_step's unweighted symmetric proposal)."""
+    (events.make_canonical_step's unweighted symmetric proposal);
+    ``criterion="metropolis_distance"`` adds the hard-wall prior."""
     from surface_sampling_tpu.core.events import StepInfo, metropolis_accept
     from surface_sampling_tpu.core.state import (
         exchange_sites,
@@ -511,6 +725,7 @@ def make_incremental_canonical_step(engine: IncEngine) -> Callable:
     )
 
     n_sites, n_codes = engine.n_sites, engine.n_codes
+    dist_accept = _make_dist_accept(d, criterion, filter_distance)
 
     def step(state: IncState, temp):
         key, k_types, k_s1, k_s2, k_acc = jax.random.split(state.key, 5)
@@ -531,6 +746,8 @@ def make_incremental_canonical_step(engine: IncEngine) -> Callable:
         sites2 = jnp.stack([site1, site2]).astype(jnp.int32)
         se, new_caches, oob = engine.delta(state.caches, trial_ss, sites2)
         accept = metropolis_accept(k_acc, state.energy, se, temp) & valid
+        if dist_accept is not None:
+            accept = accept & dist_accept(trial_ss)
         new_state = IncState(
             site_state=jnp.where(accept, trial_ss, ss),
             energy=jnp.where(accept, se, state.energy),

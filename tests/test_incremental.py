@@ -168,3 +168,69 @@ def test_incremental_run_scan(toy_system):
     se_fin, _, _ = eng.energy_full(out.site_state)
     np.testing.assert_allclose(float(out.energy), float(se_fin),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_incremental_metropolis_distance_matches_full(toy_system):
+    """criterion='metropolis_distance': the incremental step applies the
+    same hard-wall candidate-pair filter as the full-evaluation step
+    (events.make_distance_accept) — chains must agree decision-for-
+    decision, and some trial must actually be rejected by the wall (the
+    toy sites are ~2 A apart, inside the 2.2 A filter)."""
+    from surface_sampling_tpu.core.events import make_semigrand_step
+    from surface_sampling_tpu.core.state import initial_state
+
+    spec, cfg, static_nbr, band = toy_system
+    d = device_spec(spec)
+    params = init_painn(jax.random.PRNGKey(3), cfg)
+    eng = make_incremental_painn(
+        spec, d, params, cfg, static_nbr, band, [22, 8, 38],
+        units="kcal/mol")
+    full = _full_reference(spec, d, params, cfg, static_nbr, False)
+    fd = 2.2
+    step_full = make_semigrand_step(d, full, criterion="metropolis_distance",
+                                    filter_distance=fd)
+    step_inc = make_incremental_semigrand_step(
+        eng, d=d, criterion="metropolis_distance", filter_distance=fd)
+
+    key = jax.random.PRNGKey(2)
+    ss0 = jnp.zeros(spec.n_sites, jnp.int32).at[4].set(1)
+    st_full = initial_state(d, key, site_state=ss0)
+    st_full = st_full._replace(energy=full(ss0).surface_energy)
+    st_inc = eng.init_state(key, ss0)
+
+    temp = jnp.asarray(5.0, jnp.float32)  # hot: Metropolis mostly accepts
+    n_acc = 0
+    for i in range(16):
+        st_full, info_f = step_full(st_full, temp)
+        st_inc, info_i = step_inc(st_inc, temp)
+        assert bool(info_f.accepted) == bool(info_i.accepted), f"step {i}"
+        np.testing.assert_array_equal(np.asarray(st_full.site_state),
+                                      np.asarray(st_inc.site_state))
+        np.testing.assert_allclose(float(st_inc.energy),
+                                   float(st_full.energy),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"step {i}")
+        n_acc += int(info_i.accepted)
+    # the wall must bite: at T=5 nearly everything passes Metropolis, so
+    # rejections indicate the distance filter engaged on neighbor sites
+    assert 0 < n_acc < 16
+    # no occupied neighbor pair ever ends closer than the wall
+    occ = np.nonzero(np.asarray(st_inc.site_state) > 0)[0]
+    coords = np.asarray(spec.site_coords)[occ]
+    if len(occ) >= 2:
+        dmin = min(np.linalg.norm(coords[a] - coords[b])
+                   for a in range(len(occ)) for b in range(a + 1, len(occ)))
+        assert dmin > fd
+
+
+def test_incremental_canonical_distance_guardrails(toy_system):
+    """Unknown criteria raise; metropolis_distance without d raises."""
+    spec, cfg, static_nbr, band = toy_system
+    d = device_spec(spec)
+    params = init_painn(jax.random.PRNGKey(3), cfg)
+    eng = make_incremental_painn(
+        spec, d, params, cfg, static_nbr, band, [22, 8, 38],
+        units="kcal/mol")
+    with pytest.raises(ValueError, match="metropolis"):
+        make_incremental_canonical_step(eng, d=d, criterion="distance")
+    with pytest.raises(ValueError, match="DeviceSpec"):
+        make_incremental_semigrand_step(eng, criterion="metropolis_distance")
