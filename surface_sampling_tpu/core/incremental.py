@@ -60,10 +60,15 @@ class IncTables(NamedTuple):
     blocks[l]: (n_sites, NB_l) int32 — sorted-block ids (of the routing
         band's spatial order) covering the (l+1)-hop ball of each site's
         slots, padded by repeating the first id (duplicate blocks only
-        recompute the same rows twice — harmless).
+        recompute the same rows twice — harmless for gathers; scatters
+        dedupe via ``dupmask``).
+    dupmask[l]: (n_sites, NB_l) f32 — 1.0 on the first occurrence of each
+        block id within a row, 0.0 on padding repeats (the scatter-set
+        one-hot is masked by this so repeated blocks write once).
     """
 
     blocks: tuple
+    dupmask: tuple
     nb: tuple
 
 
@@ -84,6 +89,7 @@ def build_inc_tables(spec, static_nbr, band, n_layers: int) -> IncTables:
     n_blk = int(band.n_blk)
 
     blocks_per_layer = []
+    dup_per_layer = []
     nb_per_layer = []
     ball_sets = []
     for s in range(S):
@@ -100,12 +106,17 @@ def build_inc_tables(spec, static_nbr, band, n_layers: int) -> IncTables:
         ball_sets = new_sets
         nb = max(len(b) for b in blocks_l)
         arr = np.zeros((S, nb), np.int32)
+        dup = np.zeros((S, nb), np.float32)
         for s, b in enumerate(blocks_l):
             arr[s, : len(b)] = b
             arr[s, len(b):] = b[0]          # pad by repeating (harmless)
+            dup[s, : len(b)] = 1.0          # np.unique rows: all distinct
         blocks_per_layer.append(arr)
+        dup_per_layer.append(dup)
         nb_per_layer.append(nb)
-    return IncTables(blocks=tuple(blocks_per_layer), nb=tuple(nb_per_layer))
+    return IncTables(blocks=tuple(blocks_per_layer),
+                     dupmask=tuple(dup_per_layer),
+                     nb=tuple(nb_per_layer))
 
 
 class IncCaches(NamedTuple):
@@ -120,14 +131,20 @@ class IncCaches(NamedTuple):
     nondeterministic)."""
 
     s: jnp.ndarray        # (L, n_pad, F) scalar inputs of each message block
-    v: jnp.ndarray        # (L, n_pad, F, 3) vector inputs
+                          # (NATURAL slot order on the dynamic path; SORTED
+                          # band order in static-geometry mode, where every
+                          # cache row is addressed at block granularity)
+    v: jnp.ndarray        # (L, n_pad, F, 3) vector inputs (dynamic path
+                          # only; (L, 0, F, 3) empty in static mode — vcat
+                          # is the same data in kernel layout)
     e_atom: jnp.ndarray   # (n_pad,) raw per-atom energies (training units,
-                          # incl. the excl_vol term; 0 on pad rows)
+                          # incl. the excl_vol term; 0 on pad rows; sorted
+                          # order in static mode)
     # static-geometry fast mode only ((L, 0, ...) empties otherwise):
     # the kernel-input projections of s/v in SORTED (band) order, so a
-    # delta step recomputes the F->F/F->3F denses only on its ball rows
+    # delta step recomputes the F->3F denses only on its ball rows
     # instead of all n_pad rows (the dominant delta-FLOP term otherwise)
-    phi: jnp.ndarray      # (L, n_pad, F) sorted
+    phi: jnp.ndarray      # (L, n_pad, 3F) sorted
     vcat: jnp.ndarray     # (L, n_pad, 3F) sorted
 
 
@@ -146,6 +163,10 @@ class IncEngine(NamedTuple):
     energy_full: Callable          # site_state -> (surface_energy, caches)
     delta: Callable                # (caches, ss_trial, sites2) ->
                                    #   (surface_energy, new_caches, oob)
+    delta1: Callable               # (caches, ss_trial, site) -> same, for
+                                   # single-site moves (half the ball work
+                                   # of delta's two-site table in static
+                                   # mode; wraps delta on the dynamic path)
     n_sites: int
     n_codes: int
 
@@ -233,6 +254,8 @@ def make_incremental_painn(
     if inc_tables is None:
         inc_tables = build_inc_tables(spec, static_nbr, band, L)
     blocks_tbl = [jnp.asarray(b, jnp.int32) for b in inc_tables.blocks]
+    dup_tbl = [jnp.asarray(m, jnp.float32) for m in inc_tables.dupmask]
+    n_blocks = n_pad // n_blk
 
     # static-geometry fast mode (ops/static_edges.py): on code-independent
     # rigid lattices the per-edge payload is a device constant, so a delta
@@ -242,7 +265,6 @@ def make_incremental_painn(
     from surface_sampling_tpu.ops.static_edges import (
         build_static_edge_pack,
         static_edge_geometry,
-        static_edge_geometry_rows,
     )
 
     pack = None
@@ -313,11 +335,14 @@ def make_incremental_painn(
         pad_n = n_pad - N
         s_pad = jnp.pad(s_l, ((0, 0), (0, pad_n), (0, 0)))
         v_pad = jnp.pad(v_l, ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+        e_pad = jnp.pad(e_atom, (0, pad_n))
         if pack is not None:
-            # kernel-input projections, cached in sorted order so a delta
-            # recomputes them on its ball rows only; the raw v cache is
-            # then redundant (vcat is the same data in kernel layout) —
-            # store it empty to halve the accept-select HBM traffic
+            # static mode: EVERY cache lives in sorted (band) order so a
+            # delta addresses rows at block granularity via exact one-hot
+            # MXU dots (no serializing gathers/scatters on the hot path);
+            # the raw v cache is redundant (vcat is the same data in
+            # kernel layout) — store it empty to halve the accept-select
+            # HBM traffic
             phis, vcats = [], []
             for l in range(L):
                 mp = p["message"][l]
@@ -331,14 +356,16 @@ def make_incremental_painn(
                 phis.append(phi[dband.perm])
                 vcats.append(vc[dband.perm])
             phi_c, vcat_c = jnp.stack(phis), jnp.stack(vcats)
+            s_pad = s_pad[:, dband.perm]
+            e_pad = e_pad[dband.perm]
             v_pad = jnp.zeros((L, 0) + v_pad.shape[2:], v_pad.dtype)
         else:
-            phi_c = jnp.zeros((L, 0, s_pad.shape[-1]), s_pad.dtype)
+            phi_c = jnp.zeros((L, 0, 3 * s_pad.shape[-1]), s_pad.dtype)
             vcat_c = jnp.zeros((L, 0, 3 * s_pad.shape[-1]), s_pad.dtype)
         return IncCaches(
             s=s_pad,
             v=v_pad,
-            e_atom=jnp.pad(e_atom, (0, pad_n)),
+            e_atom=e_pad,
             phi=phi_c,
             vcat=vcat_c,
         )
@@ -437,38 +464,107 @@ def make_incremental_painn(
         return IncCaches(s=new_s, v=new_v, e_atom=e_atom,
                          phi=caches.phi, vcat=caches.vcat)
 
-    def _member_delta_static(p, caches, ws_l, geom_l, slots_l, rows_l,
-                             s0_full, excl_rows_last, alive_pad):
-        """Static-geometry member delta: the kernel-input projections come
-        from the sorted phi/vcat caches, recomputed only on the ball rows
-        — so the per-move member cost is O(ball) denses + the subset
-        kernel, with no full-width per-layer work at all (the dynamic
-        variant's O(n_pad*F^2) phi/vcat denses dominate delta cost at
-        supercell sizes). Layer-l's recompute rows are a superset of the
-        rows layer l-1 scattered (hop balls grow monotonically), so cache
-        rows outside the ball are valid by construction."""
+    # ---- static-geometry delta: block addressing via exact one-hot MXU
+    # dots. TPU gathers/scatters with traced indices serialize on the
+    # scalar core (and become while-loops under the chain vmap) — the
+    # measured v1 of this path was SLOWER than full evaluation because
+    # of exactly that. v2 keeps every cache in sorted order and selects /
+    # writes block rows with small matmuls, so the whole step is MXU/VPU
+    # work (the repo-wide "rigid" design idiom, e.g. potentials/eam.py).
+    hp = jax.lax.Precision.HIGHEST
+
+    def _sel_rows(oh, x):
+        """Gather block rows of a sorted (n_pad, K) array as one exact
+        one-hot dot: (NBsel, n_blocks) @ (n_blocks, n_blk*K). Duplicate
+        selected blocks read correct (repeated) values."""
+        k_dim = x.shape[-1]
+        r = jnp.dot(oh, x.reshape(n_blocks, n_blk * k_dim), precision=hp)
+        return r.reshape(-1, k_dim)
+
+    def _scatter_set(sc_t, rowmask, x, new):
+        """Exact masked scatter-SET of compact block rows into a sorted
+        (n_pad, K) array: selected rows become exactly ``new`` (duplicate
+        selections carry identical values and average exactly via the
+        1/count normalization baked into sc_t), unselected rows keep
+        their bits (multiplied by exactly 1.0)."""
+        k_dim = x.shape[-1]
+        up = jnp.dot(sc_t, new.reshape(-1, n_blk * k_dim), precision=hp)
+        return x * (1.0 - rowmask) + up.reshape(n_pad, k_dim)
+
+    def _layer_select(l, sites):
+        """Selection operators for layer ``l``'s ball blocks of ``sites``
+        (python list of traced site scalars): gather one-hot ``oh``,
+        normalized scatter transpose ``sc_t``, per-row write mask, and the
+        kernel window starts."""
+        blocks = jnp.concatenate([blocks_tbl[l][s] for s in sites])
+        dupm = jnp.concatenate([dup_tbl[l][s] for s in sites])
+        oh = jax.nn.one_hot(blocks, n_blocks, dtype=jnp.float32)
+        ohm = oh * dupm[:, None]
+        cs = jnp.sum(ohm, axis=0)                        # (n_blocks,) 0/1/2
+        sc_t = (ohm / jnp.maximum(cs, 1.0)[None, :]).T   # (n_blocks, NBsel)
+        rowmask = jnp.repeat(jnp.minimum(cs, 1.0), n_blk)[:, None]
+        return oh, sc_t, rowmask, dband.win_start[blocks]
+
+    def _geom_select(oh, msg_geom):
+        """Select the kernel-ready geometry of ``oh``'s blocks from the
+        full sorted grids (built per step by static_edge_geometry — cheap
+        bf16 payload dots)."""
+        rbf_p, envm_p, nbr_p, unit_p, _npd, _db2 = msg_geom
+        r_pad = rbf_p.shape[1]
+        nb_sel = oh.shape[0]
+        rbf_sel = jnp.dot(oh, rbf_p.reshape(n_blocks, -1), precision=hp
+                          ).reshape(nb_sel * n_blk * M, r_pad)
+        envm_sel = jnp.dot(oh, envm_p.reshape(n_blocks, -1), precision=hp
+                           ).reshape(nb_sel * n_blk * M, 1)
+        # ranks < n_pad + halo << 2^24: exact through the f32 dot
+        nbr_sel = jnp.round(
+            jnp.dot(oh, nbr_p.astype(jnp.float32).reshape(n_blocks, -1),
+                    precision=hp)
+        ).astype(jnp.int32).reshape(nb_sel * n_blk * M, 1)
+        u = jnp.moveaxis(unit_p, 0, 2).reshape(n_blocks, -1)
+        unit_sel = jnp.moveaxis(
+            jnp.dot(oh, u, precision=hp).reshape(nb_sel * n_blk, M, 3),
+            2, 0)
+        return rbf_sel, envm_sel, nbr_sel, unit_sel, r_pad
+
+    def _member_delta_static(p, caches, sel_l, geom_l, alive_rows_l,
+                             numbers_rows0, excl_rows_last):
+        """One member's delta over the selected blocks: per-move cost is
+        O(ball) denses + the subset-grid kernel; caches update via exact
+        one-hot scatter-sets. Layer-l's selection is a superset of the
+        rows layer l-1 wrote (hop balls grow monotonically), so cache
+        rows outside the ball stay valid by construction."""
         F = caches.s.shape[-1]
-        new_s = caches.s.at[0].set(s0_full)
+        s_ls = [caches.s[l] for l in range(L)]
         phi_ls = [caches.phi[l] for l in range(L)]
         vcat_ls = [caches.vcat[l] for l in range(L)]
         e_atom = caches.e_atom
         for l in range(L):
+            oh, sc_t, rowmask, ws = sel_l[l]
             mp = p["message"][l]
             up = p["update"][l]
-            rows, slots = rows_l[l], slots_l[l]
-            s_rows = new_s[l][slots]                      # (n_sel, F)
+            arows = alive_rows_l[l] > 0.5                 # (n_sel,)
+            if l == 0:
+                # s_0 = embedding(numbers): rebuild the selected rows from
+                # the trial occupancy (one-hot over the species axis)
+                emb_oh = jax.nn.one_hot(
+                    jnp.clip(numbers_rows0, 0, cfg.max_z - 1), cfg.max_z,
+                    dtype=jnp.float32)
+                s_rows = jnp.dot(emb_oh, p["atom_embed"], precision=hp)
+                s_rows = jnp.where(arows[:, None], s_rows, 0.0)
+                s_ls[0] = _scatter_set(sc_t, rowmask, s_ls[0], s_rows)
+            else:
+                s_rows = _sel_rows(oh, s_ls[l])           # (n_sel, F)
             with jax.default_matmul_precision("float32"):
                 phi_rows = _dense(mp["inv_dense1"],
                                   jax.nn.silu(_dense(mp["inv_dense0"],
                                                      s_rows)))
-            phi_full = phi_ls[l].at[rows].set(phi_rows)
-            phi_ls[l] = phi_full
-            vcat_full = vcat_ls[l]
-            vc_rows = vcat_full[rows]                     # (n_sel, 3F)
+            phi_ls[l] = _scatter_set(sc_t, rowmask, phi_ls[l], phi_rows)
+            vc_rows = _sel_rows(oh, vcat_ls[l])           # (n_sel, 3F)
             v_rows = jnp.stack(
                 [vc_rows[:, :F], vc_rows[:, F:2 * F], vc_rows[:, 2 * F:]],
                 axis=-1)                                  # (n_sel, F, 3)
-            phi_s, vcat_s = phi_full, vcat_full
+            phi_s, vcat_s = phi_ls[l], vcat_ls[l]
             if dband.halo:
                 phi_s = jnp.concatenate([phi_s, phi_s[:dband.halo]])
                 vcat_s = jnp.concatenate([vcat_s, vcat_s[:dband.halo]])
@@ -479,76 +575,88 @@ def make_incremental_painn(
                 db = mp["dist_embed"]["b"][None, :]
                 ds_c, dv_c = painn_message_subset(
                     phi_s, vcat_s, rbf_sel, envm_sel, nbr_sel, unit_sel,
-                    dw, db, ws_l[l], n_blk=n_blk, window=dband.window,
+                    dw, db, ws, n_blk=n_blk, window=dband.window,
                     n_pad=n_pad, routing=cfg.pallas_routing)
                 s_mid = s_rows + ds_c
                 v_mid = v_rows + jnp.stack(
                     [dv_c[0], dv_c[1], dv_c[2]], axis=-1)
                 s_out, v_out = _update_block(up, s_mid, v_mid)
-            arows = alive_pad[slots]
             s_out = jnp.where(arows[:, None], s_out, 0.0)
             v_out = jnp.where(arows[:, None, None], v_out, 0.0)
             if l + 1 < L:
-                new_s = new_s.at[l + 1, slots].set(s_out)
+                s_ls[l + 1] = _scatter_set(sc_t, rowmask, s_ls[l + 1],
+                                           s_out)
                 vcat_out = jnp.concatenate(
                     [v_out[..., 0], v_out[..., 1], v_out[..., 2]], axis=1)
-                vcat_ls[l + 1] = vcat_ls[l + 1].at[rows].set(vcat_out)
+                vcat_ls[l + 1] = _scatter_set(sc_t, rowmask,
+                                              vcat_ls[l + 1], vcat_out)
             else:
                 with jax.default_matmul_precision("float32"):
                     h = jax.nn.silu(_dense(p["readout"]["dense0"], s_out))
                     e_rows = _dense(p["readout"]["dense1"], h)[..., 0]
                 e_rows = jnp.where(arows, e_rows, 0.0)
                 e_rows = e_rows + excl_rows_last * arows.astype(e_rows.dtype)
-                e_atom = e_atom.at[slots].set(e_rows)
-        return IncCaches(s=new_s, v=caches.v, e_atom=e_atom,
+                e_atom = _scatter_set(sc_t, rowmask, e_atom[:, None],
+                                      e_rows[:, None])[:, 0]
+        return IncCaches(s=jnp.stack(s_ls), v=caches.v, e_atom=e_atom,
                          phi=jnp.stack(phi_ls), vcat=jnp.stack(vcat_ls))
 
-    def delta_static(caches, ss_trial, sites2):
-        """Trial evaluation, static-geometry mode: per-row edge build from
-        the rigid payload (ops/static_edges.py) + cached projections —
-        zero O(N) compute on the hot path beyond the occupancy realizers."""
-        type_idx = realize_type_idx(d, ss_trial)
-        alive = realize_alive(d, ss_trial)
-        numbers = znums[type_idx] * alive.astype(jnp.int32)
-        counts = element_counts(d, ss_trial, dtype=jnp.float32)
-        pad_n = n_pad - N
-        alive_pad = jnp.pad(alive, (0, pad_n))
-        numbers_pad = jnp.pad(numbers, (0, pad_n))
+    def _make_delta_static(k):
+        """Build the static delta for ``k`` moved sites (1 = Change,
+        2 = Exchange; k is static so the selection shapes are too)."""
 
-        geom_l, ws_l, slots_l, rows_l = [], [], [], []
-        overflow = jnp.asarray(False)
-        excl_rows_last = None
-        for l in range(L):
-            blocks = jnp.concatenate(
-                [blocks_tbl[l][sites2[0]], blocks_tbl[l][sites2[1]]])
-            rows = (blocks[:, None] * n_blk
-                    + jnp.arange(n_blk, dtype=blocks.dtype)).reshape(-1)
-            (rbf_sel, envm_sel, nbr_sel, unit_sel, r_rows, flag_rows,
-             ov) = static_edge_geometry_rows(pack, alive, rows)
-            overflow = overflow | ov
-            geom_l.append((rbf_sel, envm_sel, nbr_sel, unit_sel,
-                           pack.r_pad))
-            ws_l.append(dband.win_start[blocks])
-            rows_l.append(rows)
-            slots_l.append(dband.perm[rows])
-            if l == L - 1:
-                excl_rows_last = _excl_rows(r_rows, flag_rows, jnp.float32)
+        def delta_static(caches, ss_trial, sites):
+            type_idx = realize_type_idx(d, ss_trial)
+            alive = realize_alive(d, ss_trial)
+            numbers = znums[type_idx] * alive.astype(jnp.int32)
+            counts = element_counts(d, ss_trial, dtype=jnp.float32)
+            # full-grid edge geometry from the rigid payload: pure bf16
+            # MXU dots + tiny VPU masks — O(N) FLOPs so small it is noise
+            # next to one ball's message pass (and bitwise-identical to
+            # what init_state cached, same payload)
+            msg_geom, edges = static_edge_geometry(pack, alive)
+            overflow = edges[4]
+            pad_n = n_pad - N
+            alive_s = jnp.pad(alive, (0, pad_n)
+                              )[dband.perm].astype(jnp.float32)
+            numbers_s = jnp.pad(numbers, (0, pad_n))[dband.perm]
+            excl_s = jnp.pad(_excl_rows(edges[1], edges[3], jnp.float32),
+                             (0, pad_n))[dband.perm]
 
-        def one(p, c):
-            emb = p["atom_embed"][jnp.clip(numbers_pad, 0, cfg.max_z - 1)]
-            s0 = jnp.where(alive_pad[:, None], jnp.asarray(emb), 0.0)
-            return _member_delta_static(p, c, ws_l, geom_l, slots_l, rows_l,
-                                        s0, excl_rows_last, alive_pad)
+            site_list = [sites[i] for i in range(k)]
+            sel_l, geom_l, alive_rows_l = [], [], []
+            for l in range(L):
+                sel = _layer_select(l, site_list)
+                sel_l.append(sel)
+                geom_l.append(_geom_select(sel[0], msg_geom))
+                alive_rows_l.append(
+                    jnp.dot(sel[0], alive_s.reshape(n_blocks, n_blk),
+                            precision=hp).reshape(-1))
+            numbers_rows0 = jnp.round(
+                jnp.dot(sel_l[0][0],
+                        numbers_s.astype(jnp.float32).reshape(n_blocks,
+                                                              n_blk),
+                        precision=hp)).reshape(-1).astype(jnp.int32)
+            excl_rows_last = jnp.dot(
+                sel_l[-1][0], excl_s.reshape(n_blocks, n_blk),
+                precision=hp).reshape(-1)
 
-        if ensemble:
-            new_caches = jax.vmap(one)(params, caches)
-            e_raw = jnp.sum(new_caches.e_atom, axis=1)
-        else:
-            new_caches = one(params, caches)
-            e_raw = jnp.sum(new_caches.e_atom)[None]
-        e_raw = jnp.where(overflow, 1e6, e_raw)
-        se, oob = _finish(e_raw, type_idx, alive, counts)
-        return se, new_caches, oob
+            def one(p, c):
+                return _member_delta_static(p, c, sel_l, geom_l,
+                                            alive_rows_l, numbers_rows0,
+                                            excl_rows_last)
+
+            if ensemble:
+                new_caches = jax.vmap(one)(params, caches)
+                e_raw = jnp.sum(new_caches.e_atom, axis=1)
+            else:
+                new_caches = one(params, caches)
+                e_raw = jnp.sum(new_caches.e_atom)[None]
+            e_raw = jnp.where(overflow, 1e6, e_raw)
+            se, oob = _finish(e_raw, type_idx, alive, counts)
+            return se, new_caches, oob
+
+        return delta_static
 
     def delta(caches, ss_trial, sites2):
         """Trial evaluation: recompute the hop balls of ``sites2`` (a
@@ -622,8 +730,15 @@ def make_incremental_painn(
         return IncState(site_state=jnp.asarray(site_state, jnp.int32),
                         energy=se, key=key, caches=caches)
 
+    if pack is not None:
+        delta_out = _make_delta_static(2)
+        delta1_out = _make_delta_static(1)
+    else:
+        delta_out = delta
+        delta1_out = lambda c, ss, sites1: delta(    # noqa: E731
+            c, ss, jnp.concatenate([sites1, sites1]))
     return IncEngine(init_state=init_state, energy_full=energy_full,
-                     delta=delta_static if pack is not None else delta,
+                     delta=delta_out, delta1=delta1_out,
                      n_sites=S, n_codes=spec.n_codes)
 
 
@@ -690,8 +805,10 @@ def make_incremental_semigrand_step(
         u = jax.random.randint(k_code, (), 0, n_codes - 1)
         end = u + (u >= cur).astype(u.dtype)
         trial_ss = change_site(state.site_state, site, end)
-        sites2 = jnp.stack([site, site])
-        se, new_caches, oob = engine.delta(state.caches, trial_ss, sites2)
+        # single-site Change: delta1 evaluates ONE ball table (engine.delta
+        # would concatenate the same site's blocks twice)
+        se, new_caches, oob = engine.delta1(
+            state.caches, trial_ss, jnp.stack([site]))
         accept = metropolis_accept(k_acc, state.energy, se, temp)
         if dist_accept is not None:
             accept = accept & dist_accept(trial_ss)

@@ -186,66 +186,6 @@ def build_static_edge_pack(d, static_nbr, cfg, band=None) -> StaticEdgePack | No
     )
 
 
-def static_edge_geometry_rows(pack: StaticEdgePack, alive, rows):
-    """Per-evaluation edge build for a SUBSET of sorted rows — the
-    delta-locality MC hot op (core/incremental.py): a move's hop ball is
-    a handful of sorted blocks, so the edge build reduces to O(ball*Mc)
-    bf16 dots instead of O(N*Mc).
-
-    ``rows``: (n_sel,) int32 sorted-row ids (duplicates fine — the block
-    tables pad by repeating a block). Returns
-    ``(rbf_sel, envm_sel, nbr_sel, unit_sel, r_rows, flag_rows, overflow)``
-    where the first four feed ops.pallas_painn.painn_message_subset for
-    exactly those rows ((n_sel*M, ...) / (3, n_sel, M) layouts), and
-    r_rows/flag_rows are the (n_sel, M) per-edge distances (cutoff-filled
-    where unselected) and masks for the exclusion-volume term.
-
-    ``overflow`` only inspects ``rows`` — sufficient for delta steps
-    because an occupancy move can only change neighbor counts of rows
-    within the moved site's 1-hop ball, which every layer's block table
-    covers; global no-overflow is maintained inductively from the full
-    initial evaluation (core/incremental.py init_state).
-    """
-    Mc = pack.inr.shape[1]
-    M, r_pad = pack.M, pack.r_pad
-    f32 = jnp.float32
-
-    a = jnp.pad(alive.astype(f32), (0, 1))               # row N = pad alive=0
-    ai = a[pack.row_slot[rows]] > 0.5                    # (n_sel,)
-    sj = pack.slot_j[rows]                               # (n_sel, Mc)
-    aj = jnp.take(a[:-1], sj.reshape(-1)).reshape(sj.shape) > 0.5
-    mask = pack.inr[rows] & ai[:, None] & aj             # (n_sel, Mc)
-
-    mb = mask.astype(jnp.bfloat16)
-    rank = jax.lax.dot_general(
-        mb, pack.lt, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) - 1.0                                              # (n_sel, Mc)
-    count = rank[:, -1] + 1.0
-    overflow = jnp.any(count > M)
-    keep = mask & (rank < M)
-    sel = (
-        (rank[..., None] == jnp.arange(M, dtype=f32)) & keep[..., None]
-    ).astype(jnp.bfloat16)                               # (n_sel, Mc, M)
-
-    dn = (((1,), (1,)), ((0,), (0,)))                    # contract Mc, batch n
-    out = jax.lax.dot_general(sel, pack.pay_hi[rows], dn,
-                              preferred_element_type=f32)
-    out = out + jax.lax.dot_general(sel, pack.pay_lo[rows], dn,
-                                    preferred_element_type=f32)
-
-    n_sel = rows.shape[0]
-    rbf_sel = out[..., :r_pad].reshape(n_sel * M, r_pad)
-    envm_sel = out[..., r_pad].reshape(n_sel * M, 1)
-    flag_rows = out[..., r_pad + 1] > 0.5                # (n_sel, M)
-    nbr_sel = (
-        jnp.round(out[..., r_pad + 2]) * 128 + jnp.round(out[..., r_pad + 3])
-    ).astype(jnp.int32).reshape(n_sel * M, 1)
-    r_rows = jnp.where(flag_rows, out[..., r_pad + 4], pack.cutoff)
-    unit_sel = jnp.moveaxis(out[..., r_pad + 5:], 2, 0)  # (3, n_sel, M)
-    return rbf_sel, envm_sel, nbr_sel, unit_sel, r_rows, flag_rows, overflow
-
-
 def static_edge_geometry(pack: StaticEdgePack, alive):
     """Per-evaluation edge build from the alive mask alone.
 
