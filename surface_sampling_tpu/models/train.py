@@ -87,18 +87,19 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
     # The force loss differentiates the energy twice: grad wrt positions
     # inside value_and_grad wrt params. PaiNN's fused Pallas message op
     # is second-order differentiable (its VJP is _message_bwd_op, whose
-    # own VJP is the fused bwd2 kernel — ops/pallas_painn.py), so
-    # training rides the fused kernels on TPU; "auto" still resolves to
-    # the gather path on CPU (interpret-mode kernels are slow there).
-    # CHGNet's fused conv carries only a first-order VJP, so its
-    # "pallas"/"auto" still resolves to the pure-XLA gather conv.
+    # own VJP is the fused bwd2 kernel — ops/pallas_painn.py), and
+    # CHGNet's fused conv likewise (its VJP is _conv_bwd_op, whose own
+    # VJP is the pure-XLA double-VJP of the conv reference —
+    # ops/pallas_chgnet.py), so training rides the fused kernels on TPU;
+    # "auto" still resolves to the gather paths on CPU (interpret-mode
+    # kernels are slow there).
     from dataclasses import replace as _dc_replace
 
+    pallas_ok = jax.default_backend() != "cpu"
     if getattr(cfg, "message_mode", None) == "auto":
-        pallas_ok = jax.default_backend() != "cpu"
         cfg = _dc_replace(cfg, message_mode="pallas" if pallas_ok else "gather")
-    if getattr(cfg, "conv_mode", None) in ("auto", "pallas"):
-        cfg = _dc_replace(cfg, conv_mode="gather")
+    if getattr(cfg, "conv_mode", None) == "auto":
+        cfg = _dc_replace(cfg, conv_mode="pallas" if pallas_ok else "gather")
 
     need_mag = tcfg.magmom_weight > 0.0
 

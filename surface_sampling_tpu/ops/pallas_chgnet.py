@@ -31,7 +31,11 @@ streaming residuals through HBM) and emits every input cotangent in one
 pass; weight grads accumulate across grid steps into pinned output
 blocks. Same bf16x2/f32 routing switch as the forward; every cotangent
 is pinned against the pure-JAX reference VJP in tests (bf16x2 tolerance
-~2e-3 on O(1) inputs).
+~2e-3 on O(1) inputs). The backward is wrapped as _conv_bwd_op, whose
+own VJP is the pure-XLA double-VJP of _conv_ref — so force losses
+(grad-of-grad) keep the energy forward AND the force pass on the fused
+kernels, with only the loss-gradient pass through the force term in XLA
+(second order pinned in tests/test_chgnet.py::test_chgnet_conv_second_order).
 """
 
 from __future__ import annotations
@@ -313,6 +317,59 @@ def _conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng):
     return jnp.sum(msg.reshape(n_pad, M, F), axis=1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def _conv_bwd_op(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                 lnc, lng, ct, n_blk, routing):
+    """First-order backward of the fused conv as a differentiable op.
+
+    Forward = the fused Pallas backward kernel (_conv_bwd_pallas); its own
+    VJP — what grad-of-grad training losses hit (the force loss is
+    d/dtheta of dE/dx) — is the pure-XLA double-VJP of the conv reference
+    (_conv_ref). So the energy forward AND the force evaluation both ride
+    the fused kernels, and only the loss-gradient pass through the force
+    term falls back to XLA (mirrors ops/pallas_painn._message_bwd_op,
+    whose second order is a hand-fused bwd2 kernel; here the gated
+    MLP + twin LayerNorms make the XLA route the sane one).
+    """
+    return _conv_bwd_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1,
+                            bc1, bg1, lnc, lng, ct,
+                            n_blk=n_blk, routing=routing)
+
+
+def _conv_bwd_op_fwd(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                     lnc, lng, ct, n_blk, routing):
+    out = _conv_bwd_op(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1,
+                       bg1, lnc, lng, ct, n_blk, routing)
+    return out, (ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
+                 lnc, lng, ct)
+
+
+def _conv_bwd_op_bwd(n_blk, routing, res, cg):
+    (ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng,
+     ct) = res
+
+    def bwd_xla(ai2_, aj2_, be_, bw_, w2_, wc1_, wg1_, bc1_, bg1_, lnc_,
+                lng_, ct_):
+        def f(a, b, c, d, e, g, h, i, j, k, m):
+            return _conv_ref(a, b, c, d, maskf, nbr, e, g, h, i, j, k, m)
+
+        _, vjp = jax.vjp(f, ai2_, aj2_, be_, bw_, w2_, wc1_, wg1_, bc1_,
+                         bg1_, lnc_, lng_)
+        return vjp(ct_)
+
+    _, vjp2 = jax.vjp(bwd_xla, ai2, aj2, be, bw, w2, wc1, wg1, bc1, bg1,
+                      lnc, lng, ct)
+    (c_ai2, c_aj2, c_be, c_bw, c_w2, c_wc1, c_wg1, c_bc1, c_bg1, c_lnc,
+     c_lng, c_ct) = vjp2(cg)
+    c_maskf = jnp.zeros_like(maskf)
+    c_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    return (c_ai2, c_aj2, c_be, c_bw, c_maskf, c_nbr, c_w2, c_wc1, c_wg1,
+            c_bc1, c_bg1, c_lnc, c_lng, c_ct)
+
+
+_conv_bwd_op.defvjp(_conv_bwd_op_fwd, _conv_bwd_op_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
 def chgnet_conv_fused(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
                       lnc, lng, n_blk=16, routing="bf16x2"):
@@ -328,8 +385,11 @@ def chgnet_conv_fused(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
 
 def _fused_fwd(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
                lnc, lng, n_blk, routing):
-    out = _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1,
-                       bg1, lnc, lng, n_blk=n_blk, routing=routing)
+    # recursive decorated call — second-order traces (the force loss's
+    # outer grad) would otherwise hit the raw pallas call with JVP
+    # tracers (see ops/pallas_painn._fused_fwd)
+    out = chgnet_conv_fused(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1,
+                            bc1, bg1, lnc, lng, n_blk, routing)
     return out, (ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
                  lnc, lng)
 
@@ -339,9 +399,9 @@ def _fused_bwd(n_blk, routing, res, ct):
 
     ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng = res
     (g_ai2, g_aj2, g_be, g_bw, g_w2, g_wc1, g_wg1, g_bc1, g_bg1, g_lnc,
-     g_lng) = _conv_bwd_pallas(
+     g_lng) = _conv_bwd_op(
         ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng, ct,
-        n_blk=_bwd_block(ai2.shape[0], n_blk), routing=routing,
+        _bwd_block(ai2.shape[0], n_blk), routing,
     )
     # maskf derives from the boolean edge mask — no gradient flows upstream
     g_maskf = jnp.zeros_like(maskf)

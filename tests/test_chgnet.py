@@ -383,3 +383,59 @@ def test_chgnet_conv_backward_kernel(routing):
          "g_bc1", "g_bg1", "g_lnc", "g_lng"], ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=tol, atol=tol, err_msg=name)
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_chgnet_conv_second_order(routing):
+    """grad-of-grad through the fused conv (force-loss structure: an
+    outer reverse pass over the inner VJP) must match the pure-JAX
+    reference's second order — pins the _conv_bwd_op custom VJP (fused
+    first-order backward + XLA double-VJP second order) that keeps
+    CHGNet fine-tuning on the fused kernel."""
+    from surface_sampling_tpu.ops import pallas_chgnet as pc
+
+    key = jax.random.PRNGKey(21)
+    n_pad, F, M = 16, 8, 8
+    E = n_pad * M
+    ks = jax.random.split(key, 15)
+    ai2 = jax.random.normal(ks[0], (n_pad, 2 * F))
+    aj2 = jax.random.normal(ks[1], (n_pad, 2 * F))
+    be = jax.random.normal(ks[2], (E, F))
+    bw = jax.random.normal(ks[3], (E, F))
+    maskf = (jax.random.uniform(ks[4], (E, 1)) > 0.2).astype(jnp.float32)
+    nbr = jax.random.randint(ks[5], (E, 1), 0, n_pad)
+    w2 = jax.random.normal(ks[6], (F, 2 * F))
+    wc1 = jax.random.normal(ks[7], (2 * F, F))
+    wg1 = jax.random.normal(ks[8], (2 * F, F))
+    bc1 = jax.random.normal(ks[9], (1, F))
+    bg1 = jax.random.normal(ks[10], (1, F))
+    lnc = jnp.stack([jnp.ones(F) * 1.1, jnp.zeros(F) + 0.05])
+    lng = jnp.stack([jnp.ones(F) * 0.9, jnp.zeros(F) - 0.02])
+    wout = jax.random.normal(ks[11], (n_pad, F))
+    args = (ai2, aj2, be, bw, w2, wc1, wg1, bc1, bg1, lnc, lng)
+    cg = [jax.random.normal(k, a.shape) for k, a in zip(
+        jax.random.split(ks[12], len(args)), args)]
+
+    def make_outer(f):
+        def inner(*a):
+            agg = f(a[0], a[1], a[2], a[3], maskf, nbr, a[4], a[5], a[6],
+                    a[7], a[8], a[9], a[10])
+            return jnp.sum(agg * wout)
+
+        def outer(*a):
+            g = jax.grad(inner, argnums=tuple(range(len(args))))(*a)
+            return sum(jnp.sum(gi * ci) for gi, ci in zip(g, cg))
+
+        return outer
+
+    fused = lambda *a: pc.chgnet_conv_fused(*a, 8, routing)
+    ref2 = jax.grad(make_outer(pc._conv_ref),
+                    argnums=tuple(range(len(args))))(*args)
+    got2 = jax.grad(make_outer(fused),
+                    argnums=tuple(range(len(args))))(*args)
+    tol = 1e-4 if routing == "f32" else 5e-3
+    names = ["ai2", "aj2", "be", "bw", "w2", "wc1", "wg1", "bc1", "bg1",
+             "lnc", "lng"]
+    for name, a, b in zip(names, ref2, got2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol, err_msg=name)

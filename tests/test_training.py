@@ -607,12 +607,12 @@ def test_mace_static_table_matches_dynamic():
 
 def test_loss_fn_resolves_pallas_routing_for_double_grad():
     """The force loss is a second-order derivative (grad-of-grad through
-    the energy); the fused Pallas kernels' custom VJP is not itself
-    differentiable, so make_loss_fn must resolve "pallas"/"auto" routing
-    to a pure-XLA mode. Regression for the TPU-only failure
-    ('Linearization failed ... does not support reverse-mode autodiff')
-    that CPU tests could not see because "auto" resolves to "gather"
-    there."""
+    the energy); both fused families carry second-order custom VJPs
+    (PaiNN: the fused bwd2 kernel; CHGNet: _conv_bwd_op's XLA double-VJP)
+    so explicit "pallas" modes must survive make_loss_fn and produce
+    finite grads. Regression for the TPU-only failure ('Linearization
+    failed ... does not support reverse-mode autodiff') that CPU tests
+    could not see while "auto" resolved to "gather" there."""
     from surface_sampling_tpu.models.chgnet import CHGNetConfig, chgnet_apply, init_chgnet
     from surface_sampling_tpu.models.train import PaddedBatch, make_loss_fn
 

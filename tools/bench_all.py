@@ -407,6 +407,8 @@ FAMILIES = {
     "painn_3x3super_unbanded": lambda: bench_painn_super((3, 3), 8, banded=False),
     "painn_2x2super_inc": lambda: bench_painn_super_inc((2, 2), 16),
     "painn_3x3super_inc": lambda: bench_painn_super_inc((3, 3), 8),
+    "painn_4x4super": lambda: bench_painn_super((4, 4), 8),
+    "painn_4x4super_inc": lambda: bench_painn_super_inc((4, 4), 8),
     "painn_relaxed": bench_painn_relaxed,
     "painn_train": bench_painn_train,
     "chgnet": bench_chgnet,
