@@ -677,7 +677,14 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     else:
         run_fn = make_run_fn(d, se_fn, cfg, potential=asys.potential,
                              distance_weight_matrix=dwm)
-    crun = make_chain_run(run_fn)
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
+
+    n_slots = int(d.pristine_positions.shape[0]
+                  + d.site_coords.shape[0] * d.code_offsets.shape[1])
+    crun = make_chain_run(
+        run_fn, compiler_options=scoped_vmem_compiler_options(n_slots))
     logger.info(
         "Running %d chains x %d sweeps x %d steps on %s",
         n_chains, n_seg, cfg.sweep_size, jax.devices()[0].platform,

@@ -923,6 +923,24 @@ def choose_message_block(n_pad: int) -> int:
     return 16 if n_pad <= 256 else 8
 
 
+def scoped_vmem_compiler_options(n_slots: int) -> dict:
+    """Per-jit XLA options for programs containing the banded fused kernel
+    at large slot counts (pass as ``jax.jit(..., compiler_options=...)``).
+
+    The banded kernel pins the full sorted+halo phi/vcat tables in VMEM;
+    past ~1500 slots its scoped-VMEM frame exceeds XLA's default 16 MB
+    limit (measured: 17.3 MB at 1984 slots / 2688 extended rows on the
+    4x4 SrTiO3 supercell) and compilation fails with a scoped-vmem stack
+    OOM. v5e has 128 MB physical VMEM, so raising the scoped limit for
+    THESE programs is safe; a blanket/global raise is avoided because it
+    also licenses bigger fusion scratch everywhere, which can hurt
+    pipelining of small programs."""
+    if n_slots < 1400:
+        return {}
+    return {"xla_tpu_scoped_vmem_limit_kib":
+            65536 if n_slots < 3500 else 98304}
+
+
 class DeviceBand(NamedTuple):
     """Device-staged pieces of an ops.banding.RoutingBand (static ints
     kept as Python ints so they stay compile-time constants)."""

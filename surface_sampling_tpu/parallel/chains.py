@@ -39,14 +39,18 @@ def chain_states(
     return jax.vmap(make)(keys, site_state)
 
 
-def make_chain_run(run_fn: Callable, share_temps: bool = True) -> Callable:
+def make_chain_run(run_fn: Callable, share_temps: bool = True,
+                   compiler_options: dict | None = None) -> Callable:
     """vmap a single-chain ``run(state, temps)`` over the chain axis.
 
     With ``share_temps`` all chains follow one annealing schedule; otherwise
     ``temps`` carries a leading chain axis (basis for parallel tempering).
-    """
+    ``compiler_options``: per-jit XLA options (e.g.
+    ops.pallas_painn.scoped_vmem_compiler_options for large banded-kernel
+    programs)."""
     in_axes = (0, None) if share_temps else (0, 0)
-    return jax.jit(jax.vmap(run_fn, in_axes=in_axes))
+    return jax.jit(jax.vmap(run_fn, in_axes=in_axes),
+                   compiler_options=compiler_options)
 
 
 def make_sharded_chain_run(

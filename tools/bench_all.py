@@ -24,10 +24,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _slots_of(run) -> int:
+    d = run.d
+    return int(d.pristine_positions.shape[0]
+               + d.site_coords.shape[0] * d.code_offsets.shape[1])
+
+
 def _throughput(run, n_chains: int, iters: int = 3) -> dict:
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
     from surface_sampling_tpu.parallel import chain_states
 
-    f = jax.jit(jax.vmap(lambda ss: run.state_energy_fn(ss).surface_energy))
+    f = jax.jit(jax.vmap(lambda ss: run.state_energy_fn(ss).surface_energy),
+                compiler_options=scoped_vmem_compiler_options(_slots_of(run)))
     states = chain_states(run.d, jax.random.PRNGKey(0), n_chains)
     ss = states.site_state
     t0 = time.perf_counter()
