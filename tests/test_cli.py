@@ -896,8 +896,8 @@ def test_chunk_retry_on_device_error(cu_setup, monkeypatch):
         if fail_on_call is not None:
             calls = {"n": 0}
 
-            def flaky_make(run_fn):
-                crun = real_make(run_fn)
+            def flaky_make(run_fn, **kwargs):
+                crun = real_make(run_fn, **kwargs)
 
                 def flaky(states, temps):
                     calls["n"] += 1
