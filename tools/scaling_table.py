@@ -28,6 +28,9 @@ import os
 import re
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -46,9 +49,10 @@ COLLECTIVES = (
     "reduce-scatter", "collective-broadcast",
 )
 
-CHAINS_PER_DEV = 4
-SWEEPS = 4
-SWEEP_SIZE = 8
+CHAINS_PER_DEV = 64
+SWEEPS = 8
+SWEEP_SIZE = 16
+REPEATS = 5
 
 
 def _strip_header(hlo: str) -> str:
@@ -122,12 +126,22 @@ def main() -> None:
         bodies[n_dev] = _strip_header(hlo)
         out, recs = srun(states, temps)  # warmup
         jax.block_until_ready(recs.energy)
-        t0 = time.perf_counter()
-        out, recs = srun(states, temps)
-        jax.block_until_ready(recs.energy)
-        dt = time.perf_counter() - t0
+        # median of REPEATS: single-shot timings at small sizes are
+        # dominated by dispatch overlap and scheduler noise — the
+        # round-3 table's 2x steps/s jump from 2 -> 4 devices came from
+        # exactly that (4 sweeps x 8 steps ran in ~25 ms, where the
+        # per-device async executor threads overlap Python/runtime
+        # overhead that a bigger workload amortizes away)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out, recs = srun(states, temps)
+            jax.block_until_ready(recs.energy)
+            samples.append(time.perf_counter() - t0)
+        dt = float(np.median(samples))
         steps = n_chains * SWEEPS * SWEEP_SIZE
-        rows.append((n_dev, n_chains, n_coll, steps / dt, dt * 1e3))
+        rows.append((n_dev, n_chains, n_coll, steps / dt, dt * 1e3,
+                     dt * 1e3 / n_dev))
         print(f"mesh={n_dev}: chains={n_chains} collectives={n_coll} "
               f"steps/s={steps / dt:.0f}", file=sys.stderr)
 
@@ -170,19 +184,33 @@ def main() -> None:
         f"Workload: Cu(100) EAM rigid semigrand MC, {CHAINS_PER_DEV} "
         f"chains/device, {SWEEPS} sweeps x {SWEEP_SIZE} steps.",
         "",
-        "| devices | chains | collectives in HLO | steps/s | ms/run |",
-        "|---|---|---|---|---|",
+        "| devices | chains | collectives in HLO | steps/s | ms/run | ms/run per device |",
+        "|---|---|---|---|---|---|",
     ]
-    for n_dev, n_chains, n_coll, rate, ms in rows:
-        md.append(f"| {n_dev} | {n_chains} | {n_coll} | {rate:.0f} | {ms:.0f} |")
+    for n_dev, n_chains, n_coll, rate, ms, ms_per_dev in rows:
+        md.append(f"| {n_dev} | {n_chains} | {n_coll} | {rate:.0f} | "
+                  f"{ms:.0f} | {ms_per_dev:.0f} |")
     md += [
         "",
-        "Wall-clock caveat: all virtual devices share ONE physical CPU",
-        "core here, so ideal *virtual* weak scaling is wall-clock",
-        "proportional to device count (constant steps/s), NOT flat",
-        "wall-clock; the table above matches that expectation. On real",
-        "hardware each device owns its own chip, so the same programs",
-        "give constant wall-clock per added device (linear throughput).",
+        "## Wall-clock methodology",
+        "",
+        f"All virtual devices share ONE physical CPU core (verified:",
+        f"`len(os.sched_getaffinity(0)) == 1` on this box), so ideal",
+        "*virtual* weak scaling is wall-clock proportional to device",
+        "count — equivalently constant steps/s and constant *ms/run per",
+        "device* (the last column), NOT flat wall-clock. Each row is the",
+        f"median of {REPEATS} timed executions of a",
+        f"{CHAINS_PER_DEV * SWEEPS * SWEEP_SIZE}-step-per-device workload",
+        "— large enough that XLA compute dominates; the earlier",
+        "4-sweep x 8-step table showed a spurious 2x steps/s jump from",
+        "2 to 4 devices because at ~25 ms/run the per-device async",
+        "executor threads overlap Python dispatch and runtime overhead",
+        "rather than compute. The throughput column is diagnostic only;",
+        "the scaling CLAIM rests on the two structural pins above (zero",
+        "collectives + invariant per-device program), which is what makes",
+        "real multi-chip hardware — where each device owns its own chip —",
+        "run the same programs at constant wall-clock per added device",
+        "(linear throughput).",
     ]
     out_path = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")
     with open(os.path.abspath(out_path), "w") as f:
