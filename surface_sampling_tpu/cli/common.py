@@ -573,12 +573,19 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             "tempering=true and population_annealing=true are mutually "
             "exclusive sampling modes — pick one"
         )
-    if samp.get("incremental", False) and (
-        samp.get("tempering", False) or samp.get("population_annealing", False)
-    ):
+    if samp.get("incremental", False) and samp.get("population_annealing", False):
+        # tempering composes (the swap phase gathers the feature caches
+        # with the configurations — see _run_tempered); PA does not YET:
+        # its resampler replicates chains by importance weight, and
+        # replicating the multi-GB cache pytree inside the resample select
+        # doubles peak HBM at exactly the supercell sizes the incremental
+        # engine targets. Not a mathematical obstruction — a memory one;
+        # run PA on the full-evaluation path.
         raise ValueError(
-            "incremental=true runs on the plain annealed path — drop "
-            "tempering/population_annealing or the incremental flag"
+            "incremental=true does not compose with population_annealing "
+            "(the resampler would replicate the per-chain feature caches; "
+            "peak-memory prohibitive at supercell sizes) — drop one; "
+            "incremental+tempering IS supported"
         )
     if samp.get("population_annealing", False):
         if cfg.mtm_trials > 1:
@@ -926,13 +933,68 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
             "temperature ladder mismatch: resumed tempering needs the same "
             "t_min/t_max/n_chains as the checkpointed run"
         )
-    if cfg.canonical:
+    inc_engine = None
+    if samp.get("incremental", False):
+        # incremental (delta-energy) replicas: nothing in the delta math
+        # depends on temperature, so tempering composes by carrying the
+        # feature caches through the rounds and letting the swap phase
+        # gather them along with the configuration they describe
+        # (parallel/tempering.py::_swap_phase is pytree-generic). Caches
+        # are rebuilt from the occupancy at every chunk boundary, exactly
+        # like the plain incremental path, so chunking / checkpoint /
+        # --resume semantics are unchanged.
+        inc_args = getattr(asys.potential, "__dict__", {}).get("inc_args")
+        if inc_args is None:
+            raise ValueError(
+                "sampling_settings.incremental=true needs a rigid banded "
+                "PaiNN assembly (supercell geometry wide enough to band, "
+                "calc_settings fast path on, relax_atoms off) — this "
+                "system carries no inc_args hook"
+            )
+        if cfg.mtm_trials > 1:
+            raise ValueError(
+                "incremental=true builds single-try steps — drop mtm_trials")
+        if cfg.criterion not in ("metropolis", "metropolis_distance"):
+            raise ValueError(
+                "incremental=true supports the metropolis and "
+                f"metropolis_distance criteria (got {cfg.criterion!r})"
+            )
+        if cfg.require_per_atom_energies or cfg.require_distance_decay:
+            raise ValueError(
+                "incremental=true uses the symmetric unweighted proposals "
+                "— drop require_per_atom_energies/require_distance_decay"
+            )
+        from surface_sampling_tpu.core.incremental import (
+            make_incremental_canonical_step,
+            make_incremental_painn,
+            make_incremental_semigrand_step,
+        )
+
+        inc_engine = make_incremental_painn(d=d, **inc_args)
+        _mk_step = (make_incremental_canonical_step if cfg.canonical
+                    else make_incremental_semigrand_step)
+        inc_step = _mk_step(inc_engine, d=d, criterion=cfg.criterion,
+                            filter_distance=cfg.filter_distance)
+
+        # sweep over IncState (structurally make_incremental_run's inner
+        # sweep); the tempered runner vmaps it over the replica axis and
+        # its swap phase gathers the caches along the chain axis
+        def sweep(state, temp):
+            def body(st, _):
+                st, info = inc_step(st, temp)
+                return st, info
+
+            return jax.lax.scan(body, state, None, length=cfg.sweep_size)
+
+        logger.info("incremental (delta-energy) tempered replicas active")
+    elif cfg.canonical:
         step_fn = make_canonical_step(d, se_fn, criterion=cfg.criterion,
                                       filter_distance=cfg.filter_distance)
+        sweep = make_sweep_fn(step_fn, cfg.sweep_size)
     else:
         step_fn = make_semigrand_step(d, se_fn, criterion=cfg.criterion,
                                       filter_distance=cfg.filter_distance)
-    sweep = make_sweep_fn(step_fn, cfg.sweep_size)
+        sweep = make_sweep_fn(step_fn, cfg.sweep_size)
     n_rounds = len(temps)
     if start_round >= n_rounds:
         raise ValueError(
@@ -990,7 +1052,34 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
         # one compiled program per chunk LENGTH; the round offset is a
         # traced argument, not baked into the closure
         if hi - lo not in trun_cache:
-            trun_cache[hi - lo] = make_tempered_run(sweep, n_rounds=hi - lo)
+            if inc_engine is None:
+                trun_cache[hi - lo] = make_tempered_run(sweep, n_rounds=hi - lo)
+            else:
+                # MCState in/out (checkpoint schema unchanged); inside,
+                # caches are rebuilt from the occupancy (one full eval per
+                # replica per chunk) and the tempered rounds run over
+                # IncState — the swap phase gathers the caches with the
+                # configurations
+                trun = make_tempered_run(sweep, n_rounds=hi - lo)
+
+                def inc_trun(mcs, ladder_c, key_c, start_c, _trun=trun):
+                    inc0 = jax.vmap(inc_engine.init_state)(
+                        mcs.key, mcs.site_state)
+                    inc1, rec = _trun(inc0, ladder_c, key_c, start_c)
+                    out = mcs._replace(site_state=inc1.site_state,
+                                       energy=inc1.energy, key=inc1.key)
+                    return out, rec
+
+                from surface_sampling_tpu.ops.pallas_painn import (
+                    scoped_vmem_compiler_options,
+                )
+
+                n_slots = int(d.pristine_positions.shape[0]
+                              + d.site_coords.shape[0]
+                              * d.code_offsets.shape[1])
+                trun_cache[hi - lo] = jax.jit(
+                    inc_trun,
+                    compiler_options=scoped_vmem_compiler_options(n_slots))
         out_states, rec = run_chunk(states, key, lo, hi)
         states = out_states
         key = jnp.asarray(np.asarray(rec.swap_key)[-1], jnp.uint32)

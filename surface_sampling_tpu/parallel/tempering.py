@@ -32,11 +32,18 @@ class TemperRecord(NamedTuple):
     # round (uint32 key data) — row r feeds exact resume from round r+1
 
 
-def _swap_phase(states: MCState, temps, key, parity, pair_ok=None):
+def _swap_phase(states, temps, key, parity, pair_ok=None):
     """Attempt swaps between pairs (i, i+1) with i of given parity.
 
     ``pair_ok`` (optional, shape (C,), bool) gates pair (i, i+1) — used by
     the DCN-aware schedule to confine swaps to ICI pods on most rounds.
+
+    ``states`` is any chain-batched NamedTuple state with ``energy`` and
+    ``key`` fields (core.state.MCState, or core.incremental.IncState whose
+    feature caches must travel with the configuration they describe): the
+    swap is a pytree-wide gather along the chain axis, except PRNG keys,
+    which stay with the chain slot (the swap permutes configurations, not
+    random streams).
     """
     C = temps.shape[0]
     idx = jnp.arange(C)
@@ -58,12 +65,8 @@ def _swap_phase(states: MCState, temps, key, parity, pair_ok=None):
     accept = (jnp.log(u[left_idx] + 1e-38) < delta[left_idx]) & valid
     take_from = jnp.where(accept, partner, idx)
 
-    swapped = MCState(
-        site_state=states.site_state[take_from],
-        energy=states.energy[take_from],
-        relaxed_positions=states.relaxed_positions[take_from],
-        key=states.key,  # keys stay with the chain slot
-    )
+    swapped = jax.tree.map(lambda x: x[take_from], states)
+    swapped = swapped._replace(key=states.key)  # keys stay with the slot
     rate = jnp.sum(accept.astype(jnp.float32)) / jnp.maximum(
         jnp.sum(valid.astype(jnp.float32)), 1.0
     )

@@ -1014,8 +1014,11 @@ def test_sample_surface_cli_incremental(tmp_path):
 
 def test_sample_surface_cli_incremental_guards(tmp_path):
     """incremental=true refuses unsupported mode combinations with clear
-    errors (tempering/PA, MTM, non-metropolis criteria, non-banding or
-    non-PaiNN systems)."""
+    errors (PA — cache replication through the resampler is peak-memory
+    prohibitive at the supercell sizes the engine targets; MTM;
+    non-metropolis criteria; non-banding or non-PaiNN systems).
+    Tempering is NOT refused — it composes (see
+    test_sample_surface_cli_incremental_tempering)."""
     from surface_sampling_tpu.cli.sample_surface import main
 
     slab, slab_path, settings = _incremental_setup(tmp_path)
@@ -1030,8 +1033,8 @@ def test_sample_surface_cli_incremental_guards(tmp_path):
         sp.write_text(json.dumps(s))
         main(["--settings", str(sp), "--slab", str(slab_path)])
 
-    with pytest.raises(ValueError, match="plain annealed path"):
-        run_with({"tempering": True}, folder="g_temp")
+    with pytest.raises(ValueError, match="population_annealing"):
+        run_with({"population_annealing": True}, folder="g_pa")
     with pytest.raises(ValueError, match="mtm_trials"):
         run_with({"mtm_trials": 4}, folder="g_mtm")
     with pytest.raises(ValueError, match="metropolis"):
@@ -1040,3 +1043,73 @@ def test_sample_surface_cli_incremental_guards(tmp_path):
     # fast path off -> no inc hook -> clear refusal
     with pytest.raises(ValueError, match="inc_args"):
         run_with({}, calc_extra={"fast": False}, folder="g_nofast")
+    # tempered path has its own guard set
+    with pytest.raises(ValueError, match="mtm_trials"):
+        run_with({"tempering": True, "mtm_trials": 4, "n_chains": 4},
+                 folder="g_tmtm")
+    with pytest.raises(ValueError, match="inc_args"):
+        run_with({"tempering": True, "n_chains": 4},
+                 calc_extra={"fast": False}, folder="g_tnofast")
+
+
+def test_sample_surface_cli_incremental_tempering(tmp_path):
+    """incremental=true composes with tempering=true: nothing in the
+    delta-energy math depends on temperature, so the replica-exchange
+    runner sweeps IncState replicas and the swap phase gathers the
+    feature caches along with the configuration they describe
+    (parallel/tempering.py::_swap_phase is pytree-generic; reference has
+    neither engine — mcmc/mcmc.py:233 anneals one chain with full
+    evaluations). Checks: (1) artifact schema matches a tempered run;
+    (2) cache exactness — checkpointed replica energies equal a fresh
+    FULL evaluation of the final occupancies; (3) --resume from a chunk
+    boundary is bitwise identical to an uninterrupted chunked run (the
+    caches are rebuilt from the occupancy at every chunk boundary, so
+    both paths rebuild from the same occupancy at the same round)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.cli.common import assemble_system
+    from surface_sampling_tpu.cli.sample_surface import main
+    from surface_sampling_tpu.io import load_checkpoint
+
+    slab, slab_path, settings = _incremental_setup(tmp_path)
+    base = json.loads(json.dumps(settings))
+    base["sampling_settings"].update(
+        tempering=True, n_chains=4, t_min=0.3, t_max=1.5,
+        checkpoint_interval=2)
+
+    def run(total, folder, resume=None):
+        s = json.loads(json.dumps(base))
+        s["sampling_settings"]["total_sweeps"] = total
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        sp = tmp_path / f"s_{folder}_{total}.json"
+        sp.write_text(json.dumps(s))
+        argv = ["--settings", str(sp), "--slab", str(slab_path)]
+        if resume:
+            argv += ["--resume", str(tmp_path / resume)]
+        main(argv)
+        return np.load(tmp_path / folder / "history.npz")
+
+    full = run(4, "it_full")
+    assert full["energy"].shape == (4, 4)
+    assert np.isfinite(full["energy"]).all()
+    assert full["swap_rate"].shape == (4,)
+
+    # exactness: checkpointed replica energies == full eval of occupancy
+    asys = assemble_system(base, slab)
+    states, idx, _, _ = load_checkpoint(tmp_path / "it_full" / "checkpoint.npz")
+    assert idx == 4
+    se_full = jax.jit(jax.vmap(
+        lambda ss: asys.run.state_energy_fn(ss).surface_energy
+    ))(jnp.asarray(states.site_state))
+    np.testing.assert_allclose(np.asarray(states.energy),
+                               np.asarray(se_full), rtol=1e-5, atol=1e-4)
+
+    # bitwise resume: 2 rounds + resume-to-4 == uninterrupted chunked run
+    part = run(2, "it_part")
+    np.testing.assert_array_equal(part["energy"], full["energy"][:2])
+    res = run(4, "it_part", resume="it_part")
+    assert int(res["start_round"]) == 2
+    np.testing.assert_array_equal(res["energy"], full["energy"][2:])
+    np.testing.assert_array_equal(res["swap_rate"], full["swap_rate"][2:])
+    np.testing.assert_array_equal(res["site_state"], full["site_state"][2:])

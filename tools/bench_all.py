@@ -211,13 +211,18 @@ def bench_painn_super_inc(supercell, n_chains, sweep_size=32, n_sweeps=4):
         make_incremental_run,
         make_incremental_semigrand_step,
     )
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
     from surface_sampling_tpu.systems import srtio3_001_painn
 
     sys = srtio3_001_painn(supercell=supercell)
     eng = make_incremental_painn_from_system(sys)
     step = make_incremental_semigrand_step(eng)
     run = jax.jit(jax.vmap(make_incremental_run(step, sweep_size),
-                           in_axes=(0, None)))
+                           in_axes=(0, None)),
+                  compiler_options=scoped_vmem_compiler_options(
+                      _slots_of(sys.run)))
     keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
     rng = np.random.default_rng(0)
     ss0 = jnp.asarray(
