@@ -219,15 +219,19 @@ def bench_painn_super_inc(supercell, n_chains, sweep_size=32, n_sweeps=4):
     sys = srtio3_001_painn(supercell=supercell)
     eng = make_incremental_painn_from_system(sys)
     step = make_incremental_semigrand_step(eng)
+    vmem_opts = scoped_vmem_compiler_options(_slots_of(sys.run))
     run = jax.jit(jax.vmap(make_incremental_run(step, sweep_size),
                            in_axes=(0, None)),
-                  compiler_options=scoped_vmem_compiler_options(
-                      _slots_of(sys.run)))
+                  compiler_options=vmem_opts)
     keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
     rng = np.random.default_rng(0)
     ss0 = jnp.asarray(
         rng.integers(0, eng.n_codes, (n_chains, eng.n_sites)), jnp.int32)
-    states = jax.vmap(eng.init_state)(keys, ss0)
+    # init must be jitted WITH the vmem options too: eagerly-dispatched
+    # pallas calls compile under the default 16 MB scoped-vmem limit,
+    # which the 4x4 cell's full-grid banded kernel exceeds
+    states = jax.jit(jax.vmap(eng.init_state),
+                     compiler_options=vmem_opts)(keys, ss0)
     temps = jnp.full((n_sweeps,), 0.8, jnp.float32)
     t0 = time.perf_counter()
     out, rec = run(states, temps)
