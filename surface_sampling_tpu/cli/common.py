@@ -378,6 +378,24 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         relax = RelaxConfig(
             steps=calc_s.get("relax_steps", 20), fmax=calc_s.get("fmax", 0.01)
         )
+        # warm-start ball-local relax hook (core/local_relax.py): with
+        # sampling_settings.incremental=true a relaxing system runs the
+        # reference's warm-started per-move optimize (dynamics.py:83)
+        # restricted to the moved site's hop ball. Potential-agnostic —
+        # only the spec's static candidate table is needed for the balls.
+        if painn_static_nbr is not None:
+            nbr_lr = painn_static_nbr
+        else:
+            from surface_sampling_tpu.core.static_neighbors import (
+                build_static_neighbor_table,
+            )
+
+            nbr_lr = build_static_neighbor_table(
+                spec, sys_s.get("cutoff", pot_cutoff), relax_slack=0.6)
+        potential.__dict__["local_relax_args"] = dict(
+            spec=spec, static_nbr=nbr_lr,
+            hops=int(calc_s.get("relax_ball_hops", 1)), relax=relax,
+            surface_energy_fn=surface_energy_fn)
     run = MCMCRun(spec, potential, surface_energy_fn=surface_energy_fn, relax=relax)
     return AssembledSystem(spec, potential, run, settings)
 
@@ -616,7 +634,56 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
 
     temps_seg = np.asarray(temps)[start_sweep:sweeps]
     n_seg = len(temps_seg)
-    if samp.get("incremental", False):
+    if samp.get("incremental", False) and getattr(asys.run, "relax", None) is not None:
+        # relax-mode locality (core/local_relax.py): warm-started ball-
+        # local FIRE — the reference's per-move in-place optimize
+        # (dynamics.py:83) restricted to the moved site's hop ball, with
+        # the relaxed geometry carried as chain state. MCState/SweepRecord
+        # schema unchanged, so chunking / checkpoint / --resume stay
+        # bitwise (positions ARE checkpoint state).
+        lr_args = getattr(asys.potential, "__dict__", {}).get("local_relax_args")
+        if lr_args is None:
+            raise ValueError(
+                "sampling_settings.incremental=true with relax_atoms needs "
+                "the local_relax_args hook (assembled CLI systems attach it "
+                "whenever relax_atoms is on)"
+            )
+        if cfg.mtm_trials > 1:
+            raise ValueError(
+                "incremental=true builds single-try steps — drop mtm_trials")
+        if cfg.criterion not in ("metropolis", "metropolis_distance"):
+            raise ValueError(
+                "incremental=true supports the metropolis and "
+                f"metropolis_distance criteria (got {cfg.criterion!r})"
+            )
+        if cfg.require_per_atom_energies or cfg.require_distance_decay:
+            raise ValueError(
+                "incremental=true uses the symmetric unweighted proposals "
+                "— drop require_per_atom_energies/require_distance_decay"
+            )
+        from surface_sampling_tpu.core.local_relax import (
+            build_ball_masks,
+            make_local_relax_canonical_step,
+            make_local_relax_eval,
+            make_local_relax_run,
+            make_local_relax_semigrand_step,
+        )
+
+        balls = build_ball_masks(lr_args["spec"], lr_args["static_nbr"],
+                                 hops=lr_args["hops"])
+        evaluate = make_local_relax_eval(
+            d, asys.potential,
+            surface_energy_fn=lr_args["surface_energy_fn"],
+            relax=lr_args["relax"], ball_masks=balls)
+        _mk_lr = (make_local_relax_canonical_step if cfg.canonical
+                  else make_local_relax_semigrand_step)
+        lr_step = _mk_lr(d, evaluate, criterion=cfg.criterion,
+                         filter_distance=cfg.filter_distance)
+        run_fn = make_local_relax_run(lr_step, cfg.sweep_size,
+                                      record_positions=cfg.record_positions)
+        logger.info("warm-started ball-local relax MC engine active "
+                    "(hops=%d)", lr_args["hops"])
+    elif samp.get("incremental", False):
         # delta-energy locality (core/incremental.py): each MC move
         # recomputes only the changed site's hop balls against per-layer
         # feature caches — the supercell fast path. Caches are rebuilt
@@ -934,7 +1001,47 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
             "t_min/t_max/n_chains as the checkpointed run"
         )
     inc_engine = None
-    if samp.get("incremental", False):
+    if samp.get("incremental", False) and getattr(asys.run, "relax", None) is not None:
+        # relax-mode locality (core/local_relax.py) composes with
+        # tempering directly: the step is MCState-based and the swap
+        # phase's pytree-wide gather carries the relaxed geometry with
+        # the configuration it belongs to.
+        lr_args = getattr(asys.potential, "__dict__", {}).get("local_relax_args")
+        if lr_args is None:
+            raise ValueError(
+                "sampling_settings.incremental=true with relax_atoms needs "
+                "the local_relax_args hook (assembled CLI systems attach it "
+                "whenever relax_atoms is on)"
+            )
+        if cfg.mtm_trials > 1:
+            raise ValueError(
+                "incremental=true builds single-try steps — drop mtm_trials")
+        if cfg.criterion not in ("metropolis", "metropolis_distance"):
+            raise ValueError(
+                "incremental=true supports the metropolis and "
+                f"metropolis_distance criteria (got {cfg.criterion!r})"
+            )
+        from surface_sampling_tpu.core.local_relax import (
+            build_ball_masks,
+            make_local_relax_canonical_step,
+            make_local_relax_eval,
+            make_local_relax_semigrand_step,
+        )
+
+        balls = build_ball_masks(lr_args["spec"], lr_args["static_nbr"],
+                                 hops=lr_args["hops"])
+        evaluate = make_local_relax_eval(
+            d, asys.potential,
+            surface_energy_fn=lr_args["surface_energy_fn"],
+            relax=lr_args["relax"], ball_masks=balls)
+        _mk_lr = (make_local_relax_canonical_step if cfg.canonical
+                  else make_local_relax_semigrand_step)
+        lr_step = _mk_lr(d, evaluate, criterion=cfg.criterion,
+                         filter_distance=cfg.filter_distance)
+        sweep = make_sweep_fn(lr_step, cfg.sweep_size)
+        logger.info("ball-local relax tempered replicas active (hops=%d)",
+                    lr_args["hops"])
+    elif samp.get("incremental", False):
         # incremental (delta-energy) replicas: nothing in the delta math
         # depends on temperature, so tempering composes by carrying the
         # feature caches through the rounds and letting the swap phase

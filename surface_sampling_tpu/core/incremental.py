@@ -34,7 +34,10 @@ so locality is exact by construction, never a truncation.
 
 Scope: rigid (non-relax) PaiNN single/ensemble systems with single-site
 Change and two-site Exchange moves (the flagship supercell workloads).
-Relax-mode, MTM and tempering keep the full-evaluation path.
+Tempering composes (the swap phase gathers the caches with the
+configurations, parallel/tempering.py); relax-mode locality lives in
+core/local_relax.py (warm-started ball-local FIRE); MTM and population
+annealing keep the full-evaluation path.
 """
 
 from __future__ import annotations

@@ -1052,6 +1052,75 @@ def test_sample_surface_cli_incremental_guards(tmp_path):
                  calc_extra={"fast": False}, folder="g_tnofast")
 
 
+def test_sample_surface_cli_incremental_relax(cu_setup):
+    """incremental=true + relax_atoms=true routes to the warm-started
+    ball-local relax engine (core/local_relax.py — the reference's
+    per-move in-place optimize, mcmc/dynamics.py:83, restricted to the
+    moved site's hop ball). Potential-agnostic (Cu EAM here). Checks:
+    artifact schema, checkpointed energies match a re-evaluation of the
+    carried relaxed geometry, chunked --resume is bitwise (positions ARE
+    checkpoint state), and guards refuse MTM."""
+    import jax
+    import jax.numpy as jnp
+
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.common import assemble_system
+    from surface_sampling_tpu.cli.sample_surface import main
+    from surface_sampling_tpu.io import load_checkpoint
+    from surface_sampling_tpu.structure.io import read_cif
+
+    base = json.loads(settings_path.read_text())
+    base["calc_settings"].update(relax_atoms=True, relax_steps=4,
+                                 fmax=0.05, relax_ball_hops=1)
+    base["sampling_settings"].update(total_sweeps=4, checkpoint_interval=2)
+
+    def run(total, folder, resume=None, extra=None):
+        s = json.loads(json.dumps(base))
+        s["sampling_settings"]["total_sweeps"] = total
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        s["sampling_settings"]["incremental"] = True
+        if extra:
+            s["sampling_settings"].update(extra)
+        sp = tmp_path / f"s_{folder}_{total}.json"
+        sp.write_text(json.dumps(s))
+        argv = ["--settings", str(sp), "--slab", str(slab_path)]
+        if resume:
+            argv += ["--resume", str(tmp_path / resume)]
+        main(argv)
+        return np.load(tmp_path / folder / "history.npz")
+
+    full = run(4, "lr_full")
+    assert full["energy"].shape == (2, 4)
+    assert np.isfinite(full["energy"]).all()
+
+    # checkpointed energies are true energies of the carried geometry
+    slab = read_cif(slab_path)
+    asys = assemble_system(base, slab)
+    assert "local_relax_args" in asys.potential.__dict__
+    states, idx, _, _ = load_checkpoint(tmp_path / "lr_full" / "checkpoint.npz")
+    assert idx == 4
+    from surface_sampling_tpu.core.state import realize_alive, realize_type_idx
+
+    d = asys.run.d
+    for c in range(2):
+        ss = jnp.asarray(states.site_state[c])
+        e_re = asys.potential.energy(
+            jnp.asarray(states.relaxed_positions[c]),
+            realize_type_idx(d, ss), realize_alive(d, ss), d.shifts)
+        np.testing.assert_allclose(float(states.energy[c]), float(e_re),
+                                   rtol=1e-5, atol=1e-4)
+
+    # bitwise chunked resume
+    part = run(2, "lr_part")
+    np.testing.assert_array_equal(part["energy"], full["energy"][:, :2])
+    res = run(4, "lr_part", resume="lr_part")
+    np.testing.assert_array_equal(res["energy"], full["energy"][:, 2:])
+    np.testing.assert_array_equal(res["site_state"], full["site_state"][:, 2:])
+
+    with pytest.raises(ValueError, match="mtm_trials"):
+        run(4, "lr_mtm", extra={"mtm_trials": 4})
+
+
 def test_sample_surface_cli_incremental_tempering(tmp_path):
     """incremental=true composes with tempering=true: nothing in the
     delta-energy math depends on temperature, so the replica-exchange

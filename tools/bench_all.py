@@ -257,10 +257,11 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128):
     "bf16"): ~2x on the routing dots at ~1e-2 eV-scale state-to-state
     error — the guarded high-temperature speed mode. Also reports the
     measured surface-energy deviation vs the bf16x2 default over a batch
-    of random physical-ish states (the error artifact for the opt-in)."""
+    of random physical-ish occupancies (~30% coverage, distinct per
+    state — the error artifact for the opt-in; err_spread is what the
+    Metropolis dE actually sees)."""
     import numpy as np
 
-    from surface_sampling_tpu.parallel import chain_states
     from surface_sampling_tpu.systems import srtio3_001_painn
 
     sys_fast = srtio3_001_painn(supercell=supercell, pallas_routing="bf16")
@@ -270,8 +271,12 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128):
         lambda ss: sys_fast.run.state_energy_fn(ss).surface_energy))
     f_ref = jax.jit(jax.vmap(
         lambda ss: sys_ref.run.state_energy_fn(ss).surface_energy))
-    ss = chain_states(sys_ref.run.d, jax.random.PRNGKey(3),
-                      min(n_chains, 64)).site_state
+    rng = np.random.default_rng(3)
+    S = sys_ref.run.d.site_coords.shape[0]
+    K = sys_ref.run.d.n_codes
+    nb = min(n_chains, 64)
+    occ = rng.integers(1, K, (nb, S)) * (rng.random((nb, S)) < 0.3)
+    ss = jnp.asarray(occ, jnp.int32)
     e_fast, e_ref = np.asarray(f_fast(ss)), np.asarray(f_ref(ss))
     d = e_fast - e_ref
     row["abs_err_mean_eV"] = round(float(np.abs(d).mean()), 5)
@@ -281,12 +286,77 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128):
     return row
 
 
-def bench_painn_relaxed():
+def bench_painn_relaxed(supercell=(1, 1), n_chains=16):
     from surface_sampling_tpu.core import RelaxConfig
     from surface_sampling_tpu.systems import srtio3_001_painn
 
-    sys = srtio3_001_painn(relax=RelaxConfig(steps=20, fmax=0.01))
-    return _throughput(sys.run, 16)
+    sys = srtio3_001_painn(supercell=supercell,
+                           relax=RelaxConfig(steps=20, fmax=0.01))
+    return _throughput(sys.run, n_chains)
+
+
+def bench_painn_localrelax(supercell=(1, 1), n_chains=16, hops=1,
+                           sweep_size=8, n_sweeps=2):
+    """Warm-started ball-local relaxation MC (core/local_relax.py): full
+    MC moves/s where each move FIRE-relaxes only the moved site's hop
+    ball from the chain's carried relaxed geometry (vs the full path's
+    fixed 20-step budget over every free atom from ideal positions —
+    bench_painn_relaxed). States feed forward between timing iterations
+    so the measurement reflects the warm steady state."""
+    import numpy as np
+
+    from surface_sampling_tpu.core import RelaxConfig
+    from surface_sampling_tpu.core.local_relax import (
+        build_ball_masks,
+        make_local_relax_eval,
+        make_local_relax_run,
+        make_local_relax_semigrand_step,
+    )
+    from surface_sampling_tpu.core.static_neighbors import (
+        build_static_neighbor_table,
+    )
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
+    from surface_sampling_tpu.parallel import chain_states
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    sys_ = srtio3_001_painn(supercell=supercell)
+    d = sys_.run.d
+    relax = RelaxConfig(steps=20, fmax=0.01)
+    nbr = build_static_neighbor_table(sys_.spec, 5.0, relax_slack=0.1)
+    balls = build_ball_masks(sys_.spec, nbr, hops=hops)
+    evaluate = make_local_relax_eval(
+        d, sys_.potential, surface_energy_fn=sys_.run.surface_energy_fn,
+        relax=relax, ball_masks=balls)
+    step = make_local_relax_semigrand_step(d, evaluate)
+    run = jax.jit(jax.vmap(
+        make_local_relax_run(step, sweep_size, record_positions=False),
+        in_axes=(0, None)),
+        compiler_options=scoped_vmem_compiler_options(_slots_of(sys_.run)))
+    states = chain_states(d, jax.random.PRNGKey(0), n_chains)
+    temps = jnp.full((n_sweeps,), 0.8, jnp.float32)
+    t0 = time.perf_counter()
+    states, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    compile_s = time.perf_counter() - t0
+    # warm-up sweeps: let the chains relax their way to the steady state
+    for _ in range(2):
+        states, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        states, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    dt = (time.perf_counter() - t0) / iters
+    moves = n_chains * sweep_size * n_sweeps
+    return {
+        "chains": n_chains,
+        "moves_per_sec": round(moves / dt, 1),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def bench_mace():
@@ -371,8 +441,13 @@ def _train_throughput(params, cfg, loss_fn, slab_npz, batch_size, iters):
     }
 
 
-def bench_painn_train(batch_size: int = 16, iters: int = 10):
-    """PaiNN fine-tune step throughput on the flagship SrTiO3 slab."""
+def bench_painn_train(batch_size: int = 16, iters: int = 10,
+                      message_mode: str | None = None):
+    """PaiNN fine-tune step throughput on the flagship SrTiO3 slab.
+    ``message_mode`` pins the routing for the second-order (force-loss)
+    path: None lets make_loss_fn resolve the default; "dense"/"pallas"
+    measure the pure-XLA one-hot vs fused-kernel-VJP alternatives."""
+    import dataclasses as _dc
     from pathlib import Path
 
     from surface_sampling_tpu.models.convert_nff import load_params_npz
@@ -381,14 +456,19 @@ def bench_painn_train(batch_size: int = 16, iters: int = 10):
 
     base = Path(systems.__file__).parent
     params, cfg = load_params_npz(base / "models" / "data" / "srtio3_painn_01.npz")
+    if message_mode is not None:
+        cfg = _dc.replace(cfg, message_mode=message_mode)
     loss_fn = make_loss_fn(cfg, TrainConfig())
     return _train_throughput(params, cfg, loss_fn,
                              base / "systems_data" / "SrTiO3_001_2x2.npz",
                              batch_size, iters)
 
 
-def bench_chgnet_train(batch_size: int = 8, iters: int = 10):
-    """CHGNet fine-tune step throughput on the LaMnO3 slab (efm targets)."""
+def bench_chgnet_train(batch_size: int = 8, iters: int = 10,
+                       conv_mode: str | None = None):
+    """CHGNet fine-tune step throughput on the LaMnO3 slab (efm targets).
+    ``conv_mode`` as in bench_painn_train ("gather" = pure-XLA)."""
+    import dataclasses as _dc
     from pathlib import Path
 
     from surface_sampling_tpu.models.chgnet import chgnet_apply
@@ -398,6 +478,8 @@ def bench_chgnet_train(batch_size: int = 8, iters: int = 10):
 
     base = Path(systems.__file__).parent
     params, cfg = load_chgnet_npz(base / "models" / "data" / "lamno3_chgnet.npz")
+    if conv_mode is not None:
+        cfg = _dc.replace(cfg, conv_mode=conv_mode)
     loss_fn = make_loss_fn(cfg, TrainConfig(), apply_fn=chgnet_apply)
     return _train_throughput(params, cfg, loss_fn,
                              base / "systems_data" / "LaMnO3_001_2x2x3.npz",
@@ -428,10 +510,17 @@ FAMILIES = {
     "painn_3x3super_inc": lambda: bench_painn_super_inc((3, 3), 8),
     "painn_4x4super": lambda: bench_painn_super((4, 4), 8),
     "painn_4x4super_inc": lambda: bench_painn_super_inc((4, 4), 8),
+    "painn_6x6super": lambda: bench_painn_super((6, 6), 4),
+    "painn_6x6super_inc": lambda: bench_painn_super_inc((6, 6), 4),
     "painn_relaxed": bench_painn_relaxed,
+    "painn_localrelax": lambda: bench_painn_localrelax((1, 1), 16),
+    "painn_2x2super_relaxed": lambda: bench_painn_relaxed((2, 2), 16),
+    "painn_2x2super_localrelax": lambda: bench_painn_localrelax((2, 2), 16),
     "painn_train": bench_painn_train,
+    "painn_train_xla": lambda: bench_painn_train(message_mode="dense"),
     "chgnet": bench_chgnet,
     "chgnet_train": bench_chgnet_train,
+    "chgnet_train_xla": lambda: bench_chgnet_train(conv_mode="gather"),
     "mace": bench_mace,
 }
 
