@@ -86,20 +86,24 @@ def make_loss_fn(cfg, tcfg: TrainConfig, apply_fn=painn_apply):
 
     # The force loss differentiates the energy twice: grad wrt positions
     # inside value_and_grad wrt params. PaiNN's fused Pallas message op
-    # is second-order differentiable (its VJP is _message_bwd_op, whose
+    # IS second-order differentiable (its VJP is _message_bwd_op, whose
     # own VJP is the fused bwd2 kernel — ops/pallas_painn.py), and
-    # CHGNet's fused conv likewise (its VJP is _conv_bwd_op, whose own
-    # VJP is the pure-XLA double-VJP of the conv reference —
-    # ops/pallas_chgnet.py), so training rides the fused kernels on TPU;
-    # "auto" still resolves to the gather paths on CPU (interpret-mode
-    # kernels are slow there).
+    # CHGNet's fused conv likewise — but MEASURED training throughput on
+    # v5e strongly favors the pure-XLA modes: the grad-of-grad graph over
+    # the one-hot dense routing fuses into large batched MXU matmuls,
+    # while the kernel path pays three pallas_call launches per layer per
+    # differentiation level with no cross-op fusion
+    # (tools/bench_all.py painn_train_xla 19.2k vs painn_train[pallas]
+    # 735 structs/s; chgnet 2.8k vs 317 — docs/BENCHMARKS.md). So "auto"
+    # resolves training to dense/gather everywhere; pass an explicit
+    # message_mode/conv_mode="pallas" cfg to ride the fused VJPs instead
+    # (covered by tests/test_training.py second-order parity tests).
     from dataclasses import replace as _dc_replace
 
-    pallas_ok = jax.default_backend() != "cpu"
     if getattr(cfg, "message_mode", None) == "auto":
-        cfg = _dc_replace(cfg, message_mode="pallas" if pallas_ok else "gather")
+        cfg = _dc_replace(cfg, message_mode="dense")
     if getattr(cfg, "conv_mode", None) == "auto":
-        cfg = _dc_replace(cfg, conv_mode="pallas" if pallas_ok else "gather")
+        cfg = _dc_replace(cfg, conv_mode="gather")
 
     need_mag = tcfg.magmom_weight > 0.0
 

@@ -271,12 +271,22 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128):
         lambda ss: sys_fast.run.state_energy_fn(ss).surface_energy))
     f_ref = jax.jit(jax.vmap(
         lambda ss: sys_ref.run.state_energy_fn(ss).surface_energy))
-    rng = np.random.default_rng(3)
-    S = sys_ref.run.d.site_coords.shape[0]
-    K = sys_ref.run.d.n_codes
+    # PHYSICAL states: what a chain at sampling temperature actually
+    # visits (random occupancies include hard-overlap states whose huge
+    # excl_vol energies are meaningless to compare — those only need to
+    # stay rejected, which the OOB clamp guarantees in both modes)
+    from surface_sampling_tpu.core import EngineConfig, make_run_fn
+    from surface_sampling_tpu.parallel import chain_states
+
     nb = min(n_chains, 64)
-    occ = rng.integers(1, K, (nb, S)) * (rng.random((nb, S)) < 0.3)
-    ss = jnp.asarray(occ, jnp.int32)
+    mc = jax.jit(jax.vmap(make_run_fn(
+        sys_ref.run.d, sys_ref.run.state_energy_fn,
+        EngineConfig(sweep_size=16, criterion="metropolis_distance",
+                     record_positions=False)), in_axes=(0, None)))
+    states = chain_states(sys_ref.run.d, jax.random.PRNGKey(3), nb)
+    temps = jnp.full((4,), 0.8, jnp.float32)
+    states, _ = mc(states, temps)
+    ss = states.site_state
     e_fast, e_ref = np.asarray(f_fast(ss)), np.asarray(f_ref(ss))
     d = e_fast - e_ref
     row["abs_err_mean_eV"] = round(float(np.abs(d).mean()), 5)
