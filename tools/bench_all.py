@@ -252,16 +252,25 @@ def bench_painn_super_inc(supercell, n_chains, sweep_size=32, n_sweeps=4):
     }
 
 
-def bench_painn_bf16(supercell=(1, 1), n_chains=128):
+def bench_painn_bf16(supercell=(1, 1), n_chains=128, n_states=128):
     """Single-pass pure-bf16 routing opt-in (ops/pallas_routing.py
-    "bf16"): ~2x on the routing dots at ~1e-2 eV-scale state-to-state
-    error — the guarded high-temperature speed mode. Also reports the
-    measured surface-energy deviation vs the bf16x2 default over a batch
-    of random physical-ish occupancies (~30% coverage, distinct per
-    state — the error artifact for the opt-in; err_spread is what the
-    Metropolis dE actually sees)."""
+    "bf16"): ~2x on the routing dots — the guarded high-temperature speed
+    mode. Also measures the error artifact for the opt-in over a DIVERSE
+    batch of random occupancies (coverage 5-35%, every state distinct),
+    split by the geometric hard-wall filter (the same 1.5 A
+    `make_distance_accept` predicate `metropolis_distance` applies):
+
+    * PHYSICAL states (pass the filter): abs/spread of e_fast - e_ref —
+      what the Metropolis dE actually sees when the opt-in is on.
+    * OVERLAP states (fail the filter): their energies are NN
+      extrapolation + exclusion-volume artifacts in BOTH modes; they only
+      need to stay rejected. `overlap_min_efast_eV` vs `phys_max_eref_eV`
+      is the over-reject check: the fast mode never maps an
+      overlap state into (or below) the physical energy window.
+    """
     import numpy as np
 
+    from surface_sampling_tpu.core.events import make_distance_accept
     from surface_sampling_tpu.systems import srtio3_001_painn
 
     sys_fast = srtio3_001_painn(supercell=supercell, pallas_routing="bf16")
@@ -271,28 +280,39 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128):
         lambda ss: sys_fast.run.state_energy_fn(ss).surface_energy))
     f_ref = jax.jit(jax.vmap(
         lambda ss: sys_ref.run.state_energy_fn(ss).surface_energy))
-    # PHYSICAL states: what a chain at sampling temperature actually
-    # visits (random occupancies include hard-overlap states whose huge
-    # excl_vol energies are meaningless to compare — those only need to
-    # stay rejected, which the OOB clamp guarantees in both modes)
-    from surface_sampling_tpu.core import EngineConfig, make_run_fn
-    from surface_sampling_tpu.parallel import chain_states
-
-    nb = min(n_chains, 64)
-    mc = jax.jit(jax.vmap(make_run_fn(
-        sys_ref.run.d, sys_ref.run.state_energy_fn,
-        EngineConfig(sweep_size=16, criterion="metropolis_distance",
-                     record_positions=False)), in_axes=(0, None)))
-    states = chain_states(sys_ref.run.d, jax.random.PRNGKey(3), nb)
-    temps = jnp.full((4,), 0.8, jnp.float32)
-    states, _ = mc(states, temps)
-    ss = states.site_state
-    e_fast, e_ref = np.asarray(f_fast(ss)), np.asarray(f_ref(ss))
-    d = e_fast - e_ref
-    row["abs_err_mean_eV"] = round(float(np.abs(d).mean()), 5)
-    row["abs_err_max_eV"] = round(float(np.abs(d).max()), 5)
+    d = sys_ref.run.d
+    S, n_codes = d.site_coords.shape[0], d.n_codes
+    rng = np.random.default_rng(0)
+    # coverage window scaled so a useful fraction of draws passes the
+    # hard-wall filter at any cell size (pass probability falls roughly
+    # exponentially in the expected number of close site pairs ~ S)
+    cov_hi = min(0.35, 0.35 * 64.0 / S)
+    cov = rng.uniform(0.01, cov_hi, (n_states, 1))
+    codes = rng.integers(1, n_codes, (n_states, S))
+    ss = jnp.asarray(np.where(rng.random((n_states, S)) < cov, codes, 0),
+                     jnp.int32)
+    dist_ok = np.asarray(jax.jit(jax.vmap(make_distance_accept(d, 1.5)))(ss))
+    e_fast = np.concatenate([np.asarray(f_fast(ss[i:i + n_chains]))
+                             for i in range(0, n_states, n_chains)])
+    e_ref = np.concatenate([np.asarray(f_ref(ss[i:i + n_chains]))
+                            for i in range(0, n_states, n_chains)])
+    err = e_fast - e_ref
+    phys = dist_ok & (np.abs(e_ref) < 500.0)
+    row["n_phys"] = int(phys.sum())
+    row["n_states"] = n_states
+    dp = err[phys]
+    row["abs_err_mean_eV"] = round(float(np.abs(dp).mean()), 5)
+    row["abs_err_max_eV"] = round(float(np.abs(dp).max()), 5)
     # state-to-state spread (what Metropolis dE actually sees)
-    row["err_spread_eV"] = round(float(d.std()), 5)
+    row["err_spread_eV"] = round(float(dp.std()), 5)
+    if (~phys).any():
+        # parity-of-failure: BOTH routings map overlap states to
+        # unphysical NN-extrapolation energies (can be hugely negative) —
+        # the guard is the geometric prior / relaxation, not the energy,
+        # in the exact mode just as in the fast mode
+        row["overlap_min_efast_eV"] = round(float(e_fast[~phys].min()), 3)
+        row["overlap_min_eref_eV"] = round(float(e_ref[~phys].min()), 3)
+        row["phys_max_eref_eV"] = round(float(e_ref[phys].max()), 3)
     return row
 
 
@@ -527,10 +547,10 @@ FAMILIES = {
     "painn_2x2super_relaxed": lambda: bench_painn_relaxed((2, 2), 16),
     "painn_2x2super_localrelax": lambda: bench_painn_localrelax((2, 2), 16),
     "painn_train": bench_painn_train,
-    "painn_train_xla": lambda: bench_painn_train(message_mode="dense"),
+    "painn_train_pallas": lambda: bench_painn_train(message_mode="pallas"),
     "chgnet": bench_chgnet,
     "chgnet_train": bench_chgnet_train,
-    "chgnet_train_xla": lambda: bench_chgnet_train(conv_mode="gather"),
+    "chgnet_train_pallas": lambda: bench_chgnet_train(conv_mode="pallas"),
     "mace": bench_mace,
 }
 
