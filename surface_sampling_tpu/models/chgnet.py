@@ -202,18 +202,21 @@ def _apply_gated(p, x, single: bool = False):
 # forward
 # ----------------------------------------------------------------------
 def chgnet_apply(params, cfg: CHGNetConfig, positions, numbers, alive, shifts,
-                 edges=None):
+                 edges=None, band=None):
     """Forward pass; returns per-atom energies (eV/atom scale), total
     energy, per-atom magmom-like site values, and embeddings. Matmuls run
     at true f32 precision (see painn_apply for the measured rationale).
-    ``edges`` lets MC hot paths reuse a static-candidate edge set."""
+    ``edges`` lets MC hot paths reuse a static-candidate edge set.
+    ``band`` (a staged ops.pallas_painn.DeviceBand) switches the fused
+    atom conv to block-banded routing — the supercell fast path
+    (forward-only: rigid MC; see chgnet_conv_fused_banded)."""
     with jax.default_matmul_precision("float32"):
         return _chgnet_apply_impl(params, cfg, positions, numbers, alive, shifts,
-                                  edges=edges)
+                                  edges=edges, band=band)
 
 
 def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shifts,
-                       edges=None):
+                       edges=None, band=None):
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.atom_fea_dim
     N = positions.shape[0]
@@ -266,19 +269,34 @@ def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shi
         mode = "gather" if jax.default_backend() == "cpu" else "pallas"
     if mode == "pallas":
         # fused VMEM atom conv (ops/pallas_chgnet.py); pad the
-        # layer-invariant edge tensors once
-        from surface_sampling_tpu.ops.pallas_chgnet import chgnet_conv_fused
+        # layer-invariant edge tensors once. With ``band`` the rows go to
+        # SORTED spatial order and nbr carries sorted ranks (the same
+        # prepare_fused_geometry layout contract as PaiNN's banded path).
+        from surface_sampling_tpu.ops.pallas_chgnet import (
+            chgnet_conv_fused,
+            chgnet_conv_fused_banded,
+        )
 
         M = r.shape[1]
-        n_blk = 16 if N <= 256 else 8
-        n_pad = ((N + n_blk - 1) // n_blk) * n_blk
+        if band is not None:
+            n_blk = band.n_blk
+            n_pad = band.perm.shape[0]
+        else:
+            n_blk = 16 if N <= 256 else 8
+            n_pad = ((N + n_blk - 1) // n_blk) * n_blk
         pad_n = n_pad - N
-        be_p = jnp.pad(bond_emb_ag, ((0, pad_n), (0, 0), (0, 0))).reshape(
-            n_pad * M, F)
-        bw_p = jnp.pad(bond_w_ag, ((0, pad_n), (0, 0), (0, 0))).reshape(
-            n_pad * M, F)
-        maskf_p = jnp.pad(fmask, ((0, pad_n), (0, 0))).reshape(n_pad * M, 1)
+        be_p = jnp.pad(bond_emb_ag, ((0, pad_n), (0, 0), (0, 0)))
+        bw_p = jnp.pad(bond_w_ag, ((0, pad_n), (0, 0), (0, 0)))
+        maskf_p = jnp.pad(fmask, ((0, pad_n), (0, 0)))
         nbr_p = jnp.pad(nbr_j, ((0, pad_n), (0, 0))).astype(jnp.int32)
+        if band is not None:
+            be_p = be_p[band.perm]
+            bw_p = bw_p[band.perm]
+            maskf_p = maskf_p[band.perm]
+            nbr_p = band.rank[nbr_p[band.perm]]              # values -> ranks
+        be_p = be_p.reshape(n_pad * M, F)
+        bw_p = bw_p.reshape(n_pad * M, F)
+        maskf_p = maskf_p.reshape(n_pad * M, 1)
         nbr_p = nbr_p.reshape(n_pad * M, 1)
 
     n_layers = cfg.n_conv
@@ -299,15 +317,29 @@ def _chgnet_apply_impl(params, cfg: CHGNetConfig, positions, numbers, alive, shi
             zero = jnp.zeros((F, F), dtype)
             wc1 = jnp.concatenate([g["core1"]["w"], zero], axis=0)
             wg1 = jnp.concatenate([zero, g["gate1"]["w"]], axis=0)
-            agg = chgnet_conv_fused(
-                jnp.pad(ai2, ((0, pad_n), (0, 0))),
-                jnp.pad(aj2, ((0, pad_n), (0, 0))),
+            ai2_p = jnp.pad(ai2, ((0, pad_n), (0, 0)))
+            aj2_p = jnp.pad(aj2, ((0, pad_n), (0, 0)))
+            conv_args = (
                 be_p, bw_p, maskf_p, nbr_p, w2, wc1, wg1,
                 g["core1"]["b"][None], g["gate1"]["b"][None],
                 jnp.stack([g["ln_core"]["g"], g["ln_core"]["b"]]),
                 jnp.stack([g["ln_gate"]["g"], g["ln_gate"]["b"]]),
-                n_blk, cfg.pallas_routing,
-            )[:N]
+            )
+            if band is None:
+                agg = chgnet_conv_fused(
+                    ai2_p, aj2_p, *conv_args, n_blk, cfg.pallas_routing
+                )[:N]
+            else:
+                ai2_s = ai2_p[band.perm]
+                aj2_s = aj2_p[band.perm]
+                if band.halo:
+                    aj2_s = jnp.concatenate([aj2_s, aj2_s[:band.halo]])
+                agg_s = chgnet_conv_fused_banded(
+                    ai2_s, aj2_s, *conv_args, band.win_start,
+                    n_blk=n_blk, window=band.window, n_pad=n_pad,
+                    routing=cfg.pallas_routing,
+                )
+                agg = agg_s[band.inv_perm][:N]
         else:
             a_i = jnp.broadcast_to(atom[:, None, :], (N, r.shape[1], F))
             a_j = atom[nbr_j]

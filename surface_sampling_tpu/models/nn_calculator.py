@@ -176,15 +176,23 @@ def make_painn_potential(
 
 
 def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
-                          static_nbr=None) -> Potential:
+                          static_nbr=None, routing_band=None) -> Potential:
     """Wrap the JAX CHGNet (models/chgnet.py) as a framework Potential —
     the counterpart of nff's CHGNetNFF calculator. CHGNet checkpoints
     predict energies in eV directly (intensive per-atom readout summed).
     ``static_nbr`` ranks the spec's candidate pairs instead of searching
-    all image pairs (MC hot paths; see make_painn_potential)."""
+    all image pairs (MC hot paths; see make_painn_potential).
+    ``routing_band`` (ops.banding.RoutingBand) switches the fused atom
+    conv to block-banded routing — the supercell fast path (forward-only;
+    rigid MC)."""
     from surface_sampling_tpu.models.chgnet import chgnet_apply
 
     factor = UNIT_FACTORS[units]
+    band = None
+    if routing_band is not None:
+        from surface_sampling_tpu.ops.pallas_painn import stage_band
+
+        band = stage_band(routing_band)
     znums = jnp.asarray(np.asarray(type_numbers), jnp.int32)
     if static_nbr is not None:
         from surface_sampling_tpu.ops.neighbors import (
@@ -206,7 +214,7 @@ def make_chgnet_potential(params, cfg, type_numbers, units: str = "eV",
         if edges is None:
             edges = edge_fn(positions, alive) if edge_fn is not None else None
         return chgnet_apply(params, cfg, positions, numbers, alive, shifts,
-                            edges=edges)
+                            edges=edges, band=band)
 
     def energy(positions, type_idx, alive, shifts, edges=None):
         return outputs(positions, type_idx, alive, shifts,

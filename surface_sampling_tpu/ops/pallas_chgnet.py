@@ -126,6 +126,88 @@ def _conv_pallas(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1,
     )(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc, lng)
 
 
+def _conv_kernel_banded(ws_ref, ai2_ref, aj2_ref, be_ref, bw_ref, maskf_ref,
+                        nbr_ref, w2_ref, wc1_ref, wg1_ref, bc1_ref, bg1_ref,
+                        lnc_ref, lng_ref, agg_ref, *, routing="bf16x2",
+                        n_pad=0, window=0):
+    """Block-banded variant of :func:`_conv_kernel` — the supercell fast
+    path (ops/banding.py): rows arrive in sorted spatial order with the
+    wrap halo appended to aj2, and each center block routes against a
+    W-wide window of the neighbor table instead of all n_pad rows
+    (mirrors ops/pallas_painn._msg_kernel_banded; same ws8 sublane
+    trick — see the comment there)."""
+    E, F = be_ref.shape
+    n_blk = agg_ref.shape[0]
+    M = E // n_blk
+
+    s = ws_ref[0, pl.program_id(0)] * 8
+    aj_win = aj2_ref[pl.ds(s, window), :]                    # (W, 2F)
+
+    col = nbr_ref[:] - s
+    col = jnp.where(col < 0, col + n_pad, col)               # (E, 1)
+    _route, _ = onehot_router(col, window, routing)
+
+    ajr = _route(aj_win)                                     # (E, 2F)
+    ai_b = jnp.broadcast_to(
+        ai2_ref[:][:, None, :], (n_blk, M, 2 * F)
+    ).reshape(E, 2 * F)
+    h0 = ai_b + ajr + jnp.dot(be_ref[:], w2_ref[:],
+                              preferred_element_type=jnp.float32)
+    h0 = jax.nn.silu(h0)
+
+    hc = jnp.dot(h0, wc1_ref[:], preferred_element_type=jnp.float32) + bc1_ref[:]
+    hg = jnp.dot(h0, wg1_ref[:], preferred_element_type=jnp.float32) + bg1_ref[:]
+    core = jax.nn.silu(_ln(lnc_ref[0:1, :], lnc_ref[1:2, :], hc))
+    gate = jax.nn.sigmoid(_ln(lng_ref[0:1, :], lng_ref[1:2, :], hg))
+    msg = core * gate * bw_ref[:] * maskf_ref[:]
+    agg_ref[:] = jnp.sum(msg.reshape(n_blk, M, F), axis=1)
+
+
+def chgnet_conv_fused_banded(ai2, aj2_ext, be, bw, maskf, nbr, w2, wc1, wg1,
+                             bc1, bg1, lnc, lng, win_start, *, n_blk, window,
+                             n_pad, routing="bf16x2"):
+    """Banded fused CHGNet atom conv (forward-only — the rigid MC hot
+    path needs no gradients; relax-mode CHGNet stays on the full-width
+    kernel or the gather path). ``ai2``/per-edge tensors in SORTED band
+    order ((n_pad, 2F) / (E, ·) with nbr carrying sorted ranks);
+    ``aj2_ext`` is the sorted neighbor table with the wrap halo appended
+    ((n_pad + halo, 2F)). Returns agg in sorted order (n_pad, F)."""
+    n_ext, f2 = aj2_ext.shape
+    F = f2 // 2
+    E = be.shape[0]
+    M = E // n_pad
+    e_blk = n_blk * M
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_banded, routing=routing, n_pad=n_pad,
+                          window=window),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_blk, f2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ext, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, F), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), ai2.dtype),
+        interpret=interpret,
+    )((win_start // 8)[None, :], ai2, aj2_ext, be, bw, maskf, nbr, w2, wc1,
+      wg1, bc1, bg1, lnc, lng)
+
+
 def _silu_grad(x):
     s = jax.nn.sigmoid(x)
     return s * (1.0 + x * (1.0 - s))

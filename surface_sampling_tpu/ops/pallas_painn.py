@@ -43,7 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from surface_sampling_tpu.ops.pallas_routing import onehot_router
+from surface_sampling_tpu.ops.pallas_routing import filter_dot, onehot_router
 
 
 def _msg_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
@@ -56,11 +56,10 @@ def _msg_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
     M = E // n_blk
 
     # radial filter, built in VMEM (never written to HBM). Precision is
-    # pinned: Mosaic only lowers DEFAULT/HIGHEST dots, so an ambient
-    # default_matmul_precision("tensorfloat32") context (models/painn.py
-    # dense blocks) must not leak into the kernel trace.
-    w = jnp.dot(rbf_ref[:], dw_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    # pinned per-mode inside filter_dot: Mosaic only lowers
+    # DEFAULT/HIGHEST dots, so an ambient default_matmul_precision
+    # context (models/painn.py dense blocks) must not leak in.
+    w = filter_dot(rbf_ref[:], dw_ref[:], routing)
     w = (w + db_ref[:]) * envm_ref[:]                        # (E, 3F)
 
     # neighbor routing as one-hot MXU dots (TPU has no fast gather);
@@ -139,8 +138,7 @@ def _msg_bwd_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
 
     # ---- forward recompute (VMEM-resident) ----
     hi_p = jax.lax.Precision.HIGHEST  # pinned: Mosaic rejects HIGH dots
-    wpre = jnp.dot(rbf_ref[:], dw_ref[:], precision=hi_p,
-                   preferred_element_type=jnp.float32) + db_ref[:]
+    wpre = filter_dot(rbf_ref[:], dw_ref[:], routing) + db_ref[:]
     w = wpre * envm_ref[:]                                   # (E, 3F)
     phij = _route(phi_ref[:])
     vj = _route(vcat_ref[:])                                 # (E, 3F) x-major
@@ -291,8 +289,7 @@ def _msg_bwd2_kernel(phi_ref, vcat_ref, cphi_ref, cvcat_ref, rbf_ref,
     hi_p = jax.lax.Precision.HIGHEST
 
     # ---- forward recompute ----
-    wpre = jnp.dot(rbf_ref[:], dw_ref[:], precision=hi_p,
-                   preferred_element_type=jnp.float32) + db_ref[:]
+    wpre = filter_dot(rbf_ref[:], dw_ref[:], routing) + db_ref[:]
     w = wpre * envm_ref[:]                                   # (E, 3F)
     P = _route(phi_ref[:])
     V = _route(vcat_ref[:])
@@ -521,8 +518,7 @@ def _msg_kernel_banded(ws_ref, phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref,
     phi_win = phi_ref[pl.ds(s, window), :]                   # (W, 3F)
     vcat_win = vcat_ref[pl.ds(s, window), :]
 
-    w = jnp.dot(rbf_ref[:], dw_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    w = filter_dot(rbf_ref[:], dw_ref[:], routing)
     w = (w + db_ref[:]) * envm_ref[:]                        # (E, 3F)
 
     col = nbr_ref[:] - s
@@ -657,8 +653,7 @@ def _msg_bwd_kernel_banded(ws_ref, phi_ref, vcat_ref, rbf_ref, envm_ref,
     )
 
     hi_p = jax.lax.Precision.HIGHEST
-    wpre = jnp.dot(rbf_ref[:], dw_ref[:], precision=hi_p,
-                   preferred_element_type=jnp.float32) + db_ref[:]
+    wpre = filter_dot(rbf_ref[:], dw_ref[:], routing) + db_ref[:]
     w = wpre * envm_ref[:]
     phij = _route(phi_win)
     vj = _route(vcat_win)

@@ -22,6 +22,43 @@ import jax
 import jax.numpy as jnp
 
 
+def filter_dot(rbf, dw, routing: str):
+    """The radial-filter contraction ``rbf @ dw`` inside the fused
+    kernels ((E, R) @ (R, 3F); neither operand is exact in bf16) — its
+    MXU pass count tracks the routing mode's error budget:
+
+    * ``"f32"``: the bitwise-parity 6-pass HIGHEST dot.
+    * ``"bf16x2"``: 3-pass two-sided hi/lo split (drop only the lo*lo
+      term, ~1e-5 relative — an order below the routing split's own
+      residual, so the mode's measured error budget is unchanged) at
+      half the HIGHEST passes. Mosaic lowers only DEFAULT/HIGHEST dots,
+      so the native 3-pass Precision.HIGH is spelled out manually.
+    * ``"bf16"``: single-pass DEFAULT (bf16-rounded operands, ~4e-3
+      relative — the same scale as the mode's own feature rounding).
+
+    Measured (v5e, flagship shapes, tools A/B): 17.6 / 12.5 / 9.6 ms
+    per 384-batch message call at 6 / 3 / 1 passes under bf16x2 routing.
+    """
+    if routing == "f32":
+        return jnp.dot(rbf, dw, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if routing == "bf16":
+        return jnp.dot(rbf, dw, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    dn = (((1,), (0,)), ((), ()))
+    rh = rbf.astype(jnp.bfloat16)
+    rl = (rbf - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = dw.astype(jnp.bfloat16)
+    wl = (dw - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    return _dot(rh, wh) + _dot(rh, wl) + _dot(rl, wh)
+
+
 def onehot_router(nbr, n_pad: int, routing: str, f32_precision=None):
     """(route, scatter) closures over the edge table's one-hot matrix.
 

@@ -334,6 +334,8 @@ def lamno3_001_chgnet(
     chem_pots: dict | None = None,
     relax: RelaxConfig | None = None,
     max_neighbors: int = 96,
+    supercell: tuple[int, int] = (1, 1),
+    pallas_routing: str | None = None,
     dtype=None,
 ) -> ExampleSystem:
     """LaMnO3(001) 2x2x3 slab with the reference's fine-tuned CHGNet —
@@ -356,12 +358,18 @@ def lamno3_001_chgnet(
 
     data = np.load(_DATA / "LaMnO3_001_2x2x3.npz")
     slab = Structure(data["numbers"], data["positions"], data["cell"])
+    if tuple(supercell) != (1, 1):
+        # in-plane tiling — the production scaling axis, exactly as the
+        # PaiNN flagship (srtio3_001_painn supercell semantics)
+        slab = slab.repeat((supercell[0], supercell[1], 1)).sorted_by_z()
     sites = find_adsorption_sites(
         slab, planar_distance=planar_distance, near_reduce=0.01, no_obtuse_hollow=True
     )["all"]
     params, cfg = load_chgnet_npz(Path(__file__).parent / "models" / "data" / "lamno3_chgnet.npz")
     if max_neighbors != cfg.max_neighbors:
         cfg = _dc.replace(cfg, max_neighbors=max_neighbors)
+    if pallas_routing is not None:
+        cfg = _dc.replace(cfg, pallas_routing=pallas_routing)
 
     type_numbers = [Z_FROM_SYMBOL[s] for s in ("La", "Mn", "O", "H")]
     spec = make_spec(
@@ -378,8 +386,18 @@ def lamno3_001_chgnet(
     static_nbr = build_static_neighbor_table(
         spec, cfg.atom_graph_cutoff, relax_slack=0.6 if relax is not None else 0.1
     )
+    # supercells: block-banded routing in the fused atom conv (rigid MC
+    # only — the banded conv is forward-only, so relax-mode keeps the
+    # full-width kernel whose VJP is fused too)
+    routing_band = None
+    if relax is None:
+        from surface_sampling_tpu.ops.banding import build_routing_band_for_spec
+
+        routing_band = build_routing_band_for_spec(spec, static_nbr)
     pot = make_chgnet_potential(params, cfg, type_numbers, units="eV",
-                                static_nbr=static_nbr)
+                                static_nbr=static_nbr,
+                                routing_band=routing_band)
+    pot.__dict__["routing_banded"] = routing_band is not None
     chem_pots = chem_pots or {"O": -5.0, "H": -3.0}
     se_fn = make_chem_pot_surface_energy(spec, chem_pots)
     run = MCMCRun(spec, pot, surface_energy_fn=se_fn, relax=relax, dtype=dtype or jnp.float32)

@@ -439,3 +439,46 @@ def test_chgnet_conv_second_order(routing):
     for name, a, b in zip(names, ref2, got2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=tol, atol=tol, err_msg=name)
+
+
+@pytest.mark.parametrize("routing", ["f32", "bf16x2"])
+def test_chgnet_conv_banded_matches_ref(routing):
+    """The block-banded fused conv (chgnet_conv_fused_banded — the
+    supercell fast path) must reproduce the full-width reference on a
+    synthetic band: every block's neighbors confined to a W-wide
+    circular window, wrap handled by the halo rows."""
+    from surface_sampling_tpu.ops import pallas_chgnet as pc
+
+    rng = np.random.default_rng(7)
+    n_pad, n_blk, M, F = 32, 8, 8, 8
+    window, halo = 16, 8
+    ws = np.array([0, 8, 16, 24], np.int32)          # 8-aligned starts
+    E = n_pad * M
+    nbr = np.zeros((n_pad, M), np.int64)
+    for b in range(n_pad // n_blk):
+        nbr[b * n_blk:(b + 1) * n_blk] = (
+            ws[b] + rng.integers(0, window, (n_blk, M)))
+    nbr = jnp.asarray((nbr % n_pad).reshape(E, 1), jnp.int32)
+    ai2 = jnp.asarray(rng.normal(size=(n_pad, 2 * F)), jnp.float32)
+    aj2 = jnp.asarray(rng.normal(size=(n_pad, 2 * F)), jnp.float32)
+    be = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+    bw = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+    maskf = jnp.asarray(rng.random((E, 1)) > 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, 2 * F)), jnp.float32)
+    wc1 = jnp.asarray(rng.normal(size=(2 * F, F)), jnp.float32)
+    wg1 = jnp.asarray(rng.normal(size=(2 * F, F)), jnp.float32)
+    bc1 = jnp.asarray(rng.normal(size=(1, F)), jnp.float32)
+    bg1 = jnp.asarray(rng.normal(size=(1, F)), jnp.float32)
+    lnc = jnp.stack([jnp.ones(F) * 1.1, jnp.zeros(F) + 0.05])
+    lng = jnp.stack([jnp.ones(F) * 0.9, jnp.zeros(F) - 0.02])
+
+    ref = pc._conv_ref(ai2, aj2, be, bw, maskf, nbr, w2, wc1, wg1, bc1,
+                       bg1, lnc, lng)
+    aj2_ext = jnp.concatenate([aj2, aj2[:halo]])
+    got = pc.chgnet_conv_fused_banded(
+        ai2, aj2_ext, be, bw, maskf, nbr, w2, wc1, wg1, bc1, bg1, lnc,
+        lng, jnp.asarray(ws), n_blk=n_blk, window=window, n_pad=n_pad,
+        routing=routing)
+    tol = 1e-5 if routing == "f32" else 2e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=tol, atol=tol)

@@ -297,7 +297,12 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128, n_states=128):
     e_ref = np.concatenate([np.asarray(f_ref(ss[i:i + n_chains]))
                             for i in range(0, n_states, n_chains)])
     err = e_fast - e_ref
-    phys = dist_ok & (np.abs(e_ref) < 500.0)
+    # sanity window RELATIVE to the pristine surface energy — supercell
+    # absolute values carry the stoidict per-structure intercept
+    # (systems.py srtio3_001_painn docstring), so an absolute window
+    # would reject every supercell state
+    e0 = float(np.asarray(f_ref(jnp.zeros((1, S), jnp.int32))[0]))
+    phys = dist_ok & (np.abs(e_ref - e0) < 500.0)
     row["n_phys"] = int(phys.sum())
     row["n_states"] = n_states
     dp = err[phys]
@@ -420,6 +425,68 @@ def bench_chgnet():
     from surface_sampling_tpu.systems import lamno3_001_chgnet
 
     return _throughput(lamno3_001_chgnet().run, 64)
+
+
+def bench_chgnet_super(supercell, n_chains, parity_states: int = 16):
+    """CHGNet supercell rows (block-banded fused atom conv — the same
+    ops/banding.py machinery as the PaiNN supercell path). Also checks
+    banded-vs-unbanded surface-energy parity over random occupancies:
+    one-hot routing is exact in bf16, so the windowed dot must agree
+    with the full-width dot to float rounding."""
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    import surface_sampling_tpu.systems as systems_mod
+    from surface_sampling_tpu.models.convert_chgnet import load_chgnet_npz
+    from surface_sampling_tpu.models.nn_calculator import make_chgnet_potential
+    from surface_sampling_tpu.core.state import (
+        realize_alive,
+        realize_positions,
+        realize_type_idx,
+    )
+    from surface_sampling_tpu.constants import Z_FROM_SYMBOL
+    from surface_sampling_tpu.core.static_neighbors import (
+        build_static_neighbor_table,
+    )
+    from surface_sampling_tpu.systems import lamno3_001_chgnet
+
+    sys = lamno3_001_chgnet(supercell=supercell)
+    row = _throughput(sys.run, n_chains)
+    row["banded"] = sys.potential.__dict__.get("routing_banded", None)
+
+    # unbanded rebuild for the parity check
+    import dataclasses as _dc
+
+    base = Path(systems_mod.__file__).parent
+    params, cfg = load_chgnet_npz(base / "models" / "data" / "lamno3_chgnet.npz")
+    cfg = _dc.replace(cfg, max_neighbors=96)
+    type_numbers = [Z_FROM_SYMBOL[s] for s in ("La", "Mn", "O", "H")]
+    nbr = build_static_neighbor_table(sys.spec, cfg.atom_graph_cutoff,
+                                      relax_slack=0.1)
+    pot_ref = make_chgnet_potential(params, cfg, type_numbers, units="eV",
+                                    static_nbr=nbr)
+    d = sys.run.d
+    S, n_codes = d.site_coords.shape[0], d.n_codes
+    rng = np.random.default_rng(0)
+    cov = rng.uniform(0.05, 0.3, (parity_states, 1))
+    ss = jnp.asarray(
+        np.where(rng.random((parity_states, S)) < cov,
+                 rng.integers(1, n_codes, (parity_states, S)), 0), jnp.int32)
+
+    def e_of(pot):
+        def f(s1):
+            pos = realize_positions(d, s1)
+            return pot.energy(pos, realize_type_idx(d, s1),
+                              realize_alive(d, s1), d.shifts)
+
+        return jax.jit(jax.vmap(f))
+
+    e_band = np.asarray(e_of(sys.potential)(ss))
+    e_ref = np.asarray(e_of(pot_ref)(ss))
+    row["banded_parity_max_eV"] = round(float(np.abs(e_band - e_ref).max()), 7)
+    return row
 
 
 def _train_throughput(params, cfg, loss_fn, slab_npz, batch_size, iters):
@@ -549,6 +616,8 @@ FAMILIES = {
     "painn_train": bench_painn_train,
     "painn_train_pallas": lambda: bench_painn_train(message_mode="pallas"),
     "chgnet": bench_chgnet,
+    "chgnet_2x2super": lambda: bench_chgnet_super((2, 2), 16),
+    "chgnet_3x3super": lambda: bench_chgnet_super((3, 3), 8),
     "chgnet_train": bench_chgnet_train,
     "chgnet_train_pallas": lambda: bench_chgnet_train(conv_mode="pallas"),
     "mace": bench_mace,
