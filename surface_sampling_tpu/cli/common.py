@@ -833,19 +833,20 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
 
     timer = PhaseTimer()
     rec_parts = []
-    with timer.phase("compile+first_run"):
-        for lo, hi in chunk_bounds:
+    for ci, (lo, hi) in enumerate(chunk_bounds):
+        # the first chunk carries the one-time jit; later chunks reuse it
+        with timer.phase("compile+first_chunk" if ci == 0 else "mc_chunks"):
             out_states, recs = run_chunk(states, lo, hi)
-            states = out_states
-            rec_parts.append(recs)
-            # stats flush BEFORE the checkpoint: a crash in between leaves
-            # extra stats rows past the checkpoint, which the resume path
-            # truncates (the reverse order would leave permanent gaps)
-            flush_stats(lo, hi, recs)
-            if len(chunk_bounds) > 1:
-                save_checkpoint(run_folder / "checkpoint.npz", out_states,
-                                start_sweep + hi, np.asarray(temps))
-                logger.info("checkpoint at sweep %d/%d", start_sweep + hi, sweeps)
+        states = out_states
+        rec_parts.append(recs)
+        # stats flush BEFORE the checkpoint: a crash in between leaves
+        # extra stats rows past the checkpoint, which the resume path
+        # truncates (the reverse order would leave permanent gaps)
+        flush_stats(lo, hi, recs)
+        if len(chunk_bounds) > 1:
+            save_checkpoint(run_folder / "checkpoint.npz", out_states,
+                            start_sweep + hi, np.asarray(temps))
+            logger.info("checkpoint at sweep %d/%d", start_sweep + hi, sweeps)
 
     def _cat(field):
         return np.concatenate([np.asarray(getattr(r, field)) for r in rec_parts],

@@ -305,11 +305,12 @@ def bench_painn_bf16(supercell=(1, 1), n_chains=128, n_states=128):
     phys = dist_ok & (np.abs(e_ref - e0) < 500.0)
     row["n_phys"] = int(phys.sum())
     row["n_states"] = n_states
-    dp = err[phys]
-    row["abs_err_mean_eV"] = round(float(np.abs(dp).mean()), 5)
-    row["abs_err_max_eV"] = round(float(np.abs(dp).max()), 5)
-    # state-to-state spread (what Metropolis dE actually sees)
-    row["err_spread_eV"] = round(float(dp.std()), 5)
+    if phys.any():
+        dp = err[phys]
+        row["abs_err_mean_eV"] = round(float(np.abs(dp).mean()), 5)
+        row["abs_err_max_eV"] = round(float(np.abs(dp).max()), 5)
+        # state-to-state spread (what Metropolis dE actually sees)
+        row["err_spread_eV"] = round(float(dp.std()), 5)
     if (~phys).any():
         # parity-of-failure: BOTH routings map overlap states to
         # unphysical NN-extrapolation energies (can be hugely negative) —
