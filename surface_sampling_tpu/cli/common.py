@@ -757,8 +757,14 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
 
     n_slots = int(d.pristine_positions.shape[0]
                   + d.site_coords.shape[0] * d.code_offsets.shape[1])
+    # local-relax programs differentiate the banded kernel inside FIRE —
+    # their scoped-VMEM frame outgrows the 16 MB default much earlier
+    # (measured 18.42 MB at 496 slots; see scoped_vmem_compiler_options)
+    lr_active = (samp.get("incremental", False)
+                 and getattr(asys.run, "relax", None) is not None)
     crun = make_chain_run(
-        run_fn, compiler_options=scoped_vmem_compiler_options(n_slots))
+        run_fn, compiler_options=scoped_vmem_compiler_options(
+            n_slots, relax_banded=lr_active))
     logger.info(
         "Running %d chains x %d sweeps x %d steps on %s",
         n_chains, n_seg, cfg.sweep_size, jax.devices()[0].platform,

@@ -918,7 +918,8 @@ def choose_message_block(n_pad: int) -> int:
     return 16 if n_pad <= 256 else 8
 
 
-def scoped_vmem_compiler_options(n_slots: int) -> dict:
+def scoped_vmem_compiler_options(n_slots: int,
+                                 relax_banded: bool = False) -> dict:
     """Per-jit XLA options for programs containing the banded fused kernel
     at large slot counts (pass as ``jax.jit(..., compiler_options=...)``).
 
@@ -926,10 +927,18 @@ def scoped_vmem_compiler_options(n_slots: int) -> dict:
     past ~1500 slots its scoped-VMEM frame exceeds XLA's default 16 MB
     limit (measured: 17.3 MB at 1984 slots / 2688 extended rows on the
     4x4 SrTiO3 supercell) and compilation fails with a scoped-vmem stack
-    OOM. v5e has 128 MB physical VMEM, so raising the scoped limit for
-    THESE programs is safe; a blanket/global raise is avoided because it
-    also licenses bigger fusion scratch everywhere, which can hurt
-    pipelining of small programs."""
+    OOM. ``relax_banded=True`` is for programs that differentiate the
+    banded kernel inside a relaxation loop (core/local_relax.py): the
+    banded BACKWARD pins the tables AND the cotangent tables, measured
+    18.42 MB already at 496 slots (2x2 SrTiO3 + halo), so the raise
+    kicks in at ~400 slots there. v5e has 128 MB physical VMEM, so
+    raising the scoped limit for THESE programs is safe; a
+    blanket/global raise is avoided because it also licenses bigger
+    fusion scratch everywhere, which can hurt pipelining of small
+    programs."""
+    if relax_banded and n_slots >= 400:
+        return {"xla_tpu_scoped_vmem_limit_kib":
+                65536 if n_slots < 3500 else 98304}
     if n_slots < 1400:
         return {}
     return {"xla_tpu_scoped_vmem_limit_kib":

@@ -357,10 +357,13 @@ def bench_painn_localrelax(supercell=(1, 1), n_chains=16, hops=1,
     from surface_sampling_tpu.parallel import chain_states
     from surface_sampling_tpu.systems import srtio3_001_painn
 
-    sys_ = srtio3_001_painn(supercell=supercell)
-    d = sys_.run.d
     relax = RelaxConfig(steps=20, fmax=0.01)
-    nbr = build_static_neighbor_table(sys_.spec, 5.0, relax_slack=0.1)
+    # build with relax semantics: the potential's candidate table needs
+    # the relax slack (0.6 A) — relaxed displacements escape the rigid
+    # 0.1 A table (the CLI assembly does the same, cli/common.py)
+    sys_ = srtio3_001_painn(supercell=supercell, relax=relax)
+    d = sys_.run.d
+    nbr = build_static_neighbor_table(sys_.spec, 5.0, relax_slack=0.6)
     balls = build_ball_masks(sys_.spec, nbr, hops=hops)
     evaluate = make_local_relax_eval(
         d, sys_.potential, surface_energy_fn=sys_.run.surface_energy_fn,
@@ -369,7 +372,8 @@ def bench_painn_localrelax(supercell=(1, 1), n_chains=16, hops=1,
     run = jax.jit(jax.vmap(
         make_local_relax_run(step, sweep_size, record_positions=False),
         in_axes=(0, None)),
-        compiler_options=scoped_vmem_compiler_options(_slots_of(sys_.run)))
+        compiler_options=scoped_vmem_compiler_options(
+            _slots_of(sys_.run), relax_banded=True))
     states = chain_states(d, jax.random.PRNGKey(0), n_chains)
     temps = jnp.full((n_sweeps,), 0.8, jnp.float32)
     t0 = time.perf_counter()
