@@ -22,7 +22,7 @@ def stack_params(params_list):
 
 
 def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None, band=None, msg_geom=None):
+                   edges=None, band=None, msg_geom=None, l1_types=None):
     """Forward all members; returns per-member outputs plus ensemble stats.
 
     energy/energy_std: scalar mean and std over members (the reference's
@@ -51,7 +51,7 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
         )
     outs = jax.vmap(
         lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges,
-                              msg_geom=msg_geom)
+                              msg_geom=msg_geom, l1_types=l1_types)
     )(stacked_params)
     energies = outs["energy"]                       # (E,)
     return {

@@ -140,16 +140,22 @@ def make_painn_potential(
             # onto the (dummy) disp/nbr_j fields of the edges tuple
             cfg_rigid = _dc.replace(cfg, message_mode="pallas")
 
+            # layer-1 fast kernel (forward-only, exact): rigid MC never
+            # differentiates, and the species set is the spec's static
+            # type table
+            l1_types = tuple(int(z) for z in np.asarray(type_numbers))
+
             def rigid_outputs(type_idx, alive):
                 numbers = znums[type_idx] * alive.astype(jnp.int32)
                 msg_geom, edges = static_edge_geometry(pack, alive)
                 if ensemble:
                     return ensemble_apply(
                         params, cfg_rigid, static_pos, numbers, alive, None,
-                        edges=edges, band=band, msg_geom=msg_geom)
+                        edges=edges, band=band, msg_geom=msg_geom,
+                        l1_types=l1_types)
                 return painn_apply(
                     params, cfg_rigid, static_pos, numbers, alive, None,
-                    edges=edges, msg_geom=msg_geom)
+                    edges=edges, msg_geom=msg_geom, l1_types=l1_types)
 
             def rigid_energy(type_idx, alive):
                 e = rigid_outputs(type_idx, alive)["energy"] * factor

@@ -165,8 +165,25 @@ def prepare_message_geometry(cfg: PaiNNConfig, positions, edges, band=None):
                                   band=band)
 
 
+def _painn_update(up, s, v, alive):
+    """PaiNN update block (per-atom; shared by the message-layer paths)."""
+    uv = jnp.einsum("nfx,fg->ngx", v, up["u_mat"]["w"])      # (N, F, 3)
+    vv = jnp.einsum("nfx,fg->ngx", v, up["v_mat"]["w"])
+    vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=-1) + 1e-16)    # (N, F)
+    stack = jnp.concatenate([s, vv_norm], axis=-1)           # (N, 2F)
+    a = _dense(up["s_dense1"], jax.nn.silu(_dense(up["s_dense0"], stack)))
+    a_vv, a_sv, a_ss = jnp.split(a, 3, axis=-1)
+    inner = jnp.sum(uv * vv, axis=-1)                        # (N, F)
+    s = s + a_sv * inner + a_ss
+    v = v + a_vv[..., None] * uv
+    s = jnp.where(alive[:, None], s, 0.0)
+    v = jnp.where(alive[:, None, None], v, 0.0)
+    return s, v
+
+
 def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None, msg_geom=None, band=None, collect_layers=False):
+                   edges=None, msg_geom=None, band=None, collect_layers=False,
+                   l1_types=None):
     """Run the trunk; returns per-atom scalar features s (N, F) and the
     edge data used (for diagnostics). ``msg_geom`` optionally supplies a
     precomputed :func:`prepare_message_geometry` result (pallas mode
@@ -176,7 +193,14 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
 
     ``collect_layers`` additionally returns the INPUT features of every
     message block — stacked s_in (L, N, F) and v_in (L, N, F, 3) — the
-    caches core/incremental.py's delta-evaluation MC path maintains."""
+    caches core/incremental.py's delta-evaluation MC path maintains.
+
+    ``l1_types`` (static tuple of atomic numbers, pallas mode only):
+    enables the fused layer-1 fast kernel (ops/pallas_painn.py
+    _msg_kernel_l1) — exact at layer 1, where v == 0 kills the vcat
+    route and the embedding-valued s makes phi a per-species table.
+    Forward-only (the kernel carries no VJP); pass it only on
+    non-differentiated paths (the rigid static-edge MC hot loop)."""
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.feat_dim
     N = positions.shape[0]
@@ -212,6 +236,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     s = jnp.where(alive[:, None], s, 0.0)
     v = jnp.zeros((N, F, 3), positions.dtype)
 
+    l1_pack = None
     if mode == "pallas":
         # fused VMEM-resident message block (ops/pallas_painn.py); the
         # padded edge geometry is layer- and member-invariant, so it is
@@ -221,6 +246,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             choose_message_block,
             painn_message_fused,
             painn_message_fused_banded,
+            painn_message_l1,
         )
 
         rbf_p, envm_p, nbr_p, unit_p, n_pad, dband = (
@@ -236,13 +262,47 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             raise ValueError(
                 f"routing band was built for n_blk={dband.n_blk} but the "
                 f"kernel uses n_blk={n_blk} at n_pad={n_pad}")
+        if l1_types is not None and dband is None:
+            # layer-1 fast kernel inputs: species one-hot rows (dead
+            # slots = numbers 0 match nothing -> all-zero row, killed by
+            # envm exactly as the general kernel's masked edges) and the
+            # per-species layer-1 phi table, sliced to the live 2F
+            # (s, unit) channels — the vv third multiplies v == 0.
+            types_arr = jnp.asarray(np.asarray(l1_types, np.int32))
+            sp8 = (numbers[:, None] == types_arr[None, :]).astype(
+                positions.dtype)                             # (N, T)
+            sp8 = jnp.pad(sp8, ((0, pad_n), (0, 8 - types_arr.shape[0])))
+            mp0 = params["message"][0]
+            s_rows = params["atom_embed"][np.clip(np.asarray(l1_types), 0,
+                                                  cfg.max_z - 1)]
+            phi_t = _dense(mp0["inv_dense1"],
+                           jax.nn.silu(_dense(mp0["inv_dense0"], s_rows)))
+            philt = jnp.pad(phi_t[:, F:], ((0, 8 - types_arr.shape[0]), (0, 0)))
+            dw2 = jnp.pad(mp0["dist_embed"]["w"][:, F:],
+                          ((0, r_pad - cfg.n_rbf), (0, 0)))
+            db2 = mp0["dist_embed"]["b"][None, F:]
+            l1_pack = (sp8, philt, dw2, db2)
 
     s_layers, v_layers = [], []
-    for mp, up in zip(params["message"], params["update"]):
+    for li, (mp, up) in enumerate(zip(params["message"], params["update"])):
         if collect_layers:
             s_layers.append(s)
             v_layers.append(v)
         # ---- message block ------------------------------------------------
+        if li == 0 and l1_pack is not None:
+            # fused layer-1 fast kernel: per-atom phi never materializes
+            # (the species table substitutes for it), v == 0 skips the
+            # vcat route entirely
+            sp8, philt, dw2, db2 = l1_pack
+            ds_p, dv3 = painn_message_l1(
+                sp8, philt, rbf_p, envm_p, nbr_p, unit_p, dw2, db2,
+                n_blk, cfg.pallas_routing)
+            ds = ds_p[:N]
+            dv = jnp.stack([dv3[0, :N], dv3[1, :N], dv3[2, :N]], axis=-1)
+            s = s + ds
+            v = v + dv
+            s, v = _painn_update(up, s, v, alive)
+            continue
         phi = _dense(mp["inv_dense1"], jax.nn.silu(_dense(mp["inv_dense0"], s)))  # (N, 3F)
         if mode == "pallas":
             phi_p = jnp.pad(phi, ((0, pad_n), (0, 0)))
@@ -301,18 +361,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
                 dv = dv + jnp.einsum("nmf,nmfx->nfx", c_vv, v[nbr_j])
         s = s + ds
         v = v + dv
-        # ---- update block ---------------------------------------------
-        uv = jnp.einsum("nfx,fg->ngx", v, up["u_mat"]["w"])      # (N, F, 3)
-        vv = jnp.einsum("nfx,fg->ngx", v, up["v_mat"]["w"])
-        vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=-1) + 1e-16)    # (N, F)
-        stack = jnp.concatenate([s, vv_norm], axis=-1)           # (N, 2F)
-        a = _dense(up["s_dense1"], jax.nn.silu(_dense(up["s_dense0"], stack)))
-        a_vv, a_sv, a_ss = jnp.split(a, 3, axis=-1)
-        inner = jnp.sum(uv * vv, axis=-1)                        # (N, F)
-        s = s + a_sv * inner + a_ss
-        v = v + a_vv[..., None] * uv
-        s = jnp.where(alive[:, None], s, 0.0)
-        v = jnp.where(alive[:, None, None], v, 0.0)
+        s, v = _painn_update(up, s, v, alive)
 
     if collect_layers:
         return s, (d, nbr_mask), (jnp.stack(s_layers), jnp.stack(v_layers))
@@ -320,7 +369,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
 
 
 def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                edges=None, msg_geom=None, band=None):
+                edges=None, msg_geom=None, band=None, l1_types=None):
     """Full forward: returns dict with per-atom energies (training units),
     total energy, and per-atom embeddings (final scalar features).
 
@@ -337,7 +386,7 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     with jax.default_matmul_precision("float32"):
         s, (d, nbr_mask) = painn_features(
             params, cfg, positions, numbers, alive, shifts, edges=edges,
-            msg_geom=msg_geom, band=band,
+            msg_geom=msg_geom, band=band, l1_types=l1_types,
         )
         h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
         e_atom = _dense(params["readout"]["dense1"], h)[..., 0]  # (N,)

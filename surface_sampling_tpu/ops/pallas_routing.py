@@ -59,6 +59,34 @@ def filter_dot(rbf, dw, routing: str):
     return _dot(rh, wh) + _dot(rh, wl) + _dot(rl, wh)
 
 
+def exact01_dot(a01, x, routing: str, f32_precision=None):
+    """``a01 @ x`` where ``a01`` is a 0/1 (selector) matrix — exact in
+    bf16, so the pass count is set by ``x`` alone: bf16x2 = hi+lo split
+    (2 single-pass dots, near-f32), bf16 = 1 pass, f32 = full-precision
+    dot. The explicit-matrix sibling of :func:`onehot_router` for
+    selectors that are data (e.g. species one-hots) rather than an
+    index table."""
+    dn = (((1,), (0,)), ((), ()))
+    if routing == "bf16x2":
+        a16 = a01.astype(jnp.bfloat16)
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            a16, hi, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        return out + jax.lax.dot_general(
+            a16, lo, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+    if routing == "bf16":
+        return jax.lax.dot_general(
+            a01.astype(jnp.bfloat16), x.astype(jnp.bfloat16), dn,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        a01, x, dn, precision=f32_precision,
+        preferred_element_type=jnp.float32)
+
+
 def onehot_router(nbr, n_pad: int, routing: str, f32_precision=None):
     """(route, scatter) closures over the edge table's one-hot matrix.
 

@@ -67,6 +67,15 @@ class StaticEdgePack(NamedTuple):
     cutoff: float
     dband: object            # ops.pallas_painn.DeviceBand or None
     inv_perm: jnp.ndarray | None  # (n_pad,) sorted -> natural (None if no band)
+    # alive-routing one-hots (bf16, exact on 0/1 operands): ai/aj masks
+    # as MXU matvecs instead of jnp.take gathers. The per-edge alive
+    # gather was measured at 22.6 of the 24.6 ms 128-chain edge build on
+    # v5e (TPU gathers serialize on the scalar core — the same lesson as
+    # core/incremental.py's v1-vs-v2); one (chains, N) @ (N, n_pad*Mc)
+    # bf16 dot replaces it at ~0.5 GFLOP. None when the table would
+    # exceed the memory gate (large supercells keep the gather path).
+    ai_onehot: jnp.ndarray | None = None  # (N, n_pad) bf16
+    aj_onehot: jnp.ndarray | None = None  # (N, n_pad*Mc) bf16 (inr folded in)
 
 
 def code_independent_geometry(d) -> bool:
@@ -169,6 +178,22 @@ def build_static_edge_pack(d, static_nbr, cfg, band=None) -> StaticEdgePack | No
     hi = np.asarray(jnp.asarray(pay_p, jnp.bfloat16), np.float64)
     lo = pay_p - hi
 
+    # alive-routing one-hots (see StaticEdgePack docstring). Gate on the
+    # table size: (N, n_pad*Mc) bf16 stays under ~128 MB up to ~2x2
+    # supercells; past that the gather path is kept (banded systems
+    # spend their time in the banded kernel anyway).
+    ai_onehot = aj_onehot = None
+    if N * n_pad * (Mc + 1) * 2 <= 128 * 1024 * 1024:
+        ai_np = np.zeros((N, n_pad), np.float32)
+        rows = np.arange(n_pad)
+        real = row_slot < N
+        ai_np[row_slot[real], rows[real]] = 1.0
+        aj_np = np.zeros((N, n_pad, Mc), np.float32)
+        rr, cc = np.nonzero(inr_p)
+        aj_np[slot_j_p[rr, cc], rr, cc] = 1.0
+        ai_onehot = jnp.asarray(ai_np, jnp.bfloat16)
+        aj_onehot = jnp.asarray(aj_np.reshape(N, n_pad * Mc), jnp.bfloat16)
+
     return StaticEdgePack(
         pay_hi=jnp.asarray(pay_p, jnp.bfloat16),
         pay_lo=jnp.asarray(lo, jnp.bfloat16),
@@ -183,6 +208,8 @@ def build_static_edge_pack(d, static_nbr, cfg, band=None) -> StaticEdgePack | No
         cutoff=cutoff,
         dband=stage_band(band),
         inv_perm=None if inv_perm is None else jnp.asarray(inv_perm, jnp.int32),
+        ai_onehot=ai_onehot,
+        aj_onehot=aj_onehot,
     )
 
 
@@ -201,10 +228,23 @@ def static_edge_geometry(pack: StaticEdgePack, alive):
     n_pad, r_pad = pack.n_pad, pack.r_pad
     f32 = jnp.float32
 
-    a = jnp.pad(alive.astype(f32), (0, 1))               # row N = pad alive=0
-    ai = a[pack.row_slot] > 0.5                          # (n_pad,)
-    aj = jnp.take(a[:-1], pack.slot_j.reshape(-1)).reshape(n_pad, Mc) > 0.5
-    mask = pack.inr & ai[:, None] & aj                   # (n_pad, Mc)
+    if pack.aj_onehot is not None:
+        # one-hot MXU route: alive (N,) -> per-row / per-edge alive as
+        # two exact bf16 dots (gathers serialize on the TPU scalar core
+        # — measured 22.6 of the 24.6 ms 128-chain edge build)
+        ab = alive.astype(jnp.bfloat16)
+        ai = jax.lax.dot_general(
+            ab, pack.ai_onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) > 0.5            # (n_pad,)
+        ajm = jax.lax.dot_general(
+            ab, pack.aj_onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(n_pad, Mc) > 0.5
+        mask = ai[:, None] & ajm                         # inr folded in aj
+    else:
+        a = jnp.pad(alive.astype(f32), (0, 1))           # row N = pad alive=0
+        ai = a[pack.row_slot] > 0.5                      # (n_pad,)
+        aj = jnp.take(a[:-1], pack.slot_j.reshape(-1)).reshape(n_pad, Mc) > 0.5
+        mask = pack.inr & ai[:, None] & aj               # (n_pad, Mc)
 
     mb = mask.astype(jnp.bfloat16)
     # inclusive masked rank via one exact bf16 MXU dot (counts <= Mc < 256)

@@ -112,3 +112,55 @@ def test_hook_gating():
 
     relax_sys = systems.srtio3_001_painn(relax=RelaxConfig(steps=2, fmax=0.5))
     assert "rigid_energy" not in relax_sys.potential.__dict__
+
+
+def test_l1_fast_kernel_parity():
+    """The fused layer-1 kernel (ops/pallas_painn._msg_kernel_l1) is an
+    EXACT restructuring at layer 1 (v == 0 kills the vcat route; s is the
+    alive-masked embedding so phi is a per-species table): the full
+    ensemble energy with l1_types set must match the general-kernel path
+    on random occupancies."""
+    from surface_sampling_tpu.core.state import realize_type_idx
+    from surface_sampling_tpu.models.ensemble import ensemble_apply
+
+    from pathlib import Path
+
+    from surface_sampling_tpu import models as _models_pkg
+    from surface_sampling_tpu.models.convert_nff import load_params_npz
+    from surface_sampling_tpu.models.ensemble import stack_params
+
+    sys_ = systems.srtio3_001_painn()
+    pot, run, spec = sys_.potential, sys_.run, sys_.spec
+    pack = pot.__dict__["static_edge_pack"]
+    model_dir = Path(_models_pkg.__file__).parent / "data"
+    plist, cfg = [], None
+    for i in range(1, 4):
+        p, cfg = load_params_npz(model_dir / f"srtio3_painn_{i:02d}.npz")
+        plist.append(p)
+    params = stack_params(plist)
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, max_neighbors=64)
+
+    from surface_sampling_tpu.ops.static_edges import (
+        _static_positions,
+        static_edge_geometry,
+    )
+
+    cfg_rigid = _dc.replace(cfg, message_mode="pallas")
+    static_pos = jnp.asarray(_static_positions(spec), jnp.float32)
+    znums = jnp.asarray([38, 22, 8], jnp.int32)
+    S, C = spec.n_sites, spec.n_codes
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        ss = jnp.asarray(rng.integers(0, C, S), jnp.int32)
+        alive = realize_alive(run.d, ss)
+        tidx = realize_type_idx(run.d, ss)
+        numbers = znums[tidx] * alive.astype(jnp.int32)
+        msg_geom, edges = static_edge_geometry(pack, alive)
+        e_l1 = ensemble_apply(params, cfg_rigid, static_pos, numbers, alive,
+                              None, edges=edges, msg_geom=msg_geom,
+                              l1_types=(38, 22, 8))["energy"]
+        e_gen = ensemble_apply(params, cfg_rigid, static_pos, numbers, alive,
+                               None, edges=edges, msg_geom=msg_geom)["energy"]
+        np.testing.assert_allclose(float(e_l1), float(e_gen), rtol=0, atol=2e-4)
