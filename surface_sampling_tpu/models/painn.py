@@ -181,6 +181,96 @@ def _painn_update(up, s, v, alive):
     return s, v
 
 
+def _painn_features_rigid(params, cfg: PaiNNConfig, numbers, alive, msg_geom,
+                          l1_types, N):
+    """Forward-only fast trunk for the rigid static-edge MC path: the
+    whole layer stack runs in padded (and, when banded, SORTED) row
+    layout with every block fused — layer 1 via the species-table kernel
+    (_msg_kernel_l1), layers 2+ via the general fused message kernel,
+    and every update block via the fused update kernel
+    (painn_update_fused) — so no per-layer pad/permute/stack and no XLA
+    HBM round-trips between blocks. Exactly the math of the general
+    painn_features pallas path (parity pinned in tests/test_static_edges
+    and tests/test_painn); gated out of "f32" bitwise-parity routing and
+    of every differentiated path by the caller."""
+    from surface_sampling_tpu.ops.pallas_painn import (
+        choose_message_block,
+        painn_message_fused,
+        painn_message_fused_banded,
+        painn_message_l1,
+        painn_message_l1_banded,
+        painn_update_fused,
+    )
+
+    rbf_p, envm_p, nbr_p, unit_p, n_pad, dband = msg_geom
+    F = cfg.feat_dim
+    pad_n, r_pad = n_pad - N, rbf_p.shape[1]
+    n_blk = choose_message_block(n_pad)
+    routing = cfg.pallas_routing
+    dtype = rbf_p.dtype
+
+    types_np = np.asarray(l1_types, np.int32)
+    sp8 = (numbers[:, None] == jnp.asarray(types_np)[None, :]).astype(dtype)
+    sp8 = jnp.pad(sp8, ((0, pad_n), (0, 8 - types_np.shape[0])))
+    s = params["atom_embed"][jnp.clip(numbers, 0, cfg.max_z - 1)]
+    s = jnp.where(alive[:, None], s, 0.0).astype(dtype)
+    s = jnp.pad(s, ((0, pad_n), (0, 0)))
+    alive_col = jnp.pad(alive.astype(dtype), (0, pad_n))[:, None]
+    inv_perm = None
+    halo = 0
+    if dband is not None:
+        sp8 = sp8[dband.perm]
+        s = s[dband.perm]
+        alive_col = alive_col[dband.perm]
+        inv_perm = dband.inv_perm
+        halo = dband.halo
+    vcat = jnp.zeros((n_pad, 3 * F), dtype)
+
+    mp0 = params["message"][0]
+    s_rows = params["atom_embed"][np.clip(types_np, 0, cfg.max_z - 1)]
+    phi_t = _dense(mp0["inv_dense1"],
+                   jax.nn.silu(_dense(mp0["inv_dense0"], s_rows)))
+    philt = jnp.pad(phi_t[:, F:], ((0, 8 - types_np.shape[0]), (0, 0)))
+    dw2 = jnp.pad(mp0["dist_embed"]["w"][:, F:],
+                  ((0, r_pad - cfg.n_rbf), (0, 0)))
+    db2 = mp0["dist_embed"]["b"][None, F:]
+
+    for li, (mp, up) in enumerate(zip(params["message"], params["update"])):
+        if li == 0:
+            if dband is None:
+                ds_p, dv3 = painn_message_l1(
+                    sp8, philt, rbf_p, envm_p, nbr_p, unit_p, dw2, db2,
+                    n_blk, routing)
+            else:
+                sp8_h = jnp.concatenate([sp8, sp8[:halo]]) if halo else sp8
+                ds_p, dv3 = painn_message_l1_banded(
+                    sp8_h, philt, rbf_p, envm_p, nbr_p, unit_p, dw2, db2,
+                    dband.win_start, n_blk, dband.window, n_pad, routing)
+        else:
+            phi = _dense(mp["inv_dense1"],
+                         jax.nn.silu(_dense(mp["inv_dense0"], s)))
+            dw = jnp.pad(mp["dist_embed"]["w"],
+                         ((0, r_pad - cfg.n_rbf), (0, 0)))
+            db = mp["dist_embed"]["b"][None, :]
+            if dband is None:
+                ds_p, dv3 = painn_message_fused(
+                    phi, vcat, rbf_p, envm_p, nbr_p, unit_p, dw, db,
+                    n_blk, routing)
+            else:
+                phi_h = jnp.concatenate([phi, phi[:halo]]) if halo else phi
+                vc_h = jnp.concatenate([vcat, vcat[:halo]]) if halo else vcat
+                ds_p, dv3 = painn_message_fused_banded(
+                    phi_h, vc_h, rbf_p, envm_p, nbr_p, unit_p, dw, db,
+                    dband.win_start, n_blk, dband.window, n_pad, routing)
+        s = s + ds_p
+        vcat = vcat + jnp.concatenate([dv3[0], dv3[1], dv3[2]], axis=1)
+        s, vcat = painn_update_fused(s, vcat, up, alive_col, routing)
+
+    if inv_perm is not None:
+        s = s[inv_perm]
+    return s[:N]
+
+
 def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
                    edges=None, msg_geom=None, band=None, collect_layers=False,
                    l1_types=None):
@@ -247,6 +337,7 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             painn_message_fused,
             painn_message_fused_banded,
             painn_message_l1,
+            painn_message_l1_banded,
         )
 
         rbf_p, envm_p, nbr_p, unit_p, n_pad, dband = (
@@ -262,7 +353,16 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             raise ValueError(
                 f"routing band was built for n_blk={dband.n_blk} but the "
                 f"kernel uses n_blk={n_blk} at n_pad={n_pad}")
-        if l1_types is not None and dband is None:
+        if (l1_types is not None and not collect_layers
+                and cfg.pallas_routing != "f32"):
+            # whole-trunk fused fast path (fused update blocks, padded/
+            # sorted layout end-to-end); "f32" keeps the bitwise-parity
+            # XLA update blocks below
+            s = _painn_features_rigid(params, cfg, numbers, alive,
+                                      (rbf_p, envm_p, nbr_p, unit_p,
+                                       n_pad, dband), l1_types, N)
+            return s, (d, nbr_mask)
+        if l1_types is not None:
             # layer-1 fast kernel inputs: species one-hot rows (dead
             # slots = numbers 0 match nothing -> all-zero row, killed by
             # envm exactly as the general kernel's masked edges) and the
@@ -294,9 +394,20 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
             # (the species table substitutes for it), v == 0 skips the
             # vcat route entirely
             sp8, philt, dw2, db2 = l1_pack
-            ds_p, dv3 = painn_message_l1(
-                sp8, philt, rbf_p, envm_p, nbr_p, unit_p, dw2, db2,
-                n_blk, cfg.pallas_routing)
+            if dband is None:
+                ds_p, dv3 = painn_message_l1(
+                    sp8, philt, rbf_p, envm_p, nbr_p, unit_p, dw2, db2,
+                    n_blk, cfg.pallas_routing)
+            else:
+                sp8_s = sp8[dband.perm]
+                if dband.halo:
+                    sp8_s = jnp.concatenate([sp8_s, sp8_s[:dband.halo]])
+                ds_s, dv3_s = painn_message_l1_banded(
+                    sp8_s, philt, rbf_p, envm_p, nbr_p, unit_p, dw2, db2,
+                    dband.win_start, n_blk, dband.window, n_pad,
+                    cfg.pallas_routing)
+                ds_p = ds_s[dband.inv_perm]
+                dv3 = dv3_s[:, dband.inv_perm]
             ds = ds_p[:N]
             dv = jnp.stack([dv3[0, :N], dv3[1, :N], dv3[2, :N]], axis=-1)
             s = s + ds

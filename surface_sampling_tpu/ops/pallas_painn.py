@@ -205,6 +205,172 @@ def painn_message_l1(sp8, philt, rbf, envm, nbr, unit3, dw2, db2, n_blk=16,
     )(sp8, philt, rbf, envm, nbr, unit3, dw2, db2)
 
 
+def _msg_kernel_l1_banded(ws_ref, sp8_ref, philt_ref, rbf_ref, envm_ref,
+                          nbr_ref, unit_ref, dw_ref, db_ref, ds_ref, dv_ref,
+                          *, routing, n_pad, window):
+    """Banded variant of _msg_kernel_l1 (see it for the layer-1 math):
+    the species route runs over the block's W-wide window of the sorted
+    species table instead of the full n_pad columns."""
+    E, _ = rbf_ref.shape
+    f2 = philt_ref.shape[1]
+    F = f2 // 2
+    n_blk = ds_ref.shape[0]
+    M = E // n_blk
+
+    s = ws_ref[0, pl.program_id(0)] * 8          # see _msg_kernel_banded
+    sp_win = sp8_ref[pl.ds(s, window), :]                    # (W, 8)
+
+    w = filter_dot(rbf_ref[:], dw_ref[:], routing)
+    w = (w + db_ref[:]) * envm_ref[:]                        # (E, 2F)
+
+    col = nbr_ref[:] - s
+    col = jnp.where(col < 0, col + n_pad, col)               # (E, 1)
+    _route, _ = onehot_router(col, window, "bf16")           # 0/1: exact
+    sp_j = _route(sp_win)                                    # (E, 8)
+    phij = exact01_dot(sp_j, philt_ref[:], routing,
+                       f32_precision=jax.lax.Precision.HIGHEST)
+    inv = phij * w
+    c_s = inv[:, :F].reshape(n_blk, M, F)
+    c_unit = inv[:, F:].reshape(n_blk, M, F)
+    ds_ref[:] = jnp.sum(c_s, axis=1)
+    for x in range(3):
+        dv_ref[x] = jnp.sum(c_unit * unit_ref[x][..., None], axis=1)
+
+
+def painn_message_l1_banded(sp8_ext, philt, rbf, envm, nbr, unit3, dw2, db2,
+                            win_start, n_blk=8, window=None, n_pad=None,
+                            routing="bf16x2"):
+    """Banded fused layer-1 message (forward-only; see painn_message_l1
+    and painn_message_fused_banded for argument semantics). ``sp8_ext``:
+    (n_pad + halo, 8) species one-hot in SORTED order with the wrap halo
+    appended; outputs in sorted order."""
+    n_ext, n_sp = sp8_ext.shape
+    f2 = philt.shape[1]
+    F = f2 // 2
+    _, _, M = unit3.shape
+    e_blk = n_blk * M
+    r_pad = rbf.shape[1]
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_msg_kernel_l1_banded, routing=routing,
+                          n_pad=n_pad, window=window),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ext, n_sp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sp, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, r_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_blk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, M), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, f2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f2), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_blk, F), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, F), philt.dtype),
+            jax.ShapeDtypeStruct((3, n_pad, F), philt.dtype),
+        ],
+        interpret=interpret,
+    )((win_start // 8)[None, :], sp8_ext, philt, rbf, envm, nbr, unit3,
+      dw2, db2)
+
+
+def _upd_kernel(s_ref, vcat_ref, uw_ref, vw_ref, w0_ref, b0_ref, w1_ref,
+                b1_ref, alive_ref, so_ref, vo_ref, *, routing="bf16x2"):
+    """Fused PaiNN update block (models/painn.py _painn_update): all six
+    per-atom dots and every intermediate stay in VMEM. Replaces ~10 XLA
+    HBM round-trips of (chains, N, 3F)-sized tensors per layer (measured
+    5.6 of the 46 ms 128-chain flagship batch) with one row-blocked
+    pass. Dots run 3-pass two-sided bf16 splits (filter_dot bf16x2 —
+    ~1e-7 relative); the "f32" bitwise-parity mode keeps the XLA path
+    (models/painn.py gates on routing)."""
+    B, F = so_ref.shape
+    s = s_ref[:]
+    am = alive_ref[:]                                        # (B, 1)
+
+    uvs, vvs, vxs = [], [], []
+    for x in range(3):
+        vx = vcat_ref[:, x * F:(x + 1) * F]                  # (B, F)
+        vxs.append(vx)
+        uvs.append(filter_dot(vx, uw_ref[:], routing))
+        vvs.append(filter_dot(vx, vw_ref[:], routing))
+    vv_sq = uvs[0] * 0.0
+    inner = uvs[0] * 0.0
+    for x in range(3):
+        vv_sq = vv_sq + vvs[x] * vvs[x]
+        inner = inner + uvs[x] * vvs[x]
+    vv_norm = jnp.sqrt(vv_sq + 1e-16)                        # (B, F)
+    stack = jnp.concatenate([s, vv_norm], axis=1)            # (B, 2F)
+    h = jax.nn.silu(filter_dot(stack, w0_ref[:], routing) + b0_ref[:])
+    a = filter_dot(h, w1_ref[:], routing) + b1_ref[:]        # (B, 3F)
+    a_vv = a[:, :F]
+    a_sv = a[:, F:2 * F]
+    a_ss = a[:, 2 * F:]
+    so_ref[:] = (s + a_sv * inner + a_ss) * am
+    for x in range(3):
+        vo_ref[:, x * F:(x + 1) * F] = (vxs[x] + a_vv * uvs[x]) * am
+
+
+def choose_update_block(n_pad: int) -> int:
+    """Largest multiple-of-8 divisor of n_pad up to 512 (row block of the
+    fused update kernel; per-row VMEM is ~10 KB so 512 rows stay well
+    inside the scoped budget)."""
+    for cand in range(min(n_pad, 512), 7, -8):
+        if n_pad % cand == 0:
+            return cand
+    return 8
+
+
+def painn_update_fused(s, vcat, up, alive_col, routing="bf16x2"):
+    """Fused update block over padded rows (forward-only — used on the
+    rigid static-edge MC path). ``s``: (n_pad, F); ``vcat``: (n_pad, 3F)
+    x-major; ``up``: the layer's update params pytree; ``alive_col``:
+    (n_pad, 1) float mask (kills padded and dead rows, preserving the
+    XLA path's where-masking). Returns (s', vcat')."""
+    n_pad, F = s.shape
+    b0 = up["s_dense0"]["b"][None, :]
+    b1 = up["s_dense1"]["b"][None, :]
+    n_blk = choose_update_block(n_pad)
+    grid = (n_pad // n_blk,)
+    interpret = jax.default_backend() == "cpu"
+    full = lambda i: (0, 0)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        functools.partial(_upd_kernel, routing=routing),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, 3 * F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * F, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, 3 * F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * F), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, 1), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_blk, F), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, 3 * F), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, F), s.dtype),
+            jax.ShapeDtypeStruct((n_pad, 3 * F), s.dtype),
+        ],
+        interpret=interpret,
+    )(s, vcat, up["u_mat"]["w"], up["v_mat"]["w"], up["s_dense0"]["w"], b0,
+      up["s_dense1"]["w"], b1, alive_col)
+
+
 def _msg_bwd_kernel(phi_ref, vcat_ref, rbf_ref, envm_ref, nbr_ref, unit_ref,
                     dw_ref, db_ref, gds_ref, gdv_ref,
                     gphi_ref, gvcat_ref, grbf_ref, genvm_ref, gunit_ref,

@@ -164,3 +164,36 @@ def test_l1_fast_kernel_parity():
         e_gen = ensemble_apply(params, cfg_rigid, static_pos, numbers, alive,
                                None, edges=edges, msg_geom=msg_geom)["energy"]
         np.testing.assert_allclose(float(e_l1), float(e_gen), rtol=0, atol=2e-4)
+
+
+def test_l1_banded_kernel_parity():
+    """Banded layer-1 fast kernel (2x2 supercell): the rigid path with
+    l1_types must agree with the rigid path running the general banded
+    kernel to well within the rigid-vs-dynamic payload tolerance."""
+    import surface_sampling_tpu.models.painn as mpainn
+    from surface_sampling_tpu.core.state import realize_type_idx
+
+    sys_ = systems.srtio3_001_painn(supercell=(2, 2))
+    pot, run = sys_.potential, sys_.run
+    assert pot.__dict__["static_edge_pack"].dband is not None
+    d = run.d
+    S, C = sys_.spec.n_sites, sys_.spec.n_codes
+    rng = np.random.default_rng(3)
+    ss = jnp.asarray(
+        rng.integers(0, C, S) * (rng.random(S) < 0.25), jnp.int32)
+    alive = realize_alive(d, ss)
+    tidx = realize_type_idx(d, ss)
+    e_l1 = float(pot.__dict__["rigid_energy"](tidx, alive))
+
+    orig = mpainn.painn_features
+
+    def no_l1(*a, **k):
+        k["l1_types"] = None
+        return orig(*a, **k)
+
+    mpainn.painn_features = no_l1
+    try:
+        e_gen = float(pot.__dict__["rigid_energy"](tidx, alive))
+    finally:
+        mpainn.painn_features = orig
+    assert abs(e_l1 - e_gen) < 5e-3 * max(1.0, abs(e_gen) / 1e3)
