@@ -141,9 +141,11 @@ def make_painn_potential(
             cfg_rigid = _dc.replace(cfg, message_mode="pallas")
 
             # layer-1 fast kernel (forward-only, exact): rigid MC never
-            # differentiates, and the species set is the spec's static
-            # type table
-            l1_types = tuple(int(z) for z in np.asarray(type_numbers))
+            # differentiates. phi depends only on Z, so the species table
+            # is deduplicated — two type slots sharing an atomic number
+            # would otherwise make the sp8 one-hot rows two-hot and double
+            # the layer-1 message silently.
+            l1_types = tuple(sorted({int(z) for z in np.asarray(type_numbers)}))
 
             def rigid_outputs(type_idx, alive):
                 numbers = znums[type_idx] * alive.astype(jnp.int32)

@@ -294,6 +294,11 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device consts
     F = cfg.feat_dim
     N = positions.shape[0]
+    if l1_types is not None and len(l1_types) > 8:
+        # the layer-1 species-table kernel packs the one-hot into 8 lanes;
+        # wider specs fall back to the general fused kernel instead of
+        # tripping a negative pad width at trace time
+        l1_types = None
     disp, d, nbr_j, nbr_mask, _overflow = (
         edges if edges is not None else painn_edges(cfg, positions, alive, shifts)
     )

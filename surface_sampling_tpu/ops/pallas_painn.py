@@ -340,6 +340,11 @@ def painn_update_fused(s, vcat, up, alive_col, routing="bf16x2"):
     b0 = up["s_dense0"]["b"][None, :]
     b1 = up["s_dense1"]["b"][None, :]
     n_blk = choose_update_block(n_pad)
+    if n_pad % n_blk:
+        # choose_update_block's 8-row fallback assumes 8 | n_pad (every
+        # caller pads to block multiples); fail loudly rather than leave
+        # tail rows unwritten under a truncated grid
+        raise ValueError(f"n_pad={n_pad} is not a multiple of n_blk={n_blk}")
     grid = (n_pad // n_blk,)
     interpret = jax.default_backend() == "cpu"
     full = lambda i: (0, 0)
