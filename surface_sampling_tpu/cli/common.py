@@ -395,7 +395,13 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
         potential.__dict__["local_relax_args"] = dict(
             spec=spec, static_nbr=nbr_lr,
             hops=int(calc_s.get("relax_ball_hops", 1)), relax=relax,
-            surface_energy_fn=surface_energy_fn)
+            surface_energy_fn=surface_energy_fn,
+            # descent policy: "exact" = warm-started ball FIRE with
+            # full-cell forces (core/local_relax.py); "frozen_far_field" =
+            # approximate ball descent against frozen far-field features
+            # (core/ff_relax.py, PaiNN systems only) — acceptance energies
+            # are full-cell in BOTH policies
+            descent=str(calc_s.get("relax_descent", "exact")))
     run = MCMCRun(spec, potential, surface_energy_fn=surface_energy_fn, relax=relax)
     return AssembledSystem(spec, potential, run, settings)
 
@@ -661,28 +667,70 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
                 "incremental=true uses the symmetric unweighted proposals "
                 "— drop require_per_atom_energies/require_distance_decay"
             )
-        from surface_sampling_tpu.core.local_relax import (
-            build_ball_masks,
-            make_local_relax_canonical_step,
-            make_local_relax_eval,
-            make_local_relax_run,
-            make_local_relax_semigrand_step,
-        )
+        descent = lr_args.get("descent", "exact")
+        if descent in ("frozen_far_field", "ff"):
+            # approximate-descent variant (core/ff_relax.py): the per-move
+            # FIRE descends a compact ball subproblem against frozen
+            # far-field features; acceptance stays a full-cell evaluation.
+            # Checkpoints keep the MCState schema (caches rebuilt at chunk
+            # boundaries), so chunking / --resume semantics are unchanged.
+            if getattr(asys.potential, "__dict__", {}).get("ff_pack") is None:
+                raise ValueError(
+                    "relax_descent='frozen_far_field' needs a PaiNN-family "
+                    "potential (this calculator carries no ff_pack hook)")
+            from surface_sampling_tpu.core.ff_relax import (
+                build_ff_tables,
+                make_ff_canonical_step,
+                make_ff_relax_eval,
+                make_ff_run_mcstate,
+                make_ff_semigrand_step,
+            )
 
-        balls = build_ball_masks(lr_args["spec"], lr_args["static_nbr"],
-                                 hops=lr_args["hops"])
-        evaluate = make_local_relax_eval(
-            d, asys.potential,
-            surface_energy_fn=lr_args["surface_energy_fn"],
-            relax=lr_args["relax"], ball_masks=balls)
-        _mk_lr = (make_local_relax_canonical_step if cfg.canonical
-                  else make_local_relax_semigrand_step)
-        lr_step = _mk_lr(d, evaluate, criterion=cfg.criterion,
-                         filter_distance=cfg.filter_distance)
-        run_fn = make_local_relax_run(lr_step, cfg.sweep_size,
-                                      record_positions=cfg.record_positions)
-        logger.info("warm-started ball-local relax MC engine active "
-                    "(hops=%d)", lr_args["hops"])
+            tables = build_ff_tables(lr_args["spec"], lr_args["static_nbr"],
+                                     hops=lr_args["hops"])
+            evaluate = make_ff_relax_eval(
+                d, asys.potential,
+                surface_energy_fn=lr_args["surface_energy_fn"],
+                relax=lr_args["relax"], tables=tables)
+            _mk_ff = (make_ff_canonical_step if cfg.canonical
+                      else make_ff_semigrand_step)
+            ff_step = _mk_ff(d, evaluate, criterion=cfg.criterion,
+                             filter_distance=cfg.filter_distance)
+            run_fn = make_ff_run_mcstate(
+                evaluate, ff_step, cfg.sweep_size,
+                record_positions=cfg.record_positions)
+            logger.info(
+                "frozen-far-field ball relax MC engine active (hops=%d, "
+                "ball=%d/%d rows, ball_frac=%.3f)", lr_args["hops"],
+                tables.n_ball, tables.n_sub, tables.ball_frac)
+        elif descent != "exact":
+            raise ValueError(
+                f"unknown calc_settings.relax_descent {descent!r} "
+                "(expected 'exact' or 'frozen_far_field')")
+        else:
+            from surface_sampling_tpu.core.local_relax import (
+                build_ball_masks,
+                make_local_relax_canonical_step,
+                make_local_relax_eval,
+                make_local_relax_run,
+                make_local_relax_semigrand_step,
+            )
+
+            balls = build_ball_masks(lr_args["spec"], lr_args["static_nbr"],
+                                     hops=lr_args["hops"])
+            evaluate = make_local_relax_eval(
+                d, asys.potential,
+                surface_energy_fn=lr_args["surface_energy_fn"],
+                relax=lr_args["relax"], ball_masks=balls)
+            _mk_lr = (make_local_relax_canonical_step if cfg.canonical
+                      else make_local_relax_semigrand_step)
+            lr_step = _mk_lr(d, evaluate, criterion=cfg.criterion,
+                             filter_distance=cfg.filter_distance)
+            run_fn = make_local_relax_run(
+                lr_step, cfg.sweep_size,
+                record_positions=cfg.record_positions)
+            logger.info("warm-started ball-local relax MC engine active "
+                        "(hops=%d)", lr_args["hops"])
     elif samp.get("incremental", False):
         # delta-energy locality (core/incremental.py): each MC move
         # recomputes only the changed site's hop balls against per-layer
@@ -1028,6 +1076,15 @@ def _run_tempered(asys, run_folder, states, temps, cfg, samp, logger, seed,
                 "incremental=true supports the metropolis and "
                 f"metropolis_distance criteria (got {cfg.criterion!r})"
             )
+        if lr_args.get("descent", "exact") in ("frozen_far_field", "ff"):
+            raise ValueError(
+                "relax_descent='frozen_far_field' does not compose with "
+                "tempering yet: the replica rounds drive MCState sweeps "
+                "directly, while the ff engine carries per-chain feature "
+                "caches whose per-round rebuild (one full collect pass per "
+                "replica per round) would dominate short tempering rounds "
+                "— run tempering with the exact descent, or ff without "
+                "tempering")
         from surface_sampling_tpu.core.local_relax import (
             build_ball_masks,
             make_local_relax_canonical_step,

@@ -22,7 +22,8 @@ def stack_params(params_list):
 
 
 def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                   edges=None, band=None, msg_geom=None, l1_types=None):
+                   edges=None, band=None, msg_geom=None, l1_types=None,
+                   collect_layers=False):
     """Forward all members; returns per-member outputs plus ensemble stats.
 
     energy/energy_std: scalar mean and std over members (the reference's
@@ -51,10 +52,11 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
         )
     outs = jax.vmap(
         lambda p: painn_apply(p, cfg, positions, numbers, alive, shifts, edges=edges,
-                              msg_geom=msg_geom, l1_types=l1_types)
+                              msg_geom=msg_geom, l1_types=l1_types,
+                              collect_layers=collect_layers)
     )(stacked_params)
     energies = outs["energy"]                       # (E,)
-    return {
+    res = {
         "member_energy": energies,
         "energy": jnp.mean(energies),
         "energy_std": jnp.std(energies),
@@ -62,6 +64,11 @@ def ensemble_apply(stacked_params, cfg: PaiNNConfig, positions, numbers, alive, 
         "embedding": jnp.mean(outs["embedding"], axis=0),
         "member_embedding": outs["embedding"],
     }
+    if collect_layers:
+        # member-stacked layer-input caches (M, L, N, F) / (M, L, N, F, 3)
+        res["layer_s"] = outs["layer_s"]
+        res["layer_v"] = outs["layer_v"]
+    return res
 
 
 def ensemble_forces_std(stacked_params, cfg, positions, numbers, alive, shifts):

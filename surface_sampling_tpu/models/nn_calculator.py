@@ -98,15 +98,18 @@ def make_painn_potential(
         per_atom_off = per_type_j.astype(dtype)[type_idx] * alive.astype(dtype)
         return jnp.sum(per_atom_off) + jnp.asarray(const_off, dtype)
 
-    def outputs(positions, type_idx, alive, shifts, edges=None):
+    def outputs(positions, type_idx, alive, shifts, edges=None,
+                collect_layers=False):
         numbers = znums[type_idx] * alive.astype(jnp.int32)
         if edges is None:
             edges = edge_fn(positions, alive) if edge_fn is not None else None
         if ensemble:
             return ensemble_apply(params, cfg, positions, numbers, alive, shifts,
-                                  edges=edges, band=band)
+                                  edges=edges, band=band,
+                                  collect_layers=collect_layers)
         return painn_apply(params, cfg, positions, numbers, alive, shifts,
-                           edges=edges, band=band)
+                           edges=edges, band=band,
+                           collect_layers=collect_layers)
 
     def energy(positions, type_idx, alive, shifts, edges=None):
         e = outputs(positions, type_idx, alive, shifts,
@@ -123,6 +126,12 @@ def make_painn_potential(
         energy=energy, per_atom_energy=per_atom, cutoff=cfg.cutoff, name="painn"
     )
     pot.__dict__["outputs"] = outputs  # embeddings/std for analysis layers
+    # raw pieces for the frozen-far-field ball-relax engine
+    # (core/ff_relax.py): it runs its own compact subproblem forward
+    pot.__dict__["ff_pack"] = dict(
+        params=params, cfg=cfg, znums=znums, factor=factor, ensemble=ensemble
+    )
+    pot.__dict__["ff_comp_offset"] = comp_offset
     if spec is not None and static_nbr is not None:
         from surface_sampling_tpu.ops.static_edges import (
             _static_positions,

@@ -485,9 +485,13 @@ def painn_features(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
 
 
 def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
-                edges=None, msg_geom=None, band=None, l1_types=None):
+                edges=None, msg_geom=None, band=None, l1_types=None,
+                collect_layers=False):
     """Full forward: returns dict with per-atom energies (training units),
     total energy, and per-atom embeddings (final scalar features).
+    ``collect_layers`` additionally returns the INPUT features of every
+    message block (``layer_s`` (L, N, F), ``layer_v`` (L, N, F, 3)) — the
+    frozen-far-field caches core/ff_relax.py carries between moves.
 
     Matmuls run at true f32 precision regardless of the backend default —
     relaxed passes were measured and rejected on the flagship ensemble:
@@ -500,10 +504,15 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
         edges = painn_edges(cfg, positions, alive, shifts)
     overflow = edges[4]
     with jax.default_matmul_precision("float32"):
-        s, (d, nbr_mask) = painn_features(
+        feats = painn_features(
             params, cfg, positions, numbers, alive, shifts, edges=edges,
             msg_geom=msg_geom, band=band, l1_types=l1_types,
+            collect_layers=collect_layers,
         )
+        if collect_layers:
+            s, (d, nbr_mask), (layer_s, layer_v) = feats
+        else:
+            s, (d, nbr_mask) = feats
         h = jax.nn.silu(_dense(params["readout"]["dense0"], s))
         e_atom = _dense(params["readout"]["dense1"], h)[..., 0]  # (N,)
     e_atom = jnp.where(alive, e_atom, 0.0)
@@ -518,9 +527,13 @@ def painn_apply(params, cfg: PaiNNConfig, positions, numbers, alive, shifts,
     # would swamp an additive penalty and get accepted) so the
     # Metropolis/OOB machinery rejects such states
     e_tot = jnp.where(overflow, jnp.asarray(1e6, e_atom.dtype), jnp.sum(e_atom))
-    return {
+    out = {
         "per_atom_energy": e_atom,
         "energy": e_tot,
         "embedding": s,
         "overflow": overflow,
     }
+    if collect_layers:
+        out["layer_s"] = layer_s
+        out["layer_v"] = layer_v
+    return out

@@ -1121,6 +1121,94 @@ def test_sample_surface_cli_incremental_relax(cu_setup):
         run(4, "lr_mtm", extra={"mtm_trials": 4})
 
 
+def test_sample_surface_cli_ff_relax(tmp_path):
+    """calc_settings.relax_descent='frozen_far_field' routes the
+    incremental+relax combination to the approximate-descent ball engine
+    (core/ff_relax.py): the per-move FIRE descends a compact ball
+    subproblem against frozen far-field features, acceptance energies
+    stay full-cell (pinned by re-evaluating the carried geometry), and
+    checkpoints keep the MCState schema so chunked --resume is bitwise.
+    Guards: non-PaiNN calculators and tempering are refused."""
+    import jax
+    import jax.numpy as jnp
+
+    from surface_sampling_tpu.cli.common import assemble_system
+    from surface_sampling_tpu.cli.sample_surface import main
+    from surface_sampling_tpu.io import load_checkpoint
+    from surface_sampling_tpu.structure.io import read_cif
+
+    slab, slab_path, settings = _incremental_setup(tmp_path)
+    base = json.loads(json.dumps(settings))
+    base["calc_settings"].update(relax_atoms=True, relax_steps=3,
+                                 fmax=0.05, relax_ball_hops=1,
+                                 relax_descent="frozen_far_field")
+    base["sampling_settings"].update(total_sweeps=4, checkpoint_interval=2,
+                                     sweep_size=2)
+
+    def run(total, folder, resume=None, extra=None):
+        s = json.loads(json.dumps(base))
+        s["sampling_settings"]["total_sweeps"] = total
+        s["sampling_settings"]["run_folder"] = str(tmp_path / folder)
+        if extra:
+            s["sampling_settings"].update(extra)
+        sp = tmp_path / f"s_{folder}_{total}.json"
+        sp.write_text(json.dumps(s))
+        argv = ["--settings", str(sp), "--slab", str(slab_path)]
+        if resume:
+            argv += ["--resume", str(tmp_path / resume)]
+        main(argv)
+        return np.load(tmp_path / folder / "history.npz")
+
+    full = run(4, "ff_full")
+    assert full["energy"].shape == (2, 4)
+    assert np.isfinite(full["energy"]).all()
+
+    # acceptance energies are true full-cell energies of the carried
+    # relaxed geometry
+    slab_l = read_cif(slab_path)
+    asys = assemble_system(base, slab_l)
+    assert asys.potential.__dict__["local_relax_args"]["descent"] == \
+        "frozen_far_field"
+    states, idx, _, _ = load_checkpoint(tmp_path / "ff_full" / "checkpoint.npz")
+    assert idx == 4
+    from surface_sampling_tpu.core.state import realize_alive, realize_type_idx
+
+    d = asys.run.d
+    for c in range(2):
+        ss = jnp.asarray(states.site_state[c])
+        e_re = asys.potential.energy(
+            jnp.asarray(states.relaxed_positions[c]),
+            realize_type_idx(d, ss), realize_alive(d, ss), d.shifts)
+        np.testing.assert_allclose(float(states.energy[c]), float(e_re),
+                                   rtol=1e-5, atol=1e-4)
+
+    # bitwise chunked resume (caches rebuilt at chunk boundaries)
+    part = run(2, "ff_part")
+    np.testing.assert_array_equal(part["energy"], full["energy"][:, :2])
+    res = run(4, "ff_part", resume="ff_part")
+    np.testing.assert_array_equal(res["energy"], full["energy"][:, 2:])
+    np.testing.assert_array_equal(res["site_state"], full["site_state"][:, 2:])
+
+    with pytest.raises(ValueError, match="tempering"):
+        run(4, "ff_temp", extra={"tempering": True, "n_chains": 2})
+
+
+def test_sample_surface_cli_ff_relax_needs_painn(cu_setup):
+    """relax_descent='frozen_far_field' on a non-PaiNN calculator is a
+    clear refusal (the engine needs the ff_pack hook)."""
+    tmp_path, slab_path, settings_path = cu_setup
+    from surface_sampling_tpu.cli.sample_surface import main
+
+    s = json.loads(settings_path.read_text())
+    s["calc_settings"].update(relax_atoms=True, relax_steps=2, fmax=0.05,
+                              relax_descent="frozen_far_field")
+    s["sampling_settings"].update(total_sweeps=2, incremental=True)
+    sp = tmp_path / "s_ffpainn.json"
+    sp.write_text(json.dumps(s))
+    with pytest.raises(ValueError, match="ff_pack"):
+        main(["--settings", str(sp), "--slab", str(slab_path)])
+
+
 def test_sample_surface_cli_incremental_tempering(tmp_path):
     """incremental=true composes with tempering=true: nothing in the
     delta-energy math depends on temperature, so the replica-exchange

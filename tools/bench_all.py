@@ -399,6 +399,186 @@ def bench_painn_localrelax(supercell=(1, 1), n_chains=16, hops=1,
     }
 
 
+def _ff_parts(supercell, hops):
+    from surface_sampling_tpu.core import RelaxConfig
+    from surface_sampling_tpu.core.ff_relax import (
+        build_ff_tables,
+        make_ff_relax_eval,
+    )
+    from surface_sampling_tpu.core.static_neighbors import (
+        build_static_neighbor_table,
+    )
+    from surface_sampling_tpu.systems import srtio3_001_painn
+
+    relax = RelaxConfig(steps=20, fmax=0.01)
+    sys_ = srtio3_001_painn(supercell=supercell, relax=relax)
+    d = sys_.run.d
+    nbr = build_static_neighbor_table(sys_.spec, 5.0, relax_slack=0.6)
+    tables = build_ff_tables(sys_.spec, nbr, hops=hops)
+    evaluate = make_ff_relax_eval(
+        d, sys_.potential, surface_energy_fn=sys_.run.surface_energy_fn,
+        relax=relax, tables=tables)
+    return sys_, d, relax, tables, evaluate
+
+
+def bench_painn_ffrelax(supercell=(1, 1), n_chains=16, hops=1,
+                        sweep_size=8, n_sweeps=2):
+    """Frozen-far-field approximate-descent relax MC (core/ff_relax.py):
+    full MC moves/s where the per-move FIRE descends a compact ball
+    subproblem against frozen far-field features, and acceptance is a
+    full-cell evaluation of the relaxed geometry. The comparable exact
+    rows are painn_relaxed / painn_localrelax (same cell, same chains);
+    the policy-divergence bound comes from bench_painn_ffdiv."""
+    from surface_sampling_tpu.core.ff_relax import make_ff_run_mcstate, \
+        make_ff_semigrand_step
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
+    from surface_sampling_tpu.parallel import chain_states
+
+    sys_, d, relax, tables, evaluate = _ff_parts(supercell, hops)
+    step = make_ff_semigrand_step(d, evaluate)
+    run = jax.jit(jax.vmap(
+        make_ff_run_mcstate(evaluate, step, sweep_size,
+                            record_positions=False),
+        in_axes=(0, None)),
+        compiler_options=scoped_vmem_compiler_options(
+            _slots_of(sys_.run), relax_banded=True))
+    states = chain_states(d, jax.random.PRNGKey(0), n_chains)
+    temps = jnp.full((n_sweeps,), 0.8, jnp.float32)
+    t0 = time.perf_counter()
+    states, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    compile_s = time.perf_counter() - t0
+    for _ in range(2):
+        states, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        states, rec = run(states, temps)
+    jax.block_until_ready(rec.energy)
+    dt = (time.perf_counter() - t0) / iters
+    moves = n_chains * sweep_size * n_sweeps
+    return {
+        "chains": n_chains,
+        "moves_per_sec": round(moves / dt, 1),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "n_ball": tables.n_ball,
+        "n_sub": tables.n_sub,
+        "ball_frac": round(tables.ball_frac, 4),
+    }
+
+
+def bench_painn_ffdiv(supercell=(2, 2), n_chains=8, hops=1, n_moves=48,
+                      temp=0.8):
+    """Policy-divergence bound of the frozen-far-field descent vs the
+    EXACT warm-started relax path (core/local_relax.py with a full-cell
+    ball), measured per-move on identical states: both engines evaluate
+    every proposal from the same pre-move state with the same keys; the
+    chain advances along the EXACT trajectory. Reported: accepted-move
+    overlap, |dSE| stats on in-bounds moves, and the relaxed-geometry
+    RMSD over moved (free) rows."""
+    import numpy as np
+
+    from surface_sampling_tpu.core.events import metropolis_accept
+    from surface_sampling_tpu.core.ff_relax import FFState, make_ff_init
+    from surface_sampling_tpu.core.local_relax import make_local_relax_eval
+    from surface_sampling_tpu.core.state import change_site
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
+
+    sys_, d, relax, tables, evaluate = _ff_parts(supercell, hops)
+    spec = sys_.spec
+    N = int(np.asarray(d.pristine_positions).shape[0]
+            + spec.n_sites * spec.group_size)
+    balls_full = np.ones((spec.n_sites, N), bool)
+    ex_eval = make_local_relax_eval(
+        d, sys_.potential, surface_energy_fn=sys_.run.surface_energy_fn,
+        relax=relax, ball_masks=balls_full)
+    n_sites, n_codes = spec.n_sites, spec.n_codes
+
+    def combined(state: FFState, _):
+        key, k_site, k_code, k_acc = jax.random.split(state.key, 4)
+        site = jax.random.randint(k_site, (), 0, n_sites)
+        cur = state.site_state[site]
+        u = jax.random.randint(k_code, (), 0, n_codes - 1)
+        end = u + (u >= cur).astype(u.dtype)
+        trial_ss = change_site(state.site_state, site, end)
+        e_ff, _ = evaluate.evaluate1(
+            trial_ss, state.relaxed_positions,
+            (state.cache_s, state.cache_v), site)
+        e_ex = ex_eval(trial_ss, state.relaxed_positions,
+                       jnp.stack([site, site]).astype(jnp.int32))
+        acc_ff = metropolis_accept(k_acc, state.energy,
+                                   e_ff.surface_energy, temp)
+        acc_ex = metropolis_accept(k_acc, state.energy,
+                                   e_ex.surface_energy, temp)
+        # advance along the exact trajectory; caches refreshed at its
+        # geometry so the next move's FF comparison starts clean
+        new_ss = jnp.where(acc_ex, trial_ss, state.site_state)
+        new_pos = jnp.where(acc_ex, e_ex.positions, state.relaxed_positions)
+        stx, caches = evaluate.finish(new_pos, new_ss)
+        new_state = FFState(
+            site_state=new_ss,
+            energy=jnp.where(acc_ex, e_ex.surface_energy, state.energy),
+            relaxed_positions=new_pos, key=key,
+            cache_s=caches[0], cache_v=caches[1])
+        free = jnp.any(e_ex.positions != state.relaxed_positions, axis=-1) \
+            | jnp.any(e_ff.positions != state.relaxed_positions, axis=-1)
+        nmoved = jnp.maximum(jnp.sum(free.astype(jnp.float32)), 1.0)
+        rmsd = jnp.sqrt(jnp.sum(
+            jnp.where(free[:, None], e_ff.positions - e_ex.positions, 0.0)
+            ** 2) / nmoved)
+        rec = dict(acc_ff=acc_ff, acc_ex=acc_ex,
+                   se_ff=e_ff.surface_energy, se_ex=e_ex.surface_energy,
+                   oob=e_ff.oob | e_ex.oob, rmsd=rmsd)
+        return new_state, rec
+
+    run = jax.jit(jax.vmap(
+        lambda s: jax.lax.scan(combined, s, jnp.arange(n_moves)),
+        in_axes=0),
+        compiler_options=scoped_vmem_compiler_options(
+            _slots_of(sys_.run), relax_banded=True))
+    init = jax.jit(
+        jax.vmap(make_ff_init(d, evaluate, sys_.run.state_energy_fn)),
+        compiler_options=scoped_vmem_compiler_options(
+            _slots_of(sys_.run), relax_banded=True))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    rng = np.random.default_rng(0)
+    ss0 = jnp.asarray(
+        (rng.random((n_chains, spec.n_sites)) < 0.15)
+        * rng.integers(1, spec.n_codes, (n_chains, spec.n_sites)),
+        jnp.int32)
+    states = init(keys, ss0)
+    t0 = time.perf_counter()
+    _, recs = run(states)
+    jax.block_until_ready(recs["se_ff"])
+    wall = time.perf_counter() - t0
+    acc_ff = np.asarray(recs["acc_ff"]).ravel()
+    acc_ex = np.asarray(recs["acc_ex"]).ravel()
+    oob = np.asarray(recs["oob"]).ravel()
+    dse = np.abs(np.asarray(recs["se_ff"]) - np.asarray(recs["se_ex"])).ravel()
+    rmsd = np.asarray(recs["rmsd"]).ravel()
+    ok = ~oob
+    return {
+        "chains": n_chains,
+        "moves": int(n_moves * n_chains),
+        "overlap": round(float((acc_ff == acc_ex).mean()), 4),
+        "acc_rate_ff": round(float(acc_ff.mean()), 4),
+        "acc_rate_ex": round(float(acc_ex.mean()), 4),
+        "dse_mean_eV": round(float(dse[ok].mean()), 5) if ok.any() else None,
+        "dse_max_eV": round(float(dse[ok].max()), 5) if ok.any() else None,
+        "rmsd_mean_A": round(float(rmsd[ok].mean()), 5) if ok.any() else None,
+        "rmsd_max_A": round(float(rmsd[ok].max()), 5) if ok.any() else None,
+        "oob_rate": round(float(oob.mean()), 4),
+        "wall_s": round(wall, 1),
+        "ball_frac": round(tables.ball_frac, 4),
+    }
+
+
 def bench_mace():
     """MACE-family MC throughput (random-init weights — the reference
     ships none; shapes/architecture are what costs): Cu(100) slab,
@@ -614,10 +794,17 @@ FAMILIES = {
     "painn_4x4super_inc": lambda: bench_painn_super_inc((4, 4), 8),
     "painn_6x6super": lambda: bench_painn_super((6, 6), 4),
     "painn_6x6super_inc": lambda: bench_painn_super_inc((6, 6), 4),
+    "painn_8x8super": lambda: bench_painn_super((8, 8), 2),
+    "painn_8x8super_inc": lambda: bench_painn_super_inc((8, 8), 2),
     "painn_relaxed": bench_painn_relaxed,
     "painn_localrelax": lambda: bench_painn_localrelax((1, 1), 16),
     "painn_2x2super_relaxed": lambda: bench_painn_relaxed((2, 2), 16),
     "painn_2x2super_localrelax": lambda: bench_painn_localrelax((2, 2), 16),
+    "painn_ffrelax": lambda: bench_painn_ffrelax((1, 1), 16),
+    "painn_2x2super_ffrelax": lambda: bench_painn_ffrelax((2, 2), 16),
+    "painn_6x6super_ffrelax": lambda: bench_painn_ffrelax((6, 6), 4),
+    "painn_ffdiv": lambda: bench_painn_ffdiv((1, 1), 8),
+    "painn_2x2super_ffdiv": lambda: bench_painn_ffdiv((2, 2), 8),
     "painn_train": bench_painn_train,
     "painn_train_pallas": lambda: bench_painn_train(message_mode="pallas"),
     "chgnet": bench_chgnet,
