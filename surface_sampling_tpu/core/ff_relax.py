@@ -177,6 +177,7 @@ def make_ff_relax_eval(
     surface_energy_fn: Callable | None = None,
     relax: RelaxConfig = RelaxConfig(),
     tables: FFTables | None = None,
+    routing_precision: str = "default",
 ) -> Callable:
     """Build ``evaluate(trial_ss, pos_prev, caches, sites2) ->
     (StateEnergy, new_caches)`` — the frozen-far-field counterpart of
@@ -221,6 +222,12 @@ def make_ff_relax_eval(
     nvalid_t = jnp.asarray(tables.nbr_valid)
     shifts_u = jnp.asarray(tables.shifts_u, jnp.float32)
     is_ball = jnp.arange(NSub) < NB
+    # "default" = backend default (1-pass bf16 MXU on TPU) for the two
+    # big routing dots of the descent objective; "highest" keeps them
+    # true-f32 (parity tests use it through the float32 context anyway —
+    # on CPU both resolve to the same full-precision dot)
+    rp = (jax.lax.Precision.DEFAULT if routing_precision == "default"
+          else jax.lax.Precision.HIGHEST)
 
     def relax_ball(pos0, trial_ss, caches, site):
         """FIRE-descend one site's ball; returns the full positions with
@@ -242,9 +249,48 @@ def make_ff_relax_eval(
         free_ball = free_full[rows] & rvalid & is_ball
         alive_ball = alive_sub[:NB]
         emask = nvalid & alive_sub[nbr] & alive_ball[:, None]
+        # topology-once rank-select (reference dynamics.py:129 semantics,
+        # the same policy RelaxConfig.refresh_edges="once" applies on the
+        # full path): keep the max_neighbors nearest candidates at the
+        # start geometry — the candidate table's full M (built with the
+        # relax slack) is ~3x wider, and every descent force evaluation
+        # would otherwise pay routing work proportional to it
+        m_sel = min(int(cfg.max_neighbors), nbr.shape[1])
+        if m_sel < nbr.shape[1]:
+            disp0 = pos_sub0[nbr] + nshift - pos_sub0[:NB, None, :]
+            d0 = jnp.sqrt(jnp.maximum(jnp.sum(disp0 * disp0, -1), 1e-12))
+            score = jnp.where(emask, -d0, -jnp.inf)
+            _, sel = jax.lax.top_k(score, m_sel)            # (NB, m_sel)
+            nbr = jnp.take_along_axis(nbr, sel, axis=1)
+            nshift = jnp.take_along_axis(
+                nshift, sel[..., None], axis=1)
+            emask = jnp.take_along_axis(emask, sel, axis=1)
         # routing one-hot (position-independent; built once per move)
         onehot = (jax.nn.one_hot(nbr, NSub, dtype=pos0.dtype)
                   * emask[..., None].astype(pos0.dtype))
+        fmask_e = emask[..., None].astype(pos0.dtype)
+
+        def make_router(oh, idx):
+            """Neighbor-feature routing with a GATHER forward (exact, no
+            O(NB*M*NSub) flops) and a dense one-hot MXU backward (the
+            scatter-add cotangent direction serializes on TPU; the
+            one-hot contraction is one batched matmul). The one-hot is
+            constant wrt positions, so no cotangent flows into it."""
+
+            @jax.custom_vjp
+            def route(x):
+                return x[idx] * fmask_e
+
+            def fwd(x):
+                return x[idx] * fmask_e, ()
+
+            def bwd(_, dy):
+                return (jnp.einsum("nmj,nmf->jf", oh, dy, precision=rp),)
+
+            route.defvjp(fwd, bwd)
+            return route
+
+        route = make_router(onehot, nbr)
         # frozen layer-input features of the subproblem rows
         cs = cache_s[:, :, rows]                  # (Mm, L, NSub, F)
         cv = cache_v[:, :, rows]
@@ -277,12 +323,21 @@ def make_ff_relax_eval(
                     phi = _dense(mp["inv_dense1"],
                                  jax.nn.silu(_dense(mp["inv_dense0"], s_cur)))
                     w = _dense(mp["dist_embed"], rbf) * env      # (NB, M, 3F)
-                    phij = jnp.einsum("nmj,jf->nmf", onehot, phi)
+                    # routing: gather forward + one-hot MXU dense backward
+                    # (make_router); the dense dots that remain run at the
+                    # backend-default (single-pass bf16 on TPU) precision —
+                    # the one-hot operand is exact in bf16 and the payload
+                    # rounding only perturbs DESCENT forces. The acceptance
+                    # energy is a separate full-cell f32 evaluation, and
+                    # the resulting policy perturbation is measured by the
+                    # ffdiv protocol (tools/bench_all.py).
+                    phij = route(phi)
                     inv = phij * w
                     c_vv, c_s, c_unit = jnp.split(inv, 3, axis=-1)
                     ds = jnp.sum(c_s, axis=1)
                     dv = jnp.einsum("nmf,nmx->nfx", c_unit, unit)
-                    adjf = jnp.einsum("nmj,nmf->njf", onehot, c_vv)
+                    adjf = jnp.einsum("nmj,nmf->njf", onehot, c_vv,
+                                      precision=rp)
                     dv = dv + jnp.einsum("njf,jfx->nfx", adjf, v_cur)
                     s_ball = s_cur[:NB] + ds
                     v_ball = v_cur[:NB] + dv
@@ -294,7 +349,14 @@ def make_ff_relax_eval(
                 return jnp.sum(e_atom)
 
             with jax.default_matmul_precision("float32"):
-                e_m = jax.vmap(one_member)(params, cs, cv, s0_all)
+                # remat: the descent runs inside value_and_grad inside a
+                # vmapped while_loop — storing each layer's (NB, M, 3F)
+                # message residuals per member per chain for the backward
+                # OOMs past ~16 chains at 2x2 (measured 27 GB at 32).
+                # Recomputing the member forward on the backward pass
+                # trades ~1/3 more FLOPs for O(layer-inputs) residency.
+                e_m = jax.vmap(jax.checkpoint(one_member))(
+                    params, cs, cv, s0_all)
             e = jnp.mean(e_m)
             if cfg.excl_vol:
                 xmask = emask & (dist < cfg.cutoff)
