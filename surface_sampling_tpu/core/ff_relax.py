@@ -178,6 +178,8 @@ def make_ff_relax_eval(
     relax: RelaxConfig = RelaxConfig(),
     tables: FFTables | None = None,
     routing_precision: str = "default",
+    use_remat: bool = False,
+    use_gather_router: bool = True,
 ) -> Callable:
     """Build ``evaluate(trial_ss, pos_prev, caches, sites2) ->
     (StateEnergy, new_caches)`` — the frozen-far-field counterpart of
@@ -290,7 +292,11 @@ def make_ff_relax_eval(
             route.defvjp(fwd, bwd)
             return route
 
-        route = make_router(onehot, nbr)
+        if use_gather_router:
+            route = make_router(onehot, nbr)
+        else:
+            def route(x):
+                return jnp.einsum("nmj,jf->nmf", onehot, x, precision=rp)
         # frozen layer-input features of the subproblem rows
         cs = cache_s[:, :, rows]                  # (Mm, L, NSub, F)
         cv = cache_v[:, :, rows]
@@ -355,8 +361,9 @@ def make_ff_relax_eval(
                 # OOMs past ~16 chains at 2x2 (measured 27 GB at 32).
                 # Recomputing the member forward on the backward pass
                 # trades ~1/3 more FLOPs for O(layer-inputs) residency.
-                e_m = jax.vmap(jax.checkpoint(one_member))(
-                    params, cs, cv, s0_all)
+                member = (jax.checkpoint(one_member) if use_remat
+                          else one_member)
+                e_m = jax.vmap(member)(params, cs, cv, s0_all)
             e = jnp.mean(e_m)
             if cfg.excl_vol:
                 xmask = emask & (dist < cfg.cutoff)
