@@ -688,10 +688,19 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
 
             tables = build_ff_tables(lr_args["spec"], lr_args["static_nbr"],
                                      hops=lr_args["hops"])
+            # seat phase measured cost-neutral-to-negative on the flagship
+            # (docs/BENCHMARKS.md) — available via relax_seat=true for
+            # systems where the fresh-adsorbate budget dominates
+            seat_tables = (
+                build_ff_tables(lr_args["spec"], lr_args["static_nbr"],
+                                hops=0)
+                if asys.settings["calc_settings"].get("relax_seat", False)
+                else None)
             evaluate = make_ff_relax_eval(
                 d, asys.potential,
                 surface_energy_fn=lr_args["surface_energy_fn"],
-                relax=lr_args["relax"], tables=tables)
+                relax=lr_args["relax"], tables=tables,
+                seat_tables=seat_tables)
             _mk_ff = (make_ff_canonical_step if cfg.canonical
                       else make_ff_semigrand_step)
             ff_step = _mk_ff(d, evaluate, criterion=cfg.criterion,

@@ -180,6 +180,8 @@ def make_ff_relax_eval(
     routing_precision: str = "default",
     use_remat: bool = False,
     use_gather_router: bool = True,
+    seat_tables: FFTables | None = None,
+    descent_dtype: str = "auto",
 ) -> Callable:
     """Build ``evaluate(trial_ss, pos_prev, caches, sites2) ->
     (StateEnergy, new_caches)`` — the frozen-far-field counterpart of
@@ -215,25 +217,54 @@ def make_ff_relax_eval(
                           max_step=relax.max_step)
     P = d.pristine_positions.shape[0]
     G = d.code_offsets.shape[1]
-    NB, NSub = tables.n_ball, tables.n_sub
     F, L = cfg.feat_dim, cfg.n_layers
-    rows_t = jnp.asarray(tables.rows)
-    rvalid_t = jnp.asarray(tables.row_valid)
-    nbr_t = jnp.asarray(tables.nbr_loc)
-    shidx_t = jnp.asarray(tables.shift_idx, jnp.int32)
-    nvalid_t = jnp.asarray(tables.nbr_valid)
     shifts_u = jnp.asarray(tables.shifts_u, jnp.float32)
-    is_ball = jnp.arange(NSub) < NB
+
+    def stage(tbl: FFTables) -> dict:
+        return dict(
+            NB=tbl.n_ball, NSub=tbl.n_sub,
+            rows_t=jnp.asarray(tbl.rows),
+            rvalid_t=jnp.asarray(tbl.row_valid),
+            nbr_t=jnp.asarray(tbl.nbr_loc),
+            shidx_t=jnp.asarray(tbl.shift_idx, jnp.int32),
+            nvalid_t=jnp.asarray(tbl.nbr_valid),
+            is_ball=jnp.arange(tbl.n_sub) < tbl.n_ball,
+        )
+
+    T_main = stage(tables)
+    # the seat phase (optional): a hops=0 table — ball = just the moved
+    # site's slots, ring = their immediate neighborhood. Seating the
+    # fresh trial adsorbate on this ~G-row subproblem costs a tiny
+    # fraction of a main-ball FIRE step, and the main ball then starts
+    # from a near-seated geometry, so its force-converged early exit
+    # fires sooner (the fresh adsorbate otherwise consumes most of the
+    # relax budget — the round-4 cap analysis's measured reason warm
+    # starts alone paid nothing).
+    T_seat = stage(seat_tables) if seat_tables is not None else None
     # "default" = backend default (1-pass bf16 MXU on TPU) for the two
     # big routing dots of the descent objective; "highest" keeps them
     # true-f32 (parity tests use it through the float32 context anyway —
     # on CPU both resolve to the same full-precision dot)
     rp = (jax.lax.Precision.DEFAULT if routing_precision == "default"
           else jax.lax.Precision.HIGHEST)
+    # the (NB, M, 3F) per-edge intermediates are the descent's measured
+    # wall (HBM traffic + backward residals — 123 ms/FIRE-iteration at
+    # 16 chains on the 2x2, v5e): storing them in bf16 halves both.
+    # Reductions stay f32 (sum dtype / preferred_element_type). "auto":
+    # bf16 on TPU, f32 on CPU (keeps the CPU parity oracles exact).
+    if descent_dtype == "auto":
+        descent_dtype = "bf16" if jax.default_backend() == "tpu" else "f32"
+    edt = jnp.bfloat16 if descent_dtype == "bf16" else jnp.float32
 
-    def relax_ball(pos0, trial_ss, caches, site):
-        """FIRE-descend one site's ball; returns the full positions with
-        the relaxed ball scattered back."""
+    def relax_ball(pos0, trial_ss, caches, site, T=None):
+        """FIRE-descend one site's ball (table set ``T``, default the
+        main 1-hop ball); returns the full positions with the relaxed
+        ball scattered back."""
+        T = T_main if T is None else T
+        NB, NSub = T["NB"], T["NSub"]
+        rows_t, rvalid_t = T["rows_t"], T["rvalid_t"]
+        nbr_t, shidx_t, nvalid_t = T["nbr_t"], T["shidx_t"], T["nvalid_t"]
+        is_ball = T["is_ball"]
         cache_s, cache_v = caches
         alive_full = realize_alive(d, trial_ss)
         type_idx = realize_type_idx(d, trial_ss)
@@ -277,17 +308,26 @@ def make_ff_relax_eval(
             O(NB*M*NSub) flops) and a dense one-hot MXU backward (the
             scatter-add cotangent direction serializes on TPU; the
             one-hot contraction is one batched matmul). The one-hot is
-            constant wrt positions, so no cotangent flows into it."""
+            constant wrt positions, so no cotangent flows into it.
+
+            ``route(x_ball, x_ring)``: the ring argument is frozen by
+            design (far-field features never receive descent gradients),
+            so the backward contracts only the BALL columns of the
+            one-hot — the dominant dense matmul shrinks by NSub/NB."""
+            oh_ball = oh[..., :NB]
 
             @jax.custom_vjp
-            def route(x):
-                return x[idx] * fmask_e
+            def route(x_ball, x_ring):
+                xf = jnp.concatenate([x_ball, x_ring], axis=0)
+                return (xf[idx] * fmask_e).astype(edt)
 
-            def fwd(x):
-                return x[idx] * fmask_e, ()
+            def fwd(x_ball, x_ring):
+                return route(x_ball, x_ring), x_ring
 
-            def bwd(_, dy):
-                return (jnp.einsum("nmj,nmf->jf", oh, dy, precision=rp),)
+            def bwd(x_ring, dy):
+                dball = jnp.einsum("nmj,nmf->jf", oh_ball, dy,
+                                   precision=rp).astype(jnp.float32)
+                return (dball, jnp.zeros_like(x_ring))
 
             route.defvjp(fwd, bwd)
             return route
@@ -295,17 +335,54 @@ def make_ff_relax_eval(
         if use_gather_router:
             route = make_router(onehot, nbr)
         else:
-            def route(x):
-                return jnp.einsum("nmj,jf->nmf", onehot, x, precision=rp)
-        # frozen layer-input features of the subproblem rows
+            def route(x_ball, x_ring):
+                xf = jnp.concatenate([x_ball, jax.lax.stop_gradient(x_ring)],
+                                     axis=0)
+                return jnp.einsum("nmj,jf->nmf", onehot, xf,
+                                  precision=rp).astype(edt)
+        # frozen layer-input features of the subproblem rows; vector
+        # caches converted to the kernels' x-major vcat layout (NSub, 3F)
+        # so every descent op is either an (., F) matmul or a lane-wide
+        # elementwise reduce — no x=3-thin MXU shapes anywhere
         cs = cache_s[:, :, rows]                  # (Mm, L, NSub, F)
-        cv = cache_v[:, :, rows]
+        cv = jnp.swapaxes(cache_v[:, :, rows], -1, -2).reshape(
+            cache_v.shape[0], L, rows.shape[0], 3 * F)  # (Mm, L, NSub, 3F)
         s0_all = jax.vmap(
             lambda p: jnp.where(
                 alive_sub[:, None],
                 p["atom_embed"][jnp.clip(numbers_sub, 0, cfg.max_z - 1)],
                 0.0).astype(pos0.dtype)
         )(params)                                 # (Mm, NSub, F)
+        # layer-0 message inputs are position-INDEPENDENT (embeddings),
+        # so the routed phi_j of layer 0 is a per-move constant — hoist
+        # it out of the descent loop (and v == 0 kills the vj route at
+        # layer 0 entirely): one third of the per-iteration routing work
+        # and its backward disappear. Same observation as the fused
+        # layer-1 species-table kernel (ops/pallas_painn._msg_kernel_l1).
+        with jax.default_matmul_precision("float32"):
+            def l0_phij(p, s0):
+                mp0 = p["message"][0]
+                phi0 = _dense(mp0["inv_dense1"],
+                              jax.nn.silu(_dense(mp0["inv_dense0"], s0)))
+                return jax.lax.stop_gradient(
+                    (phi0[nbr] * fmask_e).astype(edt))
+            phij0_all = jax.vmap(l0_phij)(params, s0_all)  # (Mm, NB, M, 3F)
+
+            # ring rows' phi at layers >= 1 is ALSO a per-move constant
+            # (their layer inputs are the frozen caches): hoist it so the
+            # in-loop phi dense runs on ball rows only and the router's
+            # backward contracts ball columns only
+            def ring_phis(p, cs_m):
+                outs = []
+                for li, mp in enumerate(p["message"]):
+                    outs.append(_dense(
+                        mp["inv_dense1"],
+                        jax.nn.silu(_dense(mp["inv_dense0"],
+                                           cs_m[li, NB:]))))
+                return jax.lax.stop_gradient(jnp.stack(outs))  # (L, NR, 3F)
+
+            phi_ring_all = jax.vmap(
+                lambda p, c: ring_phis(p, c))(params, cs)
 
         def local_energy(pos_sub):
             disp = pos_sub[nbr] + nshift - pos_sub[:NB, None, :]
@@ -318,16 +395,15 @@ def make_ff_relax_eval(
             env = _cosine_envelope(dist, cfg.cutoff)[..., None]
             env = env * emask[..., None].astype(env.dtype)
 
-            def one_member(p, cs_m, cv_m, s0):
-                s_cur, v_cur = s0, jnp.zeros((NSub, F, 3), pos0.dtype)
-                s_ball = v_ball = None
+            # unit vectors tiled to the x-major 3F lane layout once per
+            # force evaluation: ucat[n, m, x*F + f] = unit[n, m, x]
+            ucat = jnp.repeat(unit, F, axis=-1).astype(edt)  # (NB, M, 3F)
+
+            def one_member(p, cs_m, cv_m, s0, phij0, phi_ring_m):
+                s_ball = s0[:NB]                          # (NB, F)
+                vcat_ball = jnp.zeros((NB, 3 * F), pos0.dtype)
                 for li, (mp, up) in enumerate(
                         zip(p["message"], p["update"])):
-                    if li > 0:
-                        s_cur = jnp.concatenate([s_ball, cs_m[li, NB:]], 0)
-                        v_cur = jnp.concatenate([v_ball, cv_m[li, NB:]], 0)
-                    phi = _dense(mp["inv_dense1"],
-                                 jax.nn.silu(_dense(mp["inv_dense0"], s_cur)))
                     w = _dense(mp["dist_embed"], rbf) * env      # (NB, M, 3F)
                     # routing: gather forward + one-hot MXU dense backward
                     # (make_router); the dense dots that remain run at the
@@ -337,18 +413,46 @@ def make_ff_relax_eval(
                     # energy is a separate full-cell f32 evaluation, and
                     # the resulting policy perturbation is measured by the
                     # ffdiv protocol (tools/bench_all.py).
-                    phij = route(phi)
-                    inv = phij * w
+                    if li == 0:
+                        phij = phij0
+                    else:
+                        phi_ball = _dense(
+                            mp["inv_dense1"],
+                            jax.nn.silu(_dense(mp["inv_dense0"], s_ball)))
+                        phij = route(phi_ball, phi_ring_m[li])
+                    inv = phij * w.astype(edt)       # (NB, M, 3F) in edt
                     c_vv, c_s, c_unit = jnp.split(inv, 3, axis=-1)
-                    ds = jnp.sum(c_s, axis=1)
-                    dv = jnp.einsum("nmf,nmx->nfx", c_unit, unit)
-                    adjf = jnp.einsum("nmj,nmf->njf", onehot, c_vv,
-                                      precision=rp)
-                    dv = dv + jnp.einsum("njf,jfx->nfx", adjf, v_cur)
-                    s_ball = s_cur[:NB] + ds
-                    v_ball = v_cur[:NB] + dv
-                    s_ball, v_ball = _painn_update(up, s_ball, v_ball,
-                                                   alive_ball)
+                    ds = jnp.sum(c_s, axis=1, dtype=jnp.float32)
+                    # vector messages, x-major: dv = c_vv * v_j + c_unit *
+                    # r_hat per x block — elementwise + lane-wide reduces,
+                    # never an x=3-thin contraction (v == 0 at layer 0)
+                    cu3 = jnp.concatenate([c_unit, c_unit, c_unit], axis=-1)
+                    if li == 0:
+                        dvcat = jnp.sum(cu3 * ucat, axis=1,
+                                        dtype=jnp.float32)       # (NB, 3F)
+                    else:
+                        vj = route(vcat_ball, cv_m[li, NB:])     # (NB, M, 3F)
+                        cvv3 = jnp.concatenate([c_vv, c_vv, c_vv], axis=-1)
+                        dvcat = jnp.sum(cvv3 * vj + cu3 * ucat, axis=1,
+                                        dtype=jnp.float32)       # (NB, 3F)
+                    s_ball = s_ball + ds
+                    vcat_ball = vcat_ball + dvcat
+                    # update block in vcat layout: f-mixing matmuls act per
+                    # x block — one (3NB, F) @ (F, F) shaped matmul each
+                    v3 = vcat_ball.reshape(NB, 3, F)
+                    uv = jnp.einsum("nxf,fg->nxg", v3, up["u_mat"]["w"])
+                    vv = jnp.einsum("nxf,fg->nxg", v3, up["v_mat"]["w"])
+                    vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=1) + 1e-16)
+                    stack = jnp.concatenate([s_ball, vv_norm], axis=-1)
+                    a = _dense(up["s_dense1"],
+                               jax.nn.silu(_dense(up["s_dense0"], stack)))
+                    a_vv, a_sv, a_ss = jnp.split(a, 3, axis=-1)
+                    inner = jnp.sum(uv * vv, axis=1)             # (NB, F)
+                    s_ball = s_ball + a_sv * inner + a_ss
+                    v3 = v3 + a_vv[:, None, :] * uv
+                    s_ball = jnp.where(alive_ball[:, None], s_ball, 0.0)
+                    v3 = jnp.where(alive_ball[:, None, None], v3, 0.0)
+                    vcat_ball = v3.reshape(NB, 3 * F)
                 h = jax.nn.silu(_dense(p["readout"]["dense0"], s_ball))
                 e_atom = _dense(p["readout"]["dense1"], h)[..., 0]
                 e_atom = jnp.where(alive_ball, e_atom, 0.0)
@@ -363,7 +467,8 @@ def make_ff_relax_eval(
                 # trades ~1/3 more FLOPs for O(layer-inputs) residency.
                 member = (jax.checkpoint(one_member) if use_remat
                           else one_member)
-                e_m = jax.vmap(member)(params, cs, cv, s0_all)
+                e_m = jax.vmap(member)(params, cs, cv, s0_all, phij0_all,
+                                       phi_ring_all)
             e = jnp.mean(e_m)
             if cfg.excl_vol:
                 xmask = emask & (dist < cfg.cutoff)
@@ -418,11 +523,16 @@ def make_ff_relax_eval(
     def evaluate1(trial_ss, pos_prev, caches, site):
         sites2 = jnp.stack([site, site]).astype(jnp.int32)
         pos0 = start_positions(trial_ss, pos_prev, sites2)
+        if T_seat is not None:
+            pos0 = relax_ball(pos0, trial_ss, caches, site, T=T_seat)
         pos = relax_ball(pos0, trial_ss, caches, site)
         return finish(pos, trial_ss)
 
     def evaluate(trial_ss, pos_prev, caches, sites2):
         pos0 = start_positions(trial_ss, pos_prev, sites2)
+        if T_seat is not None:
+            pos0 = relax_ball(pos0, trial_ss, caches, sites2[0], T=T_seat)
+            pos0 = relax_ball(pos0, trial_ss, caches, sites2[1], T=T_seat)
         pos = relax_ball(pos0, trial_ss, caches, sites2[0])
         pos = relax_ball(pos, trial_ss, caches, sites2[1])
         return finish(pos, trial_ss)

@@ -37,7 +37,9 @@ def _throughput(run, n_chains: int, iters: int = 3) -> dict:
     from surface_sampling_tpu.parallel import chain_states
 
     f = jax.jit(jax.vmap(lambda ss: run.state_energy_fn(ss).surface_energy),
-                compiler_options=scoped_vmem_compiler_options(_slots_of(run)))
+                compiler_options=scoped_vmem_compiler_options(
+                    _slots_of(run),
+                    relax_banded=getattr(run, "relax", None) is not None))
     states = chain_states(run.d, jax.random.PRNGKey(0), n_chains)
     ss = states.site_state
     t0 = time.perf_counter()
@@ -399,7 +401,7 @@ def bench_painn_localrelax(supercell=(1, 1), n_chains=16, hops=1,
     }
 
 
-def _ff_parts(supercell, hops):
+def _ff_parts(supercell, hops, seat=False, **eval_kw):
     from surface_sampling_tpu.core import RelaxConfig
     from surface_sampling_tpu.core.ff_relax import (
         build_ff_tables,
@@ -415,9 +417,10 @@ def _ff_parts(supercell, hops):
     d = sys_.run.d
     nbr = build_static_neighbor_table(sys_.spec, 5.0, relax_slack=0.6)
     tables = build_ff_tables(sys_.spec, nbr, hops=hops)
+    seat_tables = build_ff_tables(sys_.spec, nbr, hops=0) if seat else None
     evaluate = make_ff_relax_eval(
         d, sys_.potential, surface_energy_fn=sys_.run.surface_energy_fn,
-        relax=relax, tables=tables)
+        relax=relax, tables=tables, seat_tables=seat_tables, **eval_kw)
     return sys_, d, relax, tables, evaluate
 
 
