@@ -301,32 +301,33 @@ def make_ff_relax_eval(
         # routing one-hot (position-independent; built once per move)
         onehot = (jax.nn.one_hot(nbr, NSub, dtype=pos0.dtype)
                   * emask[..., None].astype(pos0.dtype))
-        fmask_e = emask[..., None].astype(pos0.dtype)
+        fmask_e = emask[..., None].astype(edt)
 
         def make_router(oh, idx):
-            """Neighbor-feature routing with a GATHER forward (exact, no
-            O(NB*M*NSub) flops) and a dense one-hot MXU backward (the
-            scatter-add cotangent direction serializes on TPU; the
-            one-hot contraction is one batched matmul). The one-hot is
-            constant wrt positions, so no cotangent flows into it.
-
-            ``route(x_ball, x_ring)``: the ring argument is frozen by
-            design (far-field features never receive descent gradients),
-            so the backward contracts only the BALL columns of the
-            one-hot — the dominant dense matmul shrinks by NSub/NB."""
-            oh_ball = oh[..., :NB]
+            """Neighbor-feature routing as bf16 one-hot MXU matmuls in
+            BOTH directions. Profiled alternatives on v5e: a gather
+            forward runs at ~8 GB/s effective (row-gather rate-limited —
+            48.7 ms per 2x2 ball call and there are four of them), while
+            the dense one-hot contraction at single-pass bf16 is MXU
+            work that takes ~3 ms for the same routing. The backward
+            contracts only the BALL columns: the ring argument is frozen
+            by design (far-field features never receive descent
+            gradients), so the dominant bwd matmul shrinks by NSub/NB."""
+            oh_e = oh.astype(edt)
+            oh_ball = oh_e[..., :NB]
 
             @jax.custom_vjp
             def route(x_ball, x_ring):
-                xf = jnp.concatenate([x_ball, x_ring], axis=0)
-                return (xf[idx] * fmask_e).astype(edt)
+                xf = jnp.concatenate([x_ball, x_ring], axis=0).astype(edt)
+                return jnp.einsum("nmj,jf->nmf", oh_e, xf, precision=rp)
 
             def fwd(x_ball, x_ring):
                 return route(x_ball, x_ring), x_ring
 
             def bwd(x_ring, dy):
-                dball = jnp.einsum("nmj,nmf->jf", oh_ball, dy,
-                                   precision=rp).astype(jnp.float32)
+                dball = jnp.einsum("nmj,nmf->jf", oh_ball,
+                                   dy.astype(edt), precision=rp,
+                                   preferred_element_type=jnp.float32)
                 return (dball, jnp.zeros_like(x_ring))
 
             route.defvjp(fwd, bwd)
@@ -395,16 +396,46 @@ def make_ff_relax_eval(
             env = _cosine_envelope(dist, cfg.cutoff)[..., None]
             env = env * emask[..., None].astype(env.dtype)
 
-            # unit vectors tiled to the x-major 3F lane layout once per
-            # force evaluation: ucat[n, m, x*F + f] = unit[n, m, x]
-            ucat = jnp.repeat(unit, F, axis=-1).astype(edt)  # (NB, M, 3F)
+            # the c_unit * r_hat term with a controlled backward: the
+            # naive repeat(unit, F) formulation's VJP materializes the
+            # (chains, NB, M, 3, 3F) cotangent in f32 (profiled ~90 ms
+            # per 2x2 ball call); these contractions keep every
+            # intermediate small
+            @jax.custom_vjp
+            def unit_term(c_unit, unit_):
+                out = jnp.einsum("nmf,nmx->nxf", c_unit,
+                                 unit_.astype(edt),
+                                 preferred_element_type=jnp.float32)
+                return out.reshape(unit_.shape[0], 3 * F)
+
+            def _ut_fwd(c_unit, unit_):
+                return unit_term(c_unit, unit_), (c_unit, unit_)
+
+            def _ut_bwd(res, dy):
+                c_unit, unit_ = res
+                dy3 = dy.reshape(dy.shape[0], 3, F).astype(edt)
+                dc = jnp.einsum("nxf,nmx->nmf", dy3, unit_.astype(edt),
+                                preferred_element_type=jnp.float32)
+                du = jnp.einsum("nxf,nmf->nmx", dy3, c_unit,
+                                preferred_element_type=jnp.float32)
+                return dc.astype(edt), du
+
+            unit_term.defvjp(_ut_fwd, _ut_bwd)
 
             def one_member(p, cs_m, cv_m, s0, phij0, phi_ring_m):
                 s_ball = s0[:NB]                          # (NB, F)
                 vcat_ball = jnp.zeros((NB, 3 * F), pos0.dtype)
+                rbf_e = rbf.astype(edt)
+                env_e = env.astype(edt)
                 for li, (mp, up) in enumerate(
                         zip(p["message"], p["update"])):
-                    w = _dense(mp["dist_embed"], rbf) * env      # (NB, M, 3F)
+                    # radial filter in edt end-to-end: an f32 w behind an
+                    # .astype(edt) forces the backward to materialize the
+                    # full (chains, members, NB, M, 3F) cotangent in f32
+                    # (profiled ~150 ms per 2x2 ball call)
+                    dwe = {"w": mp["dist_embed"]["w"].astype(edt),
+                           "b": mp["dist_embed"]["b"].astype(edt)}
+                    w = _dense(dwe, rbf_e) * env_e           # (NB, M, 3F)
                     # routing: gather forward + one-hot MXU dense backward
                     # (make_router); the dense dots that remain run at the
                     # backend-default (single-pass bf16 on TPU) precision —
@@ -420,21 +451,20 @@ def make_ff_relax_eval(
                             mp["inv_dense1"],
                             jax.nn.silu(_dense(mp["inv_dense0"], s_ball)))
                         phij = route(phi_ball, phi_ring_m[li])
-                    inv = phij * w.astype(edt)       # (NB, M, 3F) in edt
+                    inv = phij * w                   # (NB, M, 3F) in edt
                     c_vv, c_s, c_unit = jnp.split(inv, 3, axis=-1)
                     ds = jnp.sum(c_s, axis=1, dtype=jnp.float32)
                     # vector messages, x-major: dv = c_vv * v_j + c_unit *
-                    # r_hat per x block — elementwise + lane-wide reduces,
-                    # never an x=3-thin contraction (v == 0 at layer 0)
-                    cu3 = jnp.concatenate([c_unit, c_unit, c_unit], axis=-1)
+                    # r_hat per x block (v == 0 at layer 0; the r_hat term
+                    # runs through unit_term's controlled VJP)
+                    ut = unit_term(c_unit, unit)                 # (NB, 3F)
                     if li == 0:
-                        dvcat = jnp.sum(cu3 * ucat, axis=1,
-                                        dtype=jnp.float32)       # (NB, 3F)
+                        dvcat = ut
                     else:
                         vj = route(vcat_ball, cv_m[li, NB:])     # (NB, M, 3F)
                         cvv3 = jnp.concatenate([c_vv, c_vv, c_vv], axis=-1)
-                        dvcat = jnp.sum(cvv3 * vj + cu3 * ucat, axis=1,
-                                        dtype=jnp.float32)       # (NB, 3F)
+                        dvcat = ut + jnp.sum(cvv3 * vj, axis=1,
+                                             dtype=jnp.float32)  # (NB, 3F)
                     s_ball = s_ball + ds
                     vcat_ball = vcat_ball + dvcat
                     # update block in vcat layout: f-mixing matmuls act per
