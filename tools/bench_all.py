@@ -566,7 +566,11 @@ def bench_painn_ffdiv(supercell=(2, 2), n_chains=8, hops=1, n_moves=48,
     dse = np.abs(np.asarray(recs["se_ff"]) - np.asarray(recs["se_ex"])).ravel()
     rmsd = np.asarray(recs["rmsd"]).ravel()
     ok = ~oob
-    return {
+    # the decisions that matter: moves either engine ACCEPTS (rejected-by-
+    # both trials never enter the chain — their dSE is NN extrapolation
+    # noise on garbage states, bounded only by the OOB clamp)
+    acc = ok & (acc_ff | acc_ex)
+    row = {
         "chains": n_chains,
         "moves": int(n_moves * n_chains),
         "overlap": round(float((acc_ff == acc_ex).mean()), 4),
@@ -580,6 +584,12 @@ def bench_painn_ffdiv(supercell=(2, 2), n_chains=8, hops=1, n_moves=48,
         "wall_s": round(wall, 1),
         "ball_frac": round(tables.ball_frac, 4),
     }
+    if acc.any():
+        row["dse_acc_mean_eV"] = round(float(dse[acc].mean()), 5)
+        row["dse_acc_max_eV"] = round(float(dse[acc].max()), 5)
+        row["rmsd_acc_mean_A"] = round(float(rmsd[acc].mean()), 5)
+        row["n_acc"] = int(acc.sum())
+    return row
 
 
 def bench_mace():
