@@ -483,6 +483,15 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
             multiple_anneal=samp.get("multiple_anneal", False),
             save_folder=run_folder,
         )
+        # optional floor: anneal down to t_min, then HOLD — the
+        # production-statistics mode (geometric-to-zero freezes the
+        # chain; sampling at a fixed final temperature is what makes
+        # tau_int/ESS a statement about an ensemble). A floor at or
+        # below the pre-extension final temperature leaves the earlier
+        # schedule entries bitwise unchanged, so --resume extensions
+        # remain exact continuations.
+        if samp.get("t_min") is not None:
+            temps = np.maximum(temps, float(samp["t_min"]))
     else:
         temps = np.repeat(samp["start_temp"], sweeps)
 
