@@ -22,8 +22,10 @@ Per move:
     values cached from the last accepted full evaluation (and frozen
     ring positions). The subproblem is compact — ball + 1-hop ring rows
     extracted into small dense arrays with a host-precomputed local edge
-    table — so a descent force evaluation costs O(ball * M * F) pure-XLA
-    MXU work instead of a full-cell forward+VJP;
+    table — so a descent force evaluation is a handful of small bf16
+    one-hot MXU matmuls + lane-wide elementwise reduces instead of a
+    full-cell forward+VJP (the measured optimization ladder and its
+    profile evidence: docs/BENCHMARKS.md);
   * the ACCEPTANCE energy is a full-cell evaluation of the relaxed
     geometry through the standard edge path — identical evaluator to the
     full relax engine, so there is no energy drift and OOB semantics are
@@ -179,7 +181,7 @@ def make_ff_relax_eval(
     tables: FFTables | None = None,
     routing_precision: str = "default",
     use_remat: bool = False,
-    use_gather_router: bool = True,
+    use_split_router: bool = True,
     seat_tables: FFTables | None = None,
     descent_dtype: str = "auto",
 ) -> Callable:
@@ -333,7 +335,7 @@ def make_ff_relax_eval(
             route.defvjp(fwd, bwd)
             return route
 
-        if use_gather_router:
+        if use_split_router:
             route = make_router(onehot, nbr)
         else:
             def route(x_ball, x_ring):
