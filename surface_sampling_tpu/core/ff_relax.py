@@ -74,17 +74,23 @@ from surface_sampling_tpu.core.state import (
 
 
 class FFTables(NamedTuple):
-    """Host-built per-site subproblem tables (numpy), staged to device by
-    the eval factory.
+    """Host-built subproblem tables (numpy), staged to device by the
+    eval factory.
+
+    The per-site data is only the ROW LISTS; the edge structure lives in
+    the SHARED slot-level candidate table and is re-localized at move
+    time with one scatter (a ball row's candidate list is the same no
+    matter whose ball it sits in — storing per-site localized copies
+    baked ~270 MB of HLO constants into 6x6 programs and tripped the
+    remote compiler's request cap).
 
     rows: (S, NSub) int32 — global slot ids of each site's subproblem,
         RELAX BALL first (``n_ball`` rows), frozen ring after; padded by
         repeating the first entry.
     row_valid: (S, NSub) bool — False on padding repeats.
-    nbr_loc: (S, NB, M) int32 — LOCAL row index of each ball row's
-        candidate neighbor (the static table's slot_j mapped into rows).
-    shift_idx: (S, NB, M) int16 — index into ``shifts_u``.
-    nbr_valid: (S, NB, M) bool.
+    slot_j: (N, M) int32 — shared candidate table (static_nbr's).
+    slot_shift_idx: (N, M) int32 — index into ``shifts_u``.
+    slot_valid: (N, M) bool.
     shifts_u: (Ku, 3) float32 — unique periodic-image shift vectors.
     n_ball / n_sub: padded static widths.
     ball_frac: mean |ball| / N (diagnostic — the descent's cost fraction).
@@ -92,9 +98,9 @@ class FFTables(NamedTuple):
 
     rows: np.ndarray
     row_valid: np.ndarray
-    nbr_loc: np.ndarray
-    shift_idx: np.ndarray
-    nbr_valid: np.ndarray
+    slot_j: np.ndarray
+    slot_shift_idx: np.ndarray
+    slot_valid: np.ndarray
     shifts_u: np.ndarray
     n_ball: int
     n_sub: int
@@ -103,10 +109,10 @@ class FFTables(NamedTuple):
 
 def build_ff_tables(spec, static_nbr, hops: int = 1) -> FFTables:
     """Relax balls (``hops`` hops of the candidate adjacency around each
-    site's slots), their 1-hop frozen rings, and the ball rows' candidate
-    edges in local indices. The candidate table is a geometric superset
-    of every possible interaction (core/static_neighbors.py), so the
-    ring always contains every row a ball row can ever touch."""
+    site's slots) and their 1-hop frozen rings. The candidate table is a
+    geometric superset of every possible interaction
+    (core/static_neighbors.py), so the ring always contains every row a
+    ball row can ever touch."""
     P, S, G = spec.n_pristine, spec.n_sites, spec.group_size
     N = P + S * G
     slot_j = np.asarray(static_nbr.slot_j)
@@ -141,9 +147,6 @@ def build_ff_tables(spec, static_nbr, hops: int = 1) -> FFTables:
 
     rows = np.zeros((S, NSub), np.int32)
     row_valid = np.zeros((S, NSub), bool)
-    nbr_loc = np.zeros((S, NB, M), np.int32)
-    shift_idx = np.zeros((S, NB, M), np.int16)
-    nbr_valid = np.zeros((S, NB, M), bool)
     for s in range(S):
         b, r = balls[s], rings[s]
         rows[s, : len(b)] = b
@@ -152,19 +155,11 @@ def build_ff_tables(spec, static_nbr, hops: int = 1) -> FFTables:
         rows[s, NB + len(r):] = b[0]
         row_valid[s, : len(b)] = True
         row_valid[s, NB: NB + len(r)] = True
-        loc_of = np.full(N, -1, np.int32)
-        loc_of[rows[s, NB:][row_valid[s, NB:]]] = (
-            NB + np.arange(len(r), dtype=np.int32))
-        loc_of[b] = np.arange(len(b), dtype=np.int32)
-        jj = slot_j[b]                              # (nb, M)
-        lj = loc_of[jj]
-        v = valid[b] & (lj >= 0)
-        nbr_loc[s, : len(b)] = np.where(v, lj, 0)
-        nbr_valid[s, : len(b)] = v
-        shift_idx[s, : len(b)] = sh_idx_full[b]
     ball_frac = float(np.mean([len(b) for b in balls]) / N)
-    return FFTables(rows=rows, row_valid=row_valid, nbr_loc=nbr_loc,
-                    shift_idx=shift_idx, nbr_valid=nbr_valid,
+    return FFTables(rows=rows, row_valid=row_valid,
+                    slot_j=slot_j.astype(np.int32),
+                    slot_shift_idx=sh_idx_full,
+                    slot_valid=np.asarray(valid, bool),
                     shifts_u=shifts_u, n_ball=NB, n_sub=NSub,
                     ball_frac=ball_frac)
 
@@ -221,15 +216,18 @@ def make_ff_relax_eval(
     G = d.code_offsets.shape[1]
     F, L = cfg.feat_dim, cfg.n_layers
     shifts_u = jnp.asarray(tables.shifts_u, jnp.float32)
+    # shared slot-level candidate tables (site-independent; localized at
+    # move time with one scatter — keeps the per-site data to row lists)
+    slot_jt = jnp.asarray(tables.slot_j)
+    slot_shidxt = jnp.asarray(tables.slot_shift_idx)
+    slot_validt = jnp.asarray(tables.slot_valid)
+    Nfull = int(tables.slot_j.shape[0])
 
     def stage(tbl: FFTables) -> dict:
         return dict(
             NB=tbl.n_ball, NSub=tbl.n_sub,
             rows_t=jnp.asarray(tbl.rows),
             rvalid_t=jnp.asarray(tbl.row_valid),
-            nbr_t=jnp.asarray(tbl.nbr_loc),
-            shidx_t=jnp.asarray(tbl.shift_idx, jnp.int32),
-            nvalid_t=jnp.asarray(tbl.nbr_valid),
             is_ball=jnp.arange(tbl.n_sub) < tbl.n_ball,
         )
 
@@ -265,7 +263,6 @@ def make_ff_relax_eval(
         T = T_main if T is None else T
         NB, NSub = T["NB"], T["NSub"]
         rows_t, rvalid_t = T["rows_t"], T["rvalid_t"]
-        nbr_t, shidx_t, nvalid_t = T["nbr_t"], T["shidx_t"], T["nvalid_t"]
         is_ball = T["is_ball"]
         cache_s, cache_v = caches
         alive_full = realize_alive(d, trial_ss)
@@ -275,9 +272,19 @@ def make_ff_relax_eval(
 
         rows = rows_t[site]                       # (NSub,)
         rvalid = rvalid_t[site]
-        nbr = nbr_t[site]                         # (NB, M)
-        nshift = shifts_u[shidx_t[site]]          # (NB, M, 3)
-        nvalid = nvalid_t[site]
+        # localize the shared candidate table: one scatter builds the
+        # global->local row map (padding rows write to the dropped
+        # overflow slot; valid rows are unique, so the scatter is
+        # deterministic), then the ball rows' candidates gather through it
+        loc = jnp.full((Nfull + 1,), -1, jnp.int32).at[
+            jnp.where(rvalid, rows, Nfull)
+        ].set(jnp.arange(NSub, dtype=jnp.int32))[:Nfull]
+        gball = rows[:NB]
+        nbr_g = slot_jt[gball]                    # (NB, M) global ids
+        nbr = loc[nbr_g]                          # (NB, M) local ids
+        nvalid = slot_validt[gball] & (nbr >= 0)
+        nbr = jnp.where(nvalid, nbr, 0)
+        nshift = shifts_u[slot_shidxt[gball]]     # (NB, M, 3)
         pos_sub0 = pos0[rows]
         alive_sub = alive_full[rows] & rvalid
         numbers_sub = jnp.where(alive_sub, numbers_full[rows], 0)

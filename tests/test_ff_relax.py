@@ -64,6 +64,7 @@ def test_ff_tables_invariants(painn_relax_system):
     P, S, G = spec.n_pristine, spec.n_sites, spec.group_size
     N = P + S * G
     assert t.rows.shape[0] == S and t.rows.max() < N
+    assert t.slot_j.shape == t.slot_valid.shape == t.slot_shift_idx.shape
     for s in range(S):
         rows = t.rows[s][t.row_valid[s]]
         ball = t.rows[s][: t.n_ball][t.row_valid[s][: t.n_ball]]
@@ -72,10 +73,13 @@ def test_ff_tables_invariants(painn_relax_system):
             assert P + s * G + g in ball
         # ball and ring are disjoint (no duplicates among valid rows)
         assert len(np.unique(rows)) == len(rows)
-        # every valid edge points at a valid local row
-        loc = t.nbr_loc[s][t.nbr_valid[s]]
-        assert (loc < t.n_sub).all()
-        assert t.row_valid[s][loc].all()
+        # every valid candidate of every ball row lands inside the
+        # subproblem (ball + ring) — the closure the runtime scatter
+        # localization relies on
+        row_set = set(rows.tolist())
+        for i in ball:
+            nbrs = t.slot_j[i][t.slot_valid[i]]
+            assert set(nbrs.tolist()) <= row_set
     assert 0.0 < t.ball_frac <= 1.0
 
 
