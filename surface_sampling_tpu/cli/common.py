@@ -937,13 +937,20 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     # analysis/statistics.py provides; the reference reports neither)
     if n_seg >= 8:
         from surface_sampling_tpu.analysis.statistics import (
-            effective_sample_size,
             integrated_autocorrelation_time,
         )
 
         probe = range(min(n_chains, 16))
         tau = float(np.mean([integrated_autocorrelation_time(energy[c]) for c in probe]))
-        ess = float(sum(effective_sample_size(energy[c]) for c in range(n_chains)))
+        # pooled ESS = N_total / tau_mean — consistent with the reported
+        # tau by construction. The per-chain-sum alternative
+        # (sum_c n/tau_c) inflates arbitrarily when chains freeze at low
+        # temperature: a (near-)constant energy series defeats the ACF
+        # estimator (tau -> 1, "ESS" -> n for a chain holding ONE state —
+        # measured on the 2x2 hold-T campaign: 9 of 32 frozen chains
+        # turned ESS 504 into 15,724). When all chains mix, the two
+        # formulas agree (round-4 campaign: 130 vs 128).
+        ess = float(n_chains * energy.shape[1] / max(tau, 1.0))
         logger.info("sampling quality: tau_int=%.2f sweeps, pooled ESS=%.0f", tau, ess)
         (run_folder / "sampling_quality.json").write_text(
             json.dumps({"tau_int_sweeps": tau, "pooled_ess": ess,
