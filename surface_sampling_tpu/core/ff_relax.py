@@ -445,14 +445,14 @@ def make_ff_relax_eval(
                     dwe = {"w": mp["dist_embed"]["w"].astype(edt),
                            "b": mp["dist_embed"]["b"].astype(edt)}
                     w = _dense(dwe, rbf_e) * env_e           # (NB, M, 3F)
-                    # routing: gather forward + one-hot MXU dense backward
-                    # (make_router); the dense dots that remain run at the
-                    # backend-default (single-pass bf16 on TPU) precision —
-                    # the one-hot operand is exact in bf16 and the payload
-                    # rounding only perturbs DESCENT forces. The acceptance
-                    # energy is a separate full-cell f32 evaluation, and
-                    # the resulting policy perturbation is measured by the
-                    # ffdiv protocol (tools/bench_all.py).
+                    # routing: bf16 one-hot MXU dense in both directions
+                    # (make_router; the bwd contracts ball columns only).
+                    # The one-hot operand is exact in bf16 and the payload
+                    # rounding only perturbs DESCENT forces — the
+                    # acceptance energy is a separate full-cell f32
+                    # evaluation, and the resulting policy perturbation
+                    # is measured by the ffdiv protocol
+                    # (tools/bench_all.py).
                     if li == 0:
                         phij = phij0
                     else:
