@@ -406,6 +406,22 @@ def assemble_system(settings: dict, slab: Structure, surface_energy_fn=None) -> 
     return AssembledSystem(spec, potential, run, settings)
 
 
+def _se_vmem_opts(d, asys, samp) -> dict:
+    """Scoped-VMEM compiler options for one-off state-energy jits in the
+    CLI setup path (initial energies, canonical prep): big relax-banded
+    programs exceed the 16 MB default scoped-vmem limit (measured 35 MB
+    at 6x6 with relaxation) exactly like the main run jit, which already
+    passes these options."""
+    from surface_sampling_tpu.ops.pallas_painn import (
+        scoped_vmem_compiler_options,
+    )
+
+    n_slots = int(d.pristine_positions.shape[0]
+                  + d.site_coords.shape[0] * d.code_offsets.shape[1])
+    return scoped_vmem_compiler_options(
+        n_slots, relax_banded=getattr(asys.run, "relax", None) is not None)
+
+
 def _truncate_stats(stats_path: Path, last_kept: int) -> None:
     """Drop stats.csv rows past ``last_kept`` (crash between a chunk's
     stats flush and its checkpoint leaves extra rows; resume removes
@@ -582,7 +598,9 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
     else:
         states = chain_states(d, jax.random.PRNGKey(seed), n_chains,
                               site_state=site_state0)
-        e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
+        e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy),
+                     compiler_options=_se_vmem_opts(d, asys, samp)
+                     )(states.site_state)
         states = states._replace(energy=e0)
     if resume is None and cfg.canonical and cfg.num_ads_atoms > 0:
         if samp.get("even_adsorption_sites", False):
@@ -598,7 +616,9 @@ def run_sampling(asys: AssembledSystem, run_folder: Path, seed: int = 0,
                 in_axes=(0, None),
             ))
             states = prep(states, jnp.asarray(float(temps[0])))
-        e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy))(states.site_state)
+        e0 = jax.jit(jax.vmap(lambda ss: se_fn(ss).surface_energy),
+                     compiler_options=_se_vmem_opts(d, asys, samp)
+                     )(states.site_state)
         states = states._replace(energy=e0)
 
     if samp.get("tempering", False) and samp.get("population_annealing", False):
